@@ -1,0 +1,52 @@
+"""Replicates the driver's correctness gate locally: run every catalog
+query on Spark and its DuckDB oracle on the same parquet, compare
+row-count + sorted-value equality (sf0.001 for speed)."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entrymod
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _duck(sql: str):
+    con = duckdb.connect()
+    for f in glob.glob(f"{SF_DIR}/*.parquet"):
+        name = os.path.basename(f).replace(".parquet", "")
+        con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{f}')")
+    return con.execute(sql).fetchdf()
+
+
+def _normalize(df):
+    cols = sorted(df.columns)
+    out = df[cols].copy()
+    for c in cols:
+        if out[c].dtype.kind == "f":
+            out[c] = out[c].round(6)
+    return sorted(map(tuple, out.itertuples(index=False)))
+
+
+@pytest.mark.parametrize("name", sorted(entrymod.queries().keys()))
+def test_query_matches_oracle(spark, name):
+    oracles = entrymod.oracle_sql()
+    if name not in oracles:
+        pytest.skip("rows-only query")
+    sdf = entrymod.queries()[name](spark, SF_DIR)
+    spark_pdf = sdf.toPandas()
+    duck_pdf = _duck(oracles[name])
+    assert sorted(spark_pdf.columns) == sorted(duck_pdf.columns), (
+        f"{name}: columns {sorted(spark_pdf.columns)} vs {sorted(duck_pdf.columns)}"
+    )
+    assert len(spark_pdf) == len(duck_pdf), f"{name}: row counts differ"
+    assert _normalize(spark_pdf) == _normalize(duck_pdf), f"{name}: values differ"
+
+
+def test_entry_smoke(spark):
+    df = entrymod.entry(spark)
+    assert df.count() > 0
