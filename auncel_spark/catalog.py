@@ -23,7 +23,11 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+import numpy as np
+
 from auncel_spark.config import Metric
+from auncel_spark.index.ivf import IVFIndex
+from auncel_spark.index.kmeans import assign_lists
 from auncel_spark.operators.knn import knn_by_ids, knn_exact, range_search
 from auncel_spark.operators.recall import intersection_recall
 from auncel_spark.operators.topk import merge_topk
@@ -109,6 +113,67 @@ def q_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rec = intersection_recall(approx, gt, K)
     return rec.select("qid", F.round(F.col("recall"), 6).alias("recall"))
+
+
+# --- M1/M2: IVF build + search family (SURVEY §2.2 B1-B5, §2.3 O6-O7) ---
+
+NLIST = 16  # seed-centroid count for oracle-expressible IVF queries
+NPROBE = 4
+KM_K = 8  # clusters for the centroid-update query
+
+
+def _seed_centroids(spark: SparkSession, sf_dir: str, k: int) -> np.ndarray:
+    """Deterministic quantizer for oracle-checked queries: centroids are
+    the k lowest-vec_id embeddings (init="first_k"); the IVF machinery
+    is identical to the trained-k-means path."""
+    rows = (
+        load(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < k)
+        .orderBy("vec_id")
+        .collect()
+    )
+    return np.array([r["embedding"] for r in rows], dtype=np.float64)
+
+
+def q_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B4: nearest-centroid assignment of every base vector."""
+    cents = _seed_centroids(spark, sf_dir, NLIST)
+    out = assign_lists(_emb_base(spark, sf_dir), cents)
+    return out.select("id", F.col("list_no").cast("bigint").alias("list_no"))
+
+
+def q_kmeans_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B1 (one Lloyd's half-step): per-cluster per-dimension mean."""
+    cents = _seed_centroids(spark, sf_dir, KM_K)
+    assigned = assign_lists(_emb_base(spark, sf_dir), cents)
+    return (
+        assigned.select("list_no", F.posexplode("vec").alias("dim0", "v"))
+        .groupBy("list_no", "dim0")
+        .agg(F.round(F.avg(F.col("v").cast("double")), 6).alias("val"))
+        .select(
+            F.col("list_no").cast("bigint").alias("list_no"),
+            (F.col("dim0") + 1).cast("bigint").alias("dim"),
+            "val",
+        )
+    )
+
+
+def q_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O6+O7: fixed-nprobe IVF-Flat search through the real index path
+    (partition-pruned list join + Arrow GEMM scan + window top-k)."""
+    cents = _seed_centroids(spark, sf_dir, NLIST)
+    idx = IVFIndex.build(_emb_base(spark, sf_dir), nlist=NLIST, centroids=cents)
+    res = idx.search(_emb_queries(spark, sf_dir), K, nprobe=NPROBE)
+    return res.select("qid", F.col("pos").cast("bigint").alias("pos"), "id")
+
+
+def q_ivf_list_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O31: posting-list size histogram (imbalance introspection)."""
+    cents = _seed_centroids(spark, sf_dir, NLIST)
+    out = assign_lists(_emb_base(spark, sf_dir), cents)
+    return out.groupBy("list_no").agg(F.count("*").alias("cnt")).select(
+        F.col("list_no").cast("bigint").alias("list_no"), "cnt"
+    )
 
 
 # --- oracle SQL (DuckDB dialect, float64 arithmetic) --------------------
@@ -212,6 +277,79 @@ GROUP BY ip.qid
 )
 
 
+_CENT_CTE = f"""
+, c AS (
+  SELECT vec_id AS cid, embedding::DOUBLE[] AS cv
+  FROM embeddings WHERE vec_id < {NLIST}
+), assign AS (
+  SELECT id, list_no FROM (
+    SELECT b.vec_id AS id, c.cid AS list_no,
+           row_number() OVER (
+             PARTITION BY b.vec_id
+             ORDER BY list_distance(b.embedding::DOUBLE[], c.cv), c.cid
+           ) AS rn
+    FROM embeddings b CROSS JOIN c
+  ) WHERE rn = 1
+)
+"""
+
+_ORACLE_ASSIGN = (
+    _Q_CTE + _CENT_CTE + "\nSELECT id, list_no::BIGINT AS list_no FROM assign"
+)
+
+_ORACLE_KMEANS_UPDATE = f"""
+WITH c AS (
+  SELECT vec_id AS cid, embedding::DOUBLE[] AS cv
+  FROM embeddings WHERE vec_id < {KM_K}
+), assign AS (
+  SELECT id, list_no, emb FROM (
+    SELECT b.vec_id AS id, c.cid AS list_no, b.embedding::DOUBLE[] AS emb,
+           row_number() OVER (
+             PARTITION BY b.vec_id
+             ORDER BY list_distance(b.embedding::DOUBLE[], c.cv), c.cid
+           ) AS rn
+    FROM embeddings b CROSS JOIN c
+  ) WHERE rn = 1
+)
+SELECT list_no::BIGINT AS list_no, r.i::BIGINT AS dim,
+       round(avg(emb[r.i]), 6) AS val
+FROM assign, range(1, 65) r(i)
+GROUP BY list_no, r.i
+"""
+
+_ORACLE_IVF_SEARCH = (
+    _Q_CTE
+    + _CENT_CTE
+    + f"""
+, probes AS (
+  SELECT qid, list_no FROM (
+    SELECT q.qid, c.cid AS list_no,
+           row_number() OVER (
+             PARTITION BY q.qid ORDER BY list_distance(q.qv, c.cv), c.cid
+           ) AS rn
+    FROM q CROSS JOIN c
+  ) WHERE rn <= {NPROBE}
+), cand AS (
+  SELECT q.qid, a.id, list_distance(q.qv, b.embedding::DOUBLE[]) AS dist
+  FROM probes p
+  JOIN assign a ON a.list_no = p.list_no
+  JOIN q ON q.qid = p.qid
+  JOIN embeddings b ON b.vec_id = a.id
+), r AS (
+  SELECT qid, id, row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS rn
+  FROM cand
+)
+SELECT qid, rn - 1 AS pos, id FROM r WHERE rn <= {K}
+"""
+)
+
+_ORACLE_LIST_SIZES = (
+    _Q_CTE
+    + _CENT_CTE
+    + "\nSELECT list_no::BIGINT AS list_no, count(*) AS cnt FROM assign GROUP BY list_no"
+)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "exact_knn_l2": q_exact_knn_l2,
     "exact_knn_ip": q_exact_knn_ip,
@@ -219,6 +357,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "knn_rerank_subset": q_knn_rerank_subset,
     "shard_merge_topk": q_shard_merge_topk,
     "recall_eval": q_recall_eval,
+    "kmeans_assign": q_kmeans_assign,
+    "kmeans_update": q_kmeans_update,
+    "ivf_search_nprobe": q_ivf_search,
+    "ivf_list_sizes": q_ivf_list_sizes,
 }
 
 ORACLES: dict[str, str] = {
@@ -228,4 +370,8 @@ ORACLES: dict[str, str] = {
     "knn_rerank_subset": _ORACLE_RERANK,
     "shard_merge_topk": _ORACLE_KNN_L2,  # merge of complete shards == global top-k
     "recall_eval": _ORACLE_RECALL,
+    "kmeans_assign": _ORACLE_ASSIGN,
+    "kmeans_update": _ORACLE_KMEANS_UPDATE,
+    "ivf_search_nprobe": _ORACLE_IVF_SEARCH,
+    "ivf_list_sizes": _ORACLE_LIST_SIZES,
 }

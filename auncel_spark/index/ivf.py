@@ -1,0 +1,245 @@
+"""IVF (inverted-file) index: build, persist, fixed-nprobe search.
+
+Reference surface (SURVEY.md §2.2 B2-B5, §2.3 O6-O7, O21, O31):
+- ``IndexIVF`` (``Auncel/IndexIVF.h:77-99``): nlist posting lists keyed
+  by a coarse quantizer; search probes the nprobe nearest lists
+  (``IndexIVF.cpp:330-378`` → ``search_preassigned`` :382-475).
+- ``OnDiskInvertedLists`` (``Auncel/OnDiskInvertedLists.h:51-110``):
+  the at-scale storage — here Parquet ``partitionBy("list_no")`` so
+  Catalyst partition pruning replaces mmap seeks + prefetch threads.
+
+Physical plan of ``search``:
+1. coarse quantize the (small) query set driver-side against broadcast
+   centroids — the reference's ``quantizer->search`` (IndexIVF.cpp:364);
+2. build a probes literal ``(qid, list_no, rank)``;
+3. ``base.filter(list_no IN probed_lists)`` — static partition pruning:
+   only nprobe·nq of nlist Parquet partitions are read, the exact
+   analogue of non-exhaustive list scanning;
+4. join probes (broadcast) → per-partition GEMM top-k kernel
+   (Arrow-batched) → global window top-k.
+
+Vectors never reach the driver; centroids (nlist×d ≤ 8 MB) and the
+query matrix are the only broadcast state, as the reference holds only
+the quantizer + codebooks hot.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from auncel_spark.config import DEFAULT_NLIST, Metric
+from auncel_spark.index.kmeans import (
+    assign_lists,
+    imbalance_factor,
+    inter_centroid_matrix,
+    train_kmeans,
+)
+from auncel_spark.operators.topk import topk_per_query
+
+
+class IVFIndex:
+    """A trained IVF index = broadcastable quantizer state + a
+    list-partitioned Parquet table of (id, vec, list_no)."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        centroids: np.ndarray,
+        data_path: str | None,
+        metric: Metric = Metric.L2,
+        data_df: DataFrame | None = None,
+    ):
+        self.spark = spark
+        self.centroids = np.asarray(centroids, dtype=np.float64)
+        self.nlist = self.centroids.shape[0]
+        self.d = self.centroids.shape[1]
+        self.metric = metric
+        self.data_path = data_path
+        self._data_df = data_df
+        # Auncel delta: inter-centroid geometry for the ELP system (B3)
+        self.interdis = inter_centroid_matrix(self.centroids, metric)
+
+    # --- construction ----------------------------------------------------
+
+    @classmethod
+    def build(
+        cls,
+        base: DataFrame,
+        nlist: int = DEFAULT_NLIST,
+        metric: Metric = Metric.L2,
+        path: str | None = None,
+        centroids: np.ndarray | None = None,
+        kmeans_iter: int = 25,
+        seed: int = 42,
+        id_col: str = "id",
+        vec_col: str = "vec",
+    ) -> "IVFIndex":
+        """Train (or accept) centroids, assign every row, and persist
+        partitioned by list_no. ``centroids=None`` trains k-means on the
+        base (the reference trains on a subsample; ``train_kmeans``
+        samples internally)."""
+        spark = base.sparkSession
+        b = base.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+        if centroids is None:
+            centroids, _ = train_kmeans(
+                b, nlist, metric=metric, max_iter=kmeans_iter, seed=seed,
+                spherical=(metric == Metric.IP),
+            )
+        idx = cls(spark, centroids, path, metric)
+        assigned = assign_lists(b, idx.centroids, metric).select("id", "vec", "list_no")
+        if path is not None:
+            (
+                assigned.repartition("list_no")
+                .write.mode("overwrite")
+                .partitionBy("list_no")
+                .parquet(os.path.join(path, "lists"))
+            )
+            with open(os.path.join(path, "meta.json"), "w") as f:
+                json.dump(
+                    {"nlist": idx.nlist, "d": idx.d, "metric": metric.value}, f
+                )
+            np.save(os.path.join(path, "centroids.npy"), idx.centroids)
+            idx._data_df = None
+        else:
+            idx._data_df = assigned.cache()
+            idx._data_df.count()
+        return idx
+
+    @classmethod
+    def load(cls, spark: SparkSession, path: str) -> "IVFIndex":
+        """``read_index`` analogue (Auncel/index_io.h:37-54)."""
+        with open(os.path.join(path, "meta.json")) as f:
+            meta = json.load(f)
+        centroids = np.load(os.path.join(path, "centroids.npy"))
+        return cls(spark, centroids, path, Metric(meta["metric"]))
+
+    @property
+    def data(self) -> DataFrame:
+        if self._data_df is not None:
+            return self._data_df
+        return self.spark.read.parquet(os.path.join(self.data_path, "lists"))
+
+    # --- coarse quantization (O6) ---------------------------------------
+
+    def coarse_rank(self, qids: np.ndarray, qmat: np.ndarray, nprobe: int):
+        """Top-nprobe nearest centroids per query (driver-side numpy —
+        the query set × centroid table is small, exactly the state the
+        reference touches in ``quantizer->search``).
+
+        Returns (ranked_lists (nq, nprobe) int32, cdist (nq, nprobe))."""
+        q = np.asarray(qmat, dtype=np.float64)
+        c = self.centroids
+        dots = q @ c.T
+        if self.metric == Metric.L2:
+            dist = (q * q).sum(1)[:, None] + (c * c).sum(1)[None, :] - 2.0 * dots
+        else:
+            dist = -dots
+        nprobe = min(nprobe, self.nlist)
+        order = np.argsort(dist, axis=1, kind="stable")[:, :nprobe]
+        return order.astype(np.int32), np.take_along_axis(dist, order, axis=1)
+
+    def probes_df(self, queries: DataFrame, nprobe: int) -> tuple[DataFrame, np.ndarray, np.ndarray]:
+        qrows = queries.select("qid", "vec").collect()
+        qids = np.array([r["qid"] for r in qrows], dtype=np.int64)
+        qmat = np.array([r["vec"] for r in qrows], dtype=np.float64)
+        lists, _ = self.coarse_rank(qids, qmat, nprobe)
+        probes = self.spark.createDataFrame(
+            [
+                (int(qids[i]), int(lists[i, j]), j)
+                for i in range(len(qids))
+                for j in range(lists.shape[1])
+            ],
+            "qid bigint, list_no int, rank int",
+        )
+        return probes, qids, qmat
+
+    # --- search (O7) -----------------------------------------------------
+
+    def search(
+        self,
+        queries: DataFrame,
+        k: int,
+        nprobe: int,
+        qid_col: str = "qid",
+        vec_col: str = "vec",
+    ) -> DataFrame:
+        """Fixed-nprobe IVF-Flat search. Returns (qid, pos, id, dist)."""
+        q = queries.select(F.col(qid_col).alias("qid"), F.col(vec_col).alias("vec"))
+        probes, qids, qmat = self.probes_df(q, nprobe)
+        partial = self._scan_lists(probes, qids, qmat, k)
+        return topk_per_query(partial, k).select("qid", "pos", "id", "dist")
+
+    def _scan_lists(
+        self, probes: DataFrame, qids: np.ndarray, qmat: np.ndarray, k: int
+    ) -> DataFrame:
+        """The InvertedListScanner (``IndexIVF.cpp:439-475``) as a
+        partition-pruned join + Arrow GEMM kernel emitting per-batch
+        partial top-k."""
+        probed_lists = sorted({int(r["list_no"]) for r in probes.select("list_no").distinct().collect()})
+        pruned = self.data.filter(F.col("list_no").isin(probed_lists))
+        joined = pruned.join(F.broadcast(probes), "list_no").select("qid", "id", "vec")
+
+        bc = self.spark.sparkContext.broadcast(
+            (qids, qmat, {int(q): i for i, q in enumerate(qids)})
+        )
+        is_l2 = self.metric == Metric.L2
+
+        def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            _, bq, qpos = bc.value
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                out_q, out_i, out_d = [], [], []
+                for qid, grp in pdf.groupby("qid"):
+                    qv = bq[qpos[int(qid)]]
+                    mat = np.array(list(grp["vec"]), dtype=np.float64)
+                    dots = mat @ qv
+                    if is_l2:
+                        dist = (mat * mat).sum(axis=1) + (qv @ qv) - 2.0 * dots
+                    else:
+                        dist = -dots
+                    kk = min(k, len(dist))
+                    sel = np.argpartition(dist, kk - 1)[:kk]
+                    out_q.append(np.full(kk, qid, dtype=np.int64))
+                    out_i.append(grp["id"].to_numpy(dtype=np.int64)[sel])
+                    out_d.append(dist[sel])
+                if out_q:
+                    yield pd.DataFrame(
+                        {
+                            "qid": np.concatenate(out_q),
+                            "id": np.concatenate(out_i),
+                            "dist": np.concatenate(out_d),
+                        }
+                    )
+
+        return joined.mapInPandas(scan, schema="qid bigint, id bigint, dist double")
+
+    # --- maintenance / introspection (O21, O31) --------------------------
+
+    def list_sizes(self) -> DataFrame:
+        return self.data.groupBy("list_no").count()
+
+    def imbalance(self) -> float:
+        return imbalance_factor(self.data, self.nlist)
+
+    def remove_ids(self, ids_df: DataFrame) -> DataFrame:
+        """``remove_ids`` via IDSelector (O18) = anti-join."""
+        return self.data.join(ids_df.select("id"), "id", "left_anti")
+
+    def stats(self) -> dict:
+        sizes = self.list_sizes().collect()
+        n = sum(r["count"] for r in sizes)
+        return {
+            "nlist": self.nlist,
+            "d": self.d,
+            "ntotal": n,
+            "nonempty_lists": len(sizes),
+            "imbalance_factor": self.imbalance(),
+        }
