@@ -26,7 +26,8 @@ def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     from auncel_spark.catalog import QUERIES
 
-    return QUERIES["exact_knn_l2"](spark, "/root/testdata/sf0.001")
+    # flagship: Auncel's error-bounded adaptive kNN (SURVEY §3.1)
+    return QUERIES["bounded_knn"](spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

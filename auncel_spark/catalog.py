@@ -176,6 +176,62 @@ def q_ivf_list_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- M3: error-bounded adaptive search (SURVEY §2.3 O24-O28) ------------
+
+BOUND = 0.1  # error bound: per-query required recall = 1 - BOUND
+
+
+_PROFILE_CACHE: dict[str, tuple] = {}
+
+
+def _fitted_profile(spark: SparkSession, sf_dir: str):
+    from auncel_spark.profile.error_profile import ErrorProfile
+
+    if sf_dir in _PROFILE_CACHE:
+        return _PROFILE_CACHE[sf_dir]
+    cents = _seed_centroids(spark, sf_dir, NLIST)
+    idx = IVFIndex.build(_emb_base(spark, sf_dir), nlist=NLIST, centroids=cents)
+    q = _emb_queries(spark, sf_dir)
+    ep = ErrorProfile(idx, max_topk=50)
+    ep.fit(q)
+    # the top of the multipler grid reaches a full scan (nlist/8 · 8 =
+    # nlist), so calibration always has a bound-satisfying fallback
+    ep.calibrate(q, K, BOUND, multipler_grid=(1.0, 2.0, 4.0, 8.0), std_m_grid=(1.0, 2.0))
+    _PROFILE_CACHE[sf_dir] = (ep, q)
+    return ep, q
+
+
+def q_bounded_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O24-O27: Auncel's flagship — per-query error-bounded adaptive
+    kNN. Not SQL-expressible (learned traces + staged iteration) →
+    rows-only driver check; the bound itself is asserted by
+    ``bounded_knn_bound_check``."""
+    ep, q = _fitted_profile(spark, sf_dir)
+    res = ep.search(q, K, require_acc=1.0 - BOUND)
+    return res.select("qid", F.col("pos").cast("bigint").alias("pos"), "id")
+
+
+def q_bounded_bound_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The paper's end-to-end correctness criterion
+    (eval/bound.cpp:404-414) as a single-row assertion: worst-case
+    over queries of threshold-recall ≥ 1 − bound. The oracle states
+    the criterion must hold; a hash mismatch means the engine broke
+    its error contract."""
+    from auncel_spark.operators.recall import threshold_recall, worst_case_bound_holds
+
+    ep, q = _fitted_profile(spark, sf_dir)
+    res = ep.search(q, K, require_acc=1.0 - BOUND)
+    gt = knn_exact(q, _emb_base(spark, sf_dir), K, Metric.L2, STRATEGY).select(
+        "qid", "pos", F.col("id").alias("gt_id"), F.col("dist").alias("gt_dist")
+    )
+    rec = threshold_recall(res, gt, K)
+    holds = worst_case_bound_holds(rec, BOUND)
+    n = q.count()
+    return spark.createDataFrame(
+        [(int(n), bool(holds))], "n_queries bigint, bound_holds boolean"
+    )
+
+
 # --- oracle SQL (DuckDB dialect, float64 arithmetic) --------------------
 
 _Q_CTE = f"""
@@ -361,6 +417,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kmeans_update": q_kmeans_update,
     "ivf_search_nprobe": q_ivf_search,
     "ivf_list_sizes": q_ivf_list_sizes,
+    "bounded_knn": q_bounded_knn,
+    "bounded_knn_bound_check": q_bounded_bound_check,
 }
 
 ORACLES: dict[str, str] = {
@@ -374,4 +432,8 @@ ORACLES: dict[str, str] = {
     "kmeans_update": _ORACLE_KMEANS_UPDATE,
     "ivf_search_nprobe": _ORACLE_IVF_SEARCH,
     "ivf_list_sizes": _ORACLE_LIST_SIZES,
+    # "bounded_knn": rows-only (iterative learned-trace search; SURVEY §7.3)
+    "bounded_knn_bound_check": (
+        _Q_CTE + "\nSELECT count(*) AS n_queries, true AS bound_holds FROM q"
+    ),
 }

@@ -1,0 +1,431 @@
+"""Auncel's error-profile system (ELP) as a stage-synchronous Spark job.
+
+Reference (SURVEY.md §2.2 B15-B17, §2.3 O24-O28):
+- offline: ``Error_sys::sys_train`` (``Auncel/profile.cpp:88-171``)
+  runs the training queries at nprobe = 1,2,4,…,nlist/8, extracts
+  (phi, U) pairs per stage (trace collection inside the search loop,
+  ``IndexIVF.cpp:640-673``), then compresses each stage's pairs with
+  sort-and-batch.
+- online: ``Error_sys::search`` → the ELP loop
+  (``IndexIVF.cpp:507-637``): scan probed lists in coarse order; after
+  each list, predict recall from the geometric features; stop at the
+  first stage where predicted recall ≥ the query's required recall;
+  stagnation heuristic forces recall=1 when the running top-k stops
+  improving; hard cap at nprobe = nlist/8.
+
+Spark-first inversion (SURVEY §3.1, §7.3): instead of per-query
+sequential probing inside a thread, the engine runs synchronized
+stages nprobe ∈ {1,2,4,…,nlist/8}. Each stage:
+1. builds the *delta* probe set (lists ranked [prev, cur)) for the
+   still-active queries only — no list is ever scanned twice;
+2. scans those lists distributed (partition-pruned join + Arrow GEMM
+   kernel, the same ``IVFIndex._scan_lists``), returning ≤ nq·k rows;
+3. merges them into the running per-query top-k and evaluates the
+   stop predicate vectorized in numpy;
+4. anti-joins satisfied queries out of the next stage.
+
+Semantic refinement vs the reference (documented in SURVEY §7.3): the
+reference may stop at non-power-of-two stages; we stop at the next
+stage boundary, i.e. never earlier — the error bound still holds, at
+slightly more work. Per-query adaptivity becomes per-stage shrinkage
+of the active set.
+
+Scale: per-stage shuffle is O(active·k); driver state is
+O(nq·max_topk) floats (4 MB at nq=5000, max_topk=100) — the same
+magnitude the reference keeps in RAM. For huge query sets, shard the
+query batch and run profiles per shard (the reference's distributed
+mode does exactly this, ``dist/worker.cpp``).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time as _time
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+
+from auncel_spark.config import ELP_STAGE_CAP_FRACTION, Metric
+from auncel_spark.index.ivf import IVFIndex
+from auncel_spark.profile.geometry import boundary_distances, sum_angle
+from auncel_spark.profile.traces import Trace, kscaling
+
+
+class ErrorProfile:
+    """Per-index trained error profile + bounded adaptive search."""
+
+    def __init__(
+        self,
+        index: IVFIndex,
+        max_topk: int = 100,
+        multipler: float = 1.0,
+        std_m: float = 1.0,
+    ):
+        self.index = index
+        self.max_topk = max_topk
+        # calibration hyperparameters (O27, hyperparameter.txt / setparam)
+        self.multipler = multipler
+        self.std_m = std_m
+        self.traces: list[Trace] = []
+
+    # ------------------------------------------------------------------
+    # shared machinery
+
+    def _stages(self) -> list[int]:
+        cap = max(1, self.index.nlist // ELP_STAGE_CAP_FRACTION)
+        out, np_ = [], 1
+        while np_ <= cap:
+            out.append(np_)
+            np_ <<= 1
+        return out
+
+    def _coarse(self, queries: DataFrame):
+        q = queries.select("qid", "vec").collect()
+        qids = np.array([r["qid"] for r in q], dtype=np.int64)
+        qmat = np.array([r["vec"] for r in q], dtype=np.float64)
+        ranked, cdist = self.index.coarse_rank(qids, qmat, self.index.nlist)
+        dtb = boundary_distances(cdist, ranked, self.index.interdis, self.index.metric)
+        return qids, qmat, ranked, cdist, dtb
+
+    def _scan_delta(
+        self,
+        qids: np.ndarray,
+        qmat: np.ndarray,
+        ranked: np.ndarray,
+        active: np.ndarray,
+        lo: int,
+        hi: int,
+    ) -> pd.DataFrame:
+        """Distributed scan of lists ranked [lo, hi) for active queries."""
+        act = np.where(active)[0]
+        rows = [
+            (int(qids[i]), int(ranked[i, j]), j)
+            for i in act
+            for j in range(lo, min(hi, ranked.shape[1]))
+        ]
+        if not rows:
+            return pd.DataFrame(columns=["qid", "id", "dist"])
+        probes = self.index.spark.createDataFrame(
+            rows, "qid bigint, list_no int, rank int"
+        )
+        part = self.index._scan_lists(probes, qids[act], qmat[act], self.max_topk)
+        return part.toPandas()
+
+    @staticmethod
+    def _merge_state(
+        state_d: np.ndarray, state_i: np.ndarray, new: pd.DataFrame, qpos: dict
+    ) -> None:
+        """Fold freshly scanned candidates into the running per-query
+        top-k (ids are globally unique per list ⇒ no dedup needed)."""
+        if new.empty:
+            return
+        k = state_d.shape[1]
+        for qid, grp in new.groupby("qid"):
+            i = qpos[int(qid)]
+            d = np.concatenate([state_d[i], grp["dist"].to_numpy()])
+            ids = np.concatenate([state_i[i], grp["id"].to_numpy(dtype=np.int64)])
+            order = np.lexsort((ids, d))[:k]
+            state_d[i] = d[order]
+            state_i[i] = ids[order]
+
+    def _tval(self, dists: np.ndarray) -> np.ndarray:
+        """Candidate distances in phi space: L2 → squared L2 as-is; IP →
+        arccos of the dot (engine dist = −dot), as the reference feeds
+        acos(simi) (IndexIVF.cpp:563-565)."""
+        if self.index.metric == Metric.L2:
+            return dists
+        return np.arccos(np.clip(-dists, -1.0, 1.0))
+
+    # ------------------------------------------------------------------
+    # offline training (B15-B17)
+
+    def fit(self, train_queries: DataFrame, gt_dists: np.ndarray | None = None):
+        """Build per-stage phi→U traces from training queries.
+
+        gt_dists: (nq, max_topk) true sorted distances (engine
+        convention). Computed with an exact scan when omitted.
+        Single sweep: the running top-k state after scanning delta
+        lists at stage s IS the fixed-nprobe=s result — one pass
+        yields every stage (the reference re-searches from scratch per
+        nprobe, profile.cpp:100-149).
+        """
+        qids, qmat, ranked, cdist, dtb = self._coarse(train_queries)
+        nq = len(qids)
+        if gt_dists is None:
+            gt_dists = self._exact_gt(train_queries)
+        qpos = {int(q): i for i, q in enumerate(qids)}
+        state_d = np.full((nq, self.max_topk), np.inf)
+        state_i = np.full((nq, self.max_topk), -1, dtype=np.int64)
+        active = np.ones(nq, dtype=bool)
+        max_collect = max(1, self.max_topk // 4)
+
+        self.traces = []
+        prev = 0
+        for s in self._stages():
+            new = self._scan_delta(qids, qmat, ranked, active, prev, s)
+            self._merge_state(state_d, state_i, new, qpos)
+            prev = s
+            tvals = self._tval(state_d)
+            self.traces.append(
+                self._collect_stage_pairs(state_d, tvals, gt_dists, dtb, s, max_collect)
+            )
+        return self
+
+    def _collect_stage_pairs(
+        self,
+        state_d: np.ndarray,
+        tvals: np.ndarray,
+        gt_dists: np.ndarray,
+        dtb: np.ndarray,
+        stage: int,
+        max_collect: int,
+    ) -> Trace:
+        phis: list[float] = []
+        us: list[float] = []
+        nq = state_d.shape[0]
+        for i in range(nq):
+            pts = kscaling(state_d[i], gt_dists[i], max_collect)
+            if not pts:
+                continue
+            ranks = np.array([r for r, _ in pts], dtype=np.int64)
+            phi_i = sum_angle(tvals[i, ranks][None, :], dtb[i : i + 1], stage - 1)[0]
+            phis.extend(phi_i.tolist())
+            us.extend(u for _, u in pts)
+        return Trace.from_pairs(stage, np.array(phis), np.array(us))
+
+    def _exact_gt(self, queries: DataFrame) -> np.ndarray:
+        from auncel_spark.operators.knn import knn_exact
+
+        res = knn_exact(
+            queries,
+            self.index.data.select("id", "vec"),
+            self.max_topk,
+            self.index.metric,
+            strategy="gemm",
+        ).collect()
+        qids = sorted({r["qid"] for r in res})
+        qpos = {q: i for i, q in enumerate(qids)}
+        out = np.full((len(qids), self.max_topk), np.inf)
+        for r in res:
+            out[qpos[r["qid"]], r["pos"]] = r["dist"]
+        return out
+
+    # ------------------------------------------------------------------
+    # online bounded search (O24-O27)
+
+    def search(
+        self,
+        queries: DataFrame,
+        topk: int,
+        require_acc: np.ndarray | float,
+        return_info: bool = False,
+    ):
+        """Error-bounded adaptive batch search.
+
+        queries: DataFrame (qid, vec). require_acc: per-query required
+        recall in [0,1] (scalar broadcasts). Returns a (qid, pos, id,
+        dist) DataFrame of the per-query top-``topk``; with
+        ``return_info`` also a dict with chosen nprobe per query.
+        """
+        if not self.traces:
+            raise RuntimeError("ErrorProfile.fit must run before search")
+        qids, qmat, ranked, cdist, dtb = self._coarse(queries)
+        nq = len(qids)
+        acc = np.broadcast_to(np.asarray(require_acc, dtype=np.float64), (nq,)).copy()
+        qpos = {int(q): i for i, q in enumerate(qids)}
+        state_d = np.full((nq, self.max_topk), np.inf)
+        state_i = np.full((nq, self.max_topk), -1, dtype=np.int64)
+        active = np.ones(nq, dtype=bool)
+        # target[q] = my_nprobe once the stop rule fires (stage·multipler,
+        # IndexIVF.cpp:615-626); scanning continues to the target, so a
+        # multipler > 1 buys extra lists after the predictor is satisfied.
+        target = np.zeros(nq, dtype=np.int64)
+        # stagnation bookkeeping (IndexIVF.cpp:570-601): lists scanned
+        # since the worst kept distance last improved
+        prev_worst = np.full(nq, np.nan)
+        stagnant = np.zeros(nq, dtype=np.int64)
+
+        stages = self._stages()
+        cap = stages[-1]
+        prev = 0
+        s = 1
+        si = 0
+        while s <= self.index.nlist:
+            if not active.any():
+                break
+            new = self._scan_delta(qids, qmat, ranked, active, prev, s)
+            self._merge_state(state_d, state_i, new, qpos)
+            undecided = active & (target == 0)
+            act = np.where(undecided)[0]
+            if len(act) > 0:
+                tvals = self._tval(state_d[act])
+                trace = self.traces[min(si, len(self.traces) - 1)]
+                # first-check + prefix rule of cur_num (IVF_pro.cpp:258-291)
+                phi_last = sum_angle(tvals[:, topk - 1], dtb[act], min(s, cap) - 1)
+                u_last = trace.search(phi_last, self.std_m)
+                full = topk * u_last <= topk * 1.005
+                phi_all = sum_angle(tvals[:, :topk], dtb[act], min(s, cap) - 1)
+                u_all = trace.search(phi_all.ravel(), self.std_m).reshape(phi_all.shape)
+                m = np.arange(1, topk + 1)[None, :]
+                cond = m * u_all <= topk
+                any_ok = cond.any(axis=1)
+                last_ok = np.where(any_ok, topk - np.argmax(cond[:, ::-1], axis=1), 0)
+                pre_num = np.where(full, topk, last_ok)
+                recall = pre_num / float(topk)
+                # stagnation heuristic: force recall=1 when the running
+                # worst kept distance is unchanged for ≥ require_acc*12
+                # scanned lists
+                worst = state_d[act, topk - 1]
+                same = worst == prev_worst[act]
+                stagnant[act] = np.where(same, stagnant[act] + (s - prev), 0)
+                prev_worst[act] = worst
+                recall = np.where(stagnant[act] >= acc[act] * 12.0, 1.0, recall)
+
+                satisfied = (recall >= acc[act]) | (s >= cap)
+                tgt = int(min(max(np.ceil(s * self.multipler), s), self.index.nlist))
+                target[act[satisfied]] = tgt
+            # retire queries whose target is reached
+            reached = active & (target > 0) & (target <= s)
+            active[reached] = False
+            prev = s
+            s <<= 1
+            si += 1
+
+        result = self._state_to_df(qids, state_d, state_i, topk)
+        if return_info:
+            return result, {"qid": qids, "nprobe": np.where(target > 0, target, cap)}
+        return result
+
+    def calibrate(
+        self,
+        queries: DataFrame,
+        topk: int,
+        bound: float,
+        gt: DataFrame | None = None,
+        std_m_grid: tuple[float, ...] = (1.0, 2.0, 4.0),
+        multipler_grid: tuple[float, ...] = (1.0, 2.0, 4.0),
+    ) -> dict:
+        """O27 calibration, automated: the reference reads per-workload
+        (multipler, std_m) rows from ``hyperparameter.txt``
+        (``error_pro::setparam``, IVF_pro.cpp:240-256) that its authors
+        tuned per dataset/figure. Here the same knobs are fitted by a
+        grid sweep on the *training* queries: pick the cheapest
+        (mean-nprobe) setting whose worst-case training recall meets
+        1 − bound (the paper's own criterion, eval/bound.cpp:404-414).
+        """
+        from auncel_spark.operators.recall import threshold_recall
+
+        if gt is None:
+            gt_d = self._exact_gt(queries)
+            qids = queries.select("qid").orderBy("qid").collect()
+            rows = [
+                (int(r["qid"]), p, -1, float(gt_d[i, p]))
+                for i, r in enumerate(qids)
+                for p in range(min(topk, gt_d.shape[1]))
+            ]
+            gt = self.index.spark.createDataFrame(
+                rows, "qid bigint, pos int, gt_id bigint, gt_dist double"
+            )
+        best = None
+        for mult in multipler_grid:
+            for sm in std_m_grid:
+                self.multipler, self.std_m = mult, sm
+                res, info = self.search(queries, topk, 1.0 - bound, return_info=True)
+                rec = threshold_recall(res, gt, topk)
+                minf = rec.agg({"recall": "min"}).collect()[0][0] or 0.0
+                cost = float(info["nprobe"].mean())
+                ok = minf >= 1.0 - bound
+                if ok and (best is None or cost < best["cost"]):
+                    best = {"multipler": mult, "std_m": sm, "cost": cost, "minf": minf}
+        if best is None:  # fall back to the most conservative setting
+            best = {
+                "multipler": multipler_grid[-1],
+                "std_m": std_m_grid[-1],
+                "cost": float("nan"),
+                "minf": float("nan"),
+            }
+        self.multipler, self.std_m = best["multipler"], best["std_m"]
+        return best
+
+    def time_search(
+        self,
+        queries: DataFrame,
+        topk: int,
+        budget_ms: np.ndarray | float,
+        return_info: bool = False,
+    ):
+        """Latency-budgeted anytime search (O28,
+        ``Error_sys::time_search``, profile.cpp:229-244; stop check
+        IndexIVF.cpp:545-549). Batch adaptation: after each stage the
+        per-stage cost model (elapsed so far + projected next-stage
+        cost) retires queries whose budget would be exceeded — stop
+        probing when elapsed ≥ 0.95·budget − per-probe cost estimate.
+        """
+        qids, qmat, ranked, cdist, dtb = self._coarse(queries)
+        nq = len(qids)
+        budget = np.broadcast_to(np.asarray(budget_ms, dtype=np.float64), (nq,)).copy()
+        qpos = {int(q): i for i, q in enumerate(qids)}
+        state_d = np.full((nq, self.max_topk), np.inf)
+        state_i = np.full((nq, self.max_topk), -1, dtype=np.int64)
+        active = np.ones(nq, dtype=bool)
+        chosen = np.zeros(nq, dtype=np.int64)
+        stages = self._stages()
+        prev = 0
+        t0 = _time.perf_counter()
+        for s in stages:
+            if not active.any():
+                break
+            new = self._scan_delta(qids, qmat, ranked, active, prev, s)
+            self._merge_state(state_d, state_i, new, qpos)
+            elapsed_ms = (_time.perf_counter() - t0) * 1000.0
+            per_list = elapsed_ms / s
+            act = np.where(active)[0]
+            over = elapsed_ms >= budget[act] * 0.95 - per_list
+            hard = s >= stages[-1]
+            done = over | hard
+            chosen[act[done]] = s
+            active[act[done]] = False
+            prev = s
+        result = self._state_to_df(qids, state_d, state_i, topk)
+        if return_info:
+            return result, {"qid": qids, "nprobe": chosen}
+        return result
+
+    def _state_to_df(
+        self, qids: np.ndarray, state_d: np.ndarray, state_i: np.ndarray, topk: int
+    ) -> DataFrame:
+        rows = []
+        for i, q in enumerate(qids):
+            for p in range(min(topk, state_d.shape[1])):
+                if state_i[i, p] < 0:
+                    continue
+                rows.append((int(q), p, int(state_i[i, p]), float(state_d[i, p])))
+        return self.index.spark.createDataFrame(
+            rows, "qid bigint, pos int, id bigint, dist double"
+        )
+
+    # ------------------------------------------------------------------
+    # persistence
+
+    def save(self, path: str) -> None:
+        os.makedirs(path, exist_ok=True)
+        with open(os.path.join(path, "profile.json"), "w") as f:
+            json.dump(
+                {
+                    "max_topk": self.max_topk,
+                    "multipler": self.multipler,
+                    "std_m": self.std_m,
+                    "traces": [t.to_dict() for t in self.traces],
+                },
+                f,
+            )
+
+    @classmethod
+    def load(cls, index: IVFIndex, path: str) -> "ErrorProfile":
+        with open(os.path.join(path, "profile.json")) as f:
+            d = json.load(f)
+        ep = cls(index, d["max_topk"], d["multipler"], d["std_m"])
+        ep.traces = [Trace.from_dict(t) for t in d["traces"]]
+        return ep

@@ -36,7 +36,10 @@ def _normalize(df):
 def test_query_matches_oracle(spark, name):
     oracles = entrymod.oracle_sql()
     if name not in oracles:
-        pytest.skip("rows-only query")
+        # rows-only contract: must run and return a stable non-empty frame
+        df = entrymod.queries()[name](spark, SF_DIR)
+        assert df.count() > 0
+        return
     sdf = entrymod.queries()[name](spark, SF_DIR)
     spark_pdf = sdf.toPandas()
     duck_pdf = _duck(oracles[name])

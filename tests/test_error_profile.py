@@ -1,0 +1,141 @@
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from auncel_spark.config import Metric
+from auncel_spark.index.ivf import IVFIndex
+from auncel_spark.operators.recall import (
+    intersection_recall,
+    threshold_recall,
+    worst_case_bound_holds,
+)
+from auncel_spark.profile.error_profile import ErrorProfile
+from auncel_spark.profile.geometry import boundary_distances, sum_angle
+from auncel_spark.profile.traces import Trace, kscaling
+from tests.conftest import np_knn
+
+NLIST = 64
+TOPK = 10
+MAXK = 40
+
+
+@pytest.fixture(scope="module")
+def clustered(spark):
+    """Blobby corpus so IVF stages matter (FIXTURES.md distribution b)."""
+    rng = np.random.default_rng(11)
+    k, per, d = 24, 120, 16
+    centers = rng.standard_normal((k, d)) * 3.0
+    xb = np.vstack([centers[i] + rng.standard_normal((per, d)) for i in range(k)]).astype(np.float32)
+    xq = (centers[rng.integers(0, k, 60)] + rng.standard_normal((60, d))).astype(np.float32)
+    base = spark.createDataFrame(
+        [(i, [float(v) for v in r]) for i, r in enumerate(xb)], "id bigint, vec array<float>"
+    ).cache()
+    queries = spark.createDataFrame(
+        [(i, [float(v) for v in r]) for i, r in enumerate(xq)], "qid bigint, vec array<float>"
+    ).cache()
+    return xb, xq, base, queries
+
+
+def test_trace_sb_monotone_and_lookup():
+    rng = np.random.default_rng(0)
+    phi = rng.uniform(0, 10, 2000)
+    u = 1.0 + phi * 0.3 + rng.normal(0, 0.05, 2000)  # U grows with phi
+    t = Trace.from_pairs(4, phi, u, bs=250)
+    assert np.all(np.diff(t.phi) > 0)  # ascending after SB
+    assert np.all(np.diff(t.u) > -0.2)  # roughly monotone means
+    # lookup: below-first, interior, above-last amplification
+    lo = t.search(np.array([-1.0]), 0.0)[0]
+    assert abs(lo - t.u[0]) < 1e-12
+    hi = t.search(np.array([t.phi[-1] * 2]), 0.0)[0]
+    assert abs(hi - t.u[-1] * 2) < 1e-9
+    mid = t.search(np.array([t.phi[3] + 1e-9]), 0.0)[0]
+    assert abs(mid - t.u[3]) < 1e-12
+    # risk margin raises the prediction
+    assert t.search(np.array([5.0]), 1.0)[0] >= t.search(np.array([5.0]), 0.0)[0]
+
+
+def test_kscaling_basic():
+    gt = np.array([1.0, 2.0, 3.0, 4.0, 5.0])
+    cand = np.array([2.0, 4.0, 9.9])  # ranks 0,1 are true ranks 1,3
+    pts = kscaling(cand, gt, 10)
+    assert pts == [(0, 2.0), (1, 2.0)]  # (g+1)/(r+1): 2/1, 4/2
+
+
+def test_cosine_theorem_geometry():
+    # a=b ⇒ query equidistant ⇒ boundary distance = c/2 - c/2 + ... = c/2 - (c²)/(2c) = 0
+    cd = np.array([[2.0, 2.0, 5.0]])
+    ci = np.array([[0, 1, 2]])
+    inter = np.zeros((3, 3))
+    inter[0, 1] = inter[1, 0] = 3.0
+    inter[0, 2] = inter[2, 0] = 4.0
+    dtb = boundary_distances(cd, ci, inter, Metric.L2)
+    # formula with squared units: c/2 − (a²+c²−b²)/(2c), c=3²=9, a=b=2
+    assert abs(dtb[0, 0] - (9 / 2 - (4 + 81 - 4) / 18)) < 1e-9
+
+
+def test_sum_angle_counts_only_below_kdis():
+    dtb = np.array([[0.5, 2.0, 0.1] + [np.inf] * 12])
+    phi = sum_angle(np.array([1.0]), dtb, 0)
+    want = np.arccos(0.5) + np.arccos(0.1)
+    assert abs(phi[0] - want) < 1e-9
+
+
+@pytest.fixture(scope="module")
+def fitted(clustered):
+    xb, xq, base, queries = clustered
+    idx = IVFIndex.build(base, nlist=NLIST, kmeans_iter=8, seed=5)
+    ep = ErrorProfile(idx, max_topk=MAXK)
+    ep.fit(queries)
+    return xb, xq, idx, ep, queries
+
+
+def test_fit_builds_traces(fitted):
+    _, _, idx, ep, _ = fitted
+    assert len(ep.traces) == len(ep._stages())
+    for t in ep.traces:
+        assert np.all(np.diff(t.phi) >= 0)
+
+
+def test_bounded_search_meets_bound(fitted, spark):
+    xb, xq, idx, ep, queries = fitted
+    bound = 0.2
+    cal = ep.calibrate(queries, TOPK, bound)
+    assert cal["multipler"] >= 1.0
+    res, info = ep.search(queries, TOPK, require_acc=1.0 - bound, return_info=True)
+    ids, dists = np_knn(xq, xb, TOPK, "l2")
+    gt = spark.createDataFrame(
+        [
+            (int(qi), int(p), int(ids[qi, p]), float(dists[qi, p]))
+            for qi in range(xq.shape[0])
+            for p in range(TOPK)
+        ],
+        "qid bigint, pos int, gt_id bigint, gt_dist double",
+    )
+    rec = threshold_recall(res, gt, TOPK)
+    assert worst_case_bound_holds(rec, bound)
+    # adaptivity: not every query should need the hard cap
+    assert info["nprobe"].max() <= NLIST
+    assert info["nprobe"].min() >= 1
+
+
+def test_bounded_search_cheaper_than_exhaustive(fitted):
+    _, _, idx, ep, queries = fitted
+    _, lo = ep.search(queries, TOPK, require_acc=0.5, return_info=True)
+    _, hi = ep.search(queries, TOPK, require_acc=0.95, return_info=True)
+    assert lo["nprobe"].mean() <= hi["nprobe"].mean() + 1e-9
+
+
+def test_time_search_runs(fitted):
+    _, _, idx, ep, queries = fitted
+    res, info = ep.time_search(queries, TOPK, budget_ms=1e6, return_info=True)
+    assert res.count() > 0
+
+
+def test_profile_save_load(fitted, tmp_path):
+    _, _, idx, ep, queries = fitted
+    p = str(tmp_path / "prof")
+    ep.save(p)
+    ep2 = ErrorProfile.load(idx, p)
+    assert len(ep2.traces) == len(ep.traces)
+    np.testing.assert_allclose(ep2.traces[0].phi, ep.traces[0].phi)

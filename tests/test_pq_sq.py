@@ -1,0 +1,88 @@
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from auncel_spark.config import Metric
+from auncel_spark.index.pq import ProductQuantizer, pq_knn
+from auncel_spark.index.sq import ScalarQuantizer
+from auncel_spark.operators.knn import knn_by_ids
+from tests.conftest import np_knn
+
+K = 10
+
+
+@pytest.fixture(scope="module")
+def sq(base_df):
+    return ScalarQuantizer.train(base_df)
+
+
+@pytest.fixture(scope="module")
+def pq(base_df):
+    return ProductQuantizer.train(base_df, M=4, n_iter=10, sample_size=400)
+
+
+def test_sq_roundtrip_error_bounded(base_df, tiny_vectors, sq):
+    """Codec round-trip: |decode(encode(x)) − x| ≤ half a quantization
+    step per dim (test_build_blocks.py:100 analogue)."""
+    xb, _ = tiny_vectors
+    coded = sq.encode(base_df)
+    dec = sq.decode(coded).select("id", "vec_dec").collect()
+    step = sq.vdiff / 255.0
+    for r in dec[:50]:
+        err = np.abs(np.array(r["vec_dec"]) - xb[r["id"]].astype(np.float64))
+        assert np.all(err <= step * 0.51 + 1e-6)
+
+
+def test_sq_meanstd_train(base_df):
+    sq2 = ScalarQuantizer.train(base_df, rangestat="meanstd", rs_arg=2.0)
+    assert sq2.d == 16 and np.all(sq2.vdiff > 0)
+
+
+def test_pq_roundtrip_reduces_error(base_df, tiny_vectors, pq):
+    xb, _ = tiny_vectors
+    coded = pq.encode(base_df)
+    dec = pq.decode(coded).select("id", "vec_dec").collect()
+    errs = []
+    for r in dec:
+        errs.append(((np.array(r["vec_dec"]) - xb[r["id"]]) ** 2).sum())
+    # unit vectors: reconstruction error must be far below vector norm
+    assert np.mean(errs) < 0.5
+
+
+def test_pq_codes_deterministic(base_df, pq):
+    c1 = {r["id"]: r["code"] for r in pq.encode(base_df).collect()}
+    c2 = {r["id"]: r["code"] for r in pq.encode(base_df).collect()}
+    assert c1 == c2
+
+
+def test_pq_knn_recall_vs_exact(base_df, query_df, tiny_vectors, pq):
+    """ADC ranking must be a decent approximation (reference asserts
+    IVFPQ accuracy vs brute force, test_index.py:20-539)."""
+    xb, xq = tiny_vectors
+    coded = pq.encode(base_df).select("id", "code")
+    res = pq_knn(query_df, coded, pq, K)
+    ids_true, _ = np_knn(xq, xb, K, "l2")
+    got = {}
+    for r in res.collect():
+        got.setdefault(r["qid"], set()).add(r["id"])
+    recalls = [
+        len(got[qi] & set(ids_true[qi].tolist())) / K for qi in range(xq.shape[0])
+    ]
+    assert np.mean(recalls) > 0.5
+
+
+def test_pq_then_exact_rerank(base_df, query_df, tiny_vectors, pq):
+    """O9: PQ candidates (k·k_factor) + exact re-rank ≈ exact top-k."""
+    xb, xq = tiny_vectors
+    coded = pq.encode(base_df).select("id", "code")
+    cand = pq_knn(query_df, coded, pq, K * 5).select("qid", "id")
+    res = knn_by_ids(query_df, base_df, cand, K)
+    ids_true, _ = np_knn(xq, xb, K, "l2")
+    got = {}
+    for r in res.collect():
+        got.setdefault(r["qid"], set()).add(r["id"])
+    recalls = [
+        len(got[qi] & set(ids_true[qi].tolist())) / K for qi in range(xq.shape[0])
+    ]
+    assert np.mean(recalls) > 0.85
