@@ -232,6 +232,118 @@ def q_bounded_bound_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- LLM-pipeline family: dedup / text / similarity (north-star) --------
+
+JACCARD_T = 0.2
+COS_T = 0.4
+N_MINHASH = 8
+ANN_K = 5
+
+
+def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from auncel_spark.operators.dedup import exact_dedup
+
+    return exact_dedup(load(spark, sf_dir, "documents")).select(
+        "id", "canonical_id", "is_dup"
+    )
+
+
+def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from auncel_spark.operators.dedup import minhash_signatures
+
+    return minhash_signatures(load(spark, sf_dir, "documents"), n_hashes=N_MINHASH)
+
+
+def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from auncel_spark.operators.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(load(spark, sf_dir, "documents"), n_hashes=N_MINHASH, bands=4)
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from auncel_spark.operators.dedup import ngram_jaccard
+
+    out = ngram_jaccard(load(spark, sf_dir, "documents"), threshold=JACCARD_T)
+    return out.select(
+        "id_a", "id_b", F.floor(F.col("jaccard") * 1e6).cast("bigint").alias("jaccard_u")
+    )
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from auncel_spark.operators.dedup import simhash
+
+    return simhash(load(spark, sf_dir, "documents"))
+
+
+def q_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from auncel_spark.operators.dedup import simhash_near_pairs
+
+    return simhash_near_pairs(load(spark, sf_dir, "documents"), max_hamming=3)
+
+
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from auncel_spark.operators.dedup import embedding_near_dup
+
+    out = embedding_near_dup(load(spark, sf_dir, "embeddings"), threshold=COS_T)
+    return out.select("id_a", "id_b", F.round("cos", 6).alias("cos"))
+
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from auncel_spark.functions.text import text_stats
+
+    return text_stats(load(spark, sf_dir, "documents"))
+
+
+def q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from auncel_spark.functions.text import langid
+
+    return load(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("id"), langid("text").alias("lang_pred")
+    )
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from auncel_spark.functions.text import doc_fingerprint
+
+    return load(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("id"), doc_fingerprint("text").alias("fp")
+    )
+
+
+def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k over the embedding column (the ANN
+    baseline; the IVF path is the scale variant)."""
+    from auncel_spark.functions.vector import cosine_similarity
+    from auncel_spark.operators.topk import topk_per_query
+
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.filter(QUERY_FILTER).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    b = emb.select(F.col("vec_id").alias("id"), F.col("embedding").alias("bv"))
+    scored = b.join(F.broadcast(q)).select(
+        "qid", "id", (-cosine_similarity("qv", "bv")).alias("dist")
+    )
+    return topk_per_query(scored, ANN_K).select(
+        "qid", F.col("pos").cast("bigint").alias("pos"), "id"
+    )
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: binary payload → deterministic fake feature
+    vector (posexploded for a hashable shape). Rows-only check (the
+    byte-level kernel is not SQL-expressible)."""
+    from auncel_spark.operators.multimodal import attach_binary_payload, extract_byte_features
+
+    docs = load(spark, sf_dir, "documents")
+    feats = extract_byte_features(attach_binary_payload(docs))
+    return feats.select("id", F.posexplode("feature").alias("dim", "v")).select(
+        "id",
+        F.col("dim").cast("bigint").alias("dim"),
+        F.round(F.col("v").cast("double"), 6).alias("val"),
+    )
+
+
 # --- oracle SQL (DuckDB dialect, float64 arithmetic) --------------------
 
 _Q_CTE = f"""
@@ -406,6 +518,203 @@ _ORACLE_LIST_SIZES = (
 )
 
 
+# --- pipeline-family oracle SQL -----------------------------------------
+
+_TOK_CTE = r"""
+WITH tok AS (
+  SELECT doc_id AS id, text,
+         regexp_split_to_array(lower(trim(text)), '\s+') AS t
+  FROM documents
+)
+"""
+
+_SH_CTE = r"""
+, sh AS (
+  SELECT id, CASE WHEN len(t) >= 3
+    THEN list_distinct(list_transform(range(1, len(t) - 1),
+                                      i -> array_to_string(t[i:i+2], ' ')))
+    ELSE []::VARCHAR[] END AS s
+  FROM tok
+)
+"""
+
+_H60 = "CAST(concat('0x', substr(md5({x}), 1, 15)) AS BIGINT)"
+
+_ORACLE_EXACT_DEDUP = """
+SELECT doc_id AS id,
+       min(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id,
+       doc_id != min(doc_id) OVER (PARTITION BY md5(text)) AS is_dup
+FROM documents
+"""
+
+_mh_cols = ",\n  ".join(
+    "coalesce(list_min(list_transform(s, x -> "
+    + _H60.format(x=f"concat('{i}|', x)")
+    + f")), -1) AS mh{i}"
+    for i in range(N_MINHASH)
+)
+_SIG_CTE = _TOK_CTE + _SH_CTE + f", sig AS (SELECT id,\n  {_mh_cols}\nFROM sh)"
+
+_ORACLE_MINHASH_SIG = _SIG_CTE + "\nSELECT * FROM sig"
+
+_band_selects = "\n  UNION ALL ".join(
+    f"SELECT id, {b} AS band, md5(concat_ws('_', mh{2*b}, mh{2*b+1})) AS key FROM sig"
+    for b in range(4)
+)
+_ORACLE_MINHASH_LSH = (
+    _SIG_CTE
+    + f"""
+, bands AS (
+  {_band_selects}
+)
+SELECT DISTINCT a.id AS id_a, b.id AS id_b
+FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key AND a.id < b.id
+"""
+)
+
+_ORACLE_NGRAM_JACCARD = (
+    _TOK_CTE
+    + _SH_CTE
+    + f"""
+, ex AS (SELECT id, len(s) AS ns, unnest(s) AS w FROM sh),
+inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, count(*) AS ni,
+         any_value(a.ns) AS na, any_value(b.ns) AS nb
+  FROM ex a JOIN ex b ON a.w = b.w AND a.id < b.id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, floor(ni / (na + nb - ni) * 1e6)::BIGINT AS jaccard_u
+FROM inter WHERE ni / (na + nb - ni) >= {JACCARD_T}
+"""
+)
+
+_SIMHASH_CTE = (
+    _TOK_CTE
+    + f"""
+, ex AS (SELECT id, unnest(t) AS w FROM tok),
+h AS (SELECT id, {_H60.format(x='w')} AS h FROM ex),
+votes AS (
+  SELECT id, b.b AS bit,
+         CASE WHEN (h >> b.b) % 2 = 1 THEN 1 ELSE -1 END AS v
+  FROM h, range(0, 32) b(b)
+),
+sv AS (SELECT id, bit, sum(v) AS s FROM votes GROUP BY 1, 2),
+fp AS (
+  SELECT id,
+         sum(CASE WHEN s > 0 THEN (1::BIGINT << bit) ELSE 0 END)::BIGINT AS simhash
+  FROM sv GROUP BY id
+)
+"""
+)
+
+_ORACLE_SIMHASH = _SIMHASH_CTE + "\nSELECT id, simhash FROM fp"
+
+_ORACLE_SIMHASH_PAIRS = (
+    _SIMHASH_CTE
+    + """
+, segs AS (
+  SELECT id, simhash, s.s AS seg, (simhash >> (s.s * 8)) % 256 AS val
+  FROM fp, range(0, 4) s(s)
+),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+         a.simhash AS fa, b.simhash AS fb
+  FROM segs a JOIN segs b ON a.seg = b.seg AND a.val = b.val AND a.id < b.id
+)
+SELECT id_a, id_b, bit_count(xor(fa, fb))::BIGINT AS hamming
+FROM cand WHERE bit_count(xor(fa, fb)) <= 3
+"""
+)
+
+_ORACLE_EMB_NEAR_DUP = f"""
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cos
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= {COS_T}
+"""
+
+_EN_STOPS = "['the','and','of','to','a','in','is','it']"
+_ORACLE_TEXT_STATS = (
+    _TOK_CTE
+    + rf"""
+SELECT id,
+  len(t)::BIGINT AS n_tokens,
+  len(list_distinct(t))::BIGINT AS n_distinct,
+  len(regexp_extract_all(text, '[.,!?;:]'))::BIGINT AS n_punct,
+  len(regexp_extract_all(lower(text), '[a-z]{{1,4}}|[0-9]|[^a-z0-9\s]'))::BIGINT AS bpe_tokens,
+  floor((
+    0.3 * least(len(t) / 64.0, 1.0)
+    + 0.2 * (1.0 - least(len(regexp_extract_all(text, '[.,!?;:]'))
+                         / greatest(len(text), 1) * 10.0, 1.0))
+    + 0.3 * (len(list_distinct(t)) / greatest(len(t), 1))
+    + 0.2 * least(len(list_filter(t, x -> list_contains({_EN_STOPS}, x)))
+                  / greatest(len(t), 1) * 5.0, 1.0)
+  ) * 1e6)::BIGINT AS quality_u
+FROM tok
+"""
+)
+
+_lang_rows = ", ".join(
+    "('%s', [%s])" % (lang, ", ".join(f"'{w}'" for w in words))
+    for lang, words in sorted(
+        {
+            "en": ("the", "and", "of", "to", "a", "in", "is", "it"),
+            "de": ("der", "die", "das", "und", "ist", "von", "mit", "ein"),
+            "es": ("el", "la", "de", "que", "y", "en", "un", "es"),
+            "fr": ("le", "la", "de", "et", "un", "est", "que", "en"),
+            "zh": ("的", "是", "了", "在", "和", "有", "我", "不"),
+        }.items()
+    )
+)
+_ORACLE_LANGID = (
+    _TOK_CTE
+    + f"""
+, langs(lang, stops) AS (VALUES {_lang_rows}),
+counts AS (
+  SELECT tok.id, langs.lang,
+         len(list_filter(tok.t, x -> list_contains(langs.stops, x))) AS c
+  FROM tok CROSS JOIN langs
+),
+ranked AS (
+  SELECT id, lang,
+         row_number() OVER (PARTITION BY id ORDER BY c DESC, lang ASC) AS rn
+  FROM counts
+)
+SELECT id, lang AS lang_pred FROM ranked WHERE rn = 1
+"""
+)
+
+_ORACLE_FINGERPRINT = (
+    _TOK_CTE
+    + """
+, sh5 AS (
+  SELECT id, text, CASE WHEN len(t) >= 5
+    THEN list_distinct(list_transform(range(1, len(t) - 3),
+                                      i -> array_to_string(t[i:i+4], ' ')))
+    ELSE []::VARCHAR[] END AS s
+  FROM tok
+)
+SELECT id, coalesce(list_min(list_transform(s, x -> md5(x))), md5(text)) AS fp
+FROM sh5
+"""
+)
+
+_ORACLE_ANN_COSINE = f"""
+WITH q AS (
+  SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+  FROM embeddings WHERE {QUERY_FILTER}
+), d AS (
+  SELECT q.qid, b.vec_id AS id,
+         -list_cosine_similarity(q.qv, b.embedding::DOUBLE[]) AS dist
+  FROM q CROSS JOIN embeddings b
+), r AS (
+  SELECT qid, id, row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS rn
+  FROM d
+)
+SELECT qid, rn - 1 AS pos, id FROM r WHERE rn <= {ANN_K}
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "exact_knn_l2": q_exact_knn_l2,
     "exact_knn_ip": q_exact_knn_ip,
@@ -419,6 +728,18 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ivf_list_sizes": q_ivf_list_sizes,
     "bounded_knn": q_bounded_knn,
     "bounded_knn_bound_check": q_bounded_bound_check,
+    "exact_dedup": q_exact_dedup,
+    "minhash_signatures": q_minhash_signatures,
+    "minhash_lsh_pairs": q_minhash_lsh_pairs,
+    "ngram_jaccard_pairs": q_ngram_jaccard,
+    "simhash_fingerprint": q_simhash,
+    "simhash_near_pairs": q_simhash_near_pairs,
+    "embedding_near_dup": q_embedding_near_dup,
+    "text_stats": q_text_stats,
+    "langid": q_langid,
+    "doc_fingerprint": q_doc_fingerprint,
+    "ann_cosine_topk": q_ann_cosine_topk,
+    "multimodal_byte_features": q_multimodal_features,
 }
 
 ORACLES: dict[str, str] = {
@@ -436,4 +757,16 @@ ORACLES: dict[str, str] = {
     "bounded_knn_bound_check": (
         _Q_CTE + "\nSELECT count(*) AS n_queries, true AS bound_holds FROM q"
     ),
+    "exact_dedup": _ORACLE_EXACT_DEDUP,
+    "minhash_signatures": _ORACLE_MINHASH_SIG,
+    "minhash_lsh_pairs": _ORACLE_MINHASH_LSH,
+    "ngram_jaccard_pairs": _ORACLE_NGRAM_JACCARD,
+    "simhash_fingerprint": _ORACLE_SIMHASH,
+    "simhash_near_pairs": _ORACLE_SIMHASH_PAIRS,
+    "embedding_near_dup": _ORACLE_EMB_NEAR_DUP,
+    "text_stats": _ORACLE_TEXT_STATS,
+    "langid": _ORACLE_LANGID,
+    "doc_fingerprint": _ORACLE_FINGERPRINT,
+    "ann_cosine_topk": _ORACLE_ANN_COSINE,
+    # "multimodal_byte_features": rows-only (byte-kernel fake decoder)
 }

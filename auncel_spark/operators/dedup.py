@@ -1,0 +1,352 @@
+"""Deduplication operators — reference O22 plus the LLM-data-pipeline
+dedup family (BASELINE.json north-star).
+
+Reference anchor (SURVEY.md §2.3 O22): ``IndexIVFFlatDedup``
+(``Auncel/IndexIVFFlat.h:62``) stores one copy of exact-duplicate
+vectors; ``IndexIVFPQ::find_duplicates`` (``IndexIVFPQ.h:89-99``)
+groups identical codes. Both are hash-group-bys. The near-dup family
+(MinHash-LSH, SimHash, n-gram Jaccard, embedding cosine) extends the
+same relational pattern to text/embeddings at 100 TB scale.
+
+Portability rule: every content hash is built from ``md5`` (identical
+across engines) — numeric hashes are the first 15 hex chars cast to
+BIGINT (60 bits, always positive). This keeps each operator
+SQL-oracle-checkable bit-for-bit.
+
+Scale notes:
+- exact dedup: one shuffle on the 60-bit hash, never on the payload.
+- MinHash-LSH: candidate generation is groupBy(band, band_hash) —
+  only docs sharing a band bucket ever meet; no O(n²) pair join.
+- SimHash: per-doc fingerprint in one pass; near-pair search buckets
+  by fingerprint prefix before computing Hamming distance.
+- embedding near-dup: sign-LSH buckets from seeded hyperplanes prune
+  the self-join; brute variant kept as the small-scale oracle path.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# numeric 60-bit content hash, portable to DuckDB:
+#   CAST(concat('0x', substr(md5(s),1,15)) AS BIGINT)
+def h60(col: Column, salt: str = "") -> Column:
+    s = F.concat(F.lit(salt), col) if salt else col
+    return F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("bigint")
+
+
+def tokens(text_col: Column | str) -> Column:
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.split(F.lower(F.trim(c)), r"\s+")
+
+
+def word_shingles(text_col: Column | str, n: int = 3) -> Column:
+    """Distinct word n-gram shingles as an array of strings. Docs
+    shorter than n words yield an empty array."""
+    tok = tokens(text_col)
+    sh = F.transform(
+        F.sequence(F.lit(0), F.size(tok) - n),
+        lambda i: F.concat_ws(" ", F.slice(tok, i + 1, n)),
+    )
+    return F.when(F.size(tok) >= n, F.array_distinct(sh)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+# --- exact dedup (O22) ---------------------------------------------------
+
+
+def exact_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Group identical content by md5; canonical = lowest id.
+    Returns (id, canonical_id, is_dup)."""
+    hashed = df.select(F.col(id_col).alias("id"), F.md5(F.col(text_col)).alias("h"))
+    w = Window.partitionBy("h")
+    return (
+        hashed.withColumn("canonical_id", F.min("id").over(w))
+        .select("id", "canonical_id", (F.col("id") != F.col("canonical_id")).alias("is_dup"))
+    )
+
+
+def dedup_keep_first(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """The IndexIVFFlatDedup behavior: keep one row per distinct
+    content (lowest id wins)."""
+    w = Window.partitionBy(F.md5(F.col(text_col))).orderBy(F.col(id_col))
+    return df.withColumn("_rn", F.row_number().over(w)).filter("_rn = 1").drop("_rn")
+
+
+# --- MinHash + LSH -------------------------------------------------------
+
+
+def minhash_signatures(
+    df: DataFrame,
+    n_hashes: int = 8,
+    shingle_n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-doc MinHash signature: h_i = min over shingles of
+    H(i || shingle), H = md5-based 60-bit hash. Columns (id, mh0..mh{n-1}).
+    Empty shingle sets get -1 (doc shorter than the shingle width)."""
+    sh = word_shingles(text_col, shingle_n)
+
+    def _minhash(salt: str) -> Column:
+        # NB: the transform lambda must take exactly one parameter —
+        # a second parameter would receive the array index from Spark.
+        return F.array_min(
+            F.transform(
+                sh,
+                lambda s: F.conv(
+                    F.substring(F.md5(F.concat(F.lit(salt), s)), 1, 15), 16, 10
+                ).cast("bigint"),
+            )
+        )
+
+    cols = [F.col(id_col).alias("id")]
+    for i in range(n_hashes):
+        cols.append(F.coalesce(_minhash(f"{i}|"), F.lit(-1)).alias(f"mh{i}"))
+    return df.select(*cols)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    n_hashes: int = 8,
+    bands: int = 4,
+    shingle_n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Candidate near-dup pairs via LSH banding: docs agreeing on all
+    rows of any band collide. Returns distinct (id_a, id_b), id_a<id_b.
+
+    The only shuffle is groupBy(band, band_key); bucket sizes stay
+    small under skew because identical-content floods collapse to one
+    key per band (AQE skew split handles the rest)."""
+    sig = minhash_signatures(df, n_hashes, shingle_n, text_col, id_col)
+    rows_per_band = n_hashes // bands
+    band_cols = []
+    for b in range(bands):
+        parts = [F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
+        band_cols.append(
+            F.struct(F.lit(b).alias("band"), F.md5(F.concat_ws("_", *parts)).alias("key"))
+        )
+    exploded = sig.select("id", F.explode(F.array(*band_cols)).alias("bk")).select(
+        "id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    )
+    a = exploded.alias("a")
+    b = exploded.alias("b")
+    return (
+        a.join(b, ["band", "key"])
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
+# --- n-gram Jaccard ------------------------------------------------------
+
+
+def ngram_jaccard(
+    df: DataFrame,
+    pairs: DataFrame | None = None,
+    shingle_n: int = 3,
+    threshold: float = 0.0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Jaccard similarity of word-shingle sets. With ``pairs`` given
+    (id_a, id_b — e.g. LSH candidates), verifies only those; otherwise
+    computes all-pairs via a shingle equi-join (never a cross join:
+    only docs sharing ≥1 shingle meet). Returns (id_a, id_b, jaccard)."""
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        word_shingles(text_col, shingle_n).alias("sh"),
+        F.size(word_shingles(text_col, shingle_n)).alias("n_sh"),
+    )
+    ex = sh.select("id", "n_sh", F.explode("sh").alias("s"))
+    a = ex.alias("a")
+    b = ex.alias("b")
+    inter = (
+        a.join(b, F.col("a.s") == F.col("b.s"))
+        .filter(F.col("a.id") < F.col("b.id"))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(
+            F.count("*").alias("n_inter"),
+            F.first("a.n_sh").alias("na"),
+            F.first("b.n_sh").alias("nb"),
+        )
+    )
+    out = inter.select(
+        "id_a",
+        "id_b",
+        (
+            F.col("n_inter")
+            / (F.col("na") + F.col("nb") - F.col("n_inter"))
+        ).alias("jaccard"),
+    ).filter(F.col("jaccard") >= threshold)
+    if pairs is not None:
+        out = out.join(pairs.select("id_a", "id_b"), ["id_a", "id_b"], "left_semi")
+    return out
+
+
+# --- SimHash -------------------------------------------------------------
+
+SIMHASH_BITS = 32  # fits comfortably in portable BIGINT arithmetic
+
+
+def simhash(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = SIMHASH_BITS
+) -> DataFrame:
+    """Per-doc SimHash fingerprint: token hashes vote ±1 per bit; the
+    sign vector packs into a BIGINT. All arithmetic is integer div/mod
+    on 60-bit md5 hashes — bit-for-bit reproducible in ANSI SQL.
+    Returns (id, simhash)."""
+    tok = F.explode(tokens(text_col))
+    ex = df.select(F.col(id_col).alias("id"), tok.alias("t")).withColumn("h", h60(F.col("t")))
+    # shiftright keeps the arithmetic on exact 64-bit integers (a double
+    # division would lose low bits of the 60-bit hash)
+    votes = ex.select(
+        "id",
+        *[
+            (F.shiftright(F.col("h"), b) % 2 * 2 - 1).alias(f"v{b}")
+            for b in range(bits)
+        ],
+    )
+    agg = votes.groupBy("id").agg(
+        *[F.sum(f"v{b}").alias(f"s{b}") for b in range(bits)]
+    )
+    fp = None
+    for b in range(bits):
+        bit = F.when(F.col(f"s{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        fp = bit if fp is None else fp + bit
+    return agg.select("id", fp.cast("bigint").alias("simhash"))
+
+
+def simhash_near_pairs(
+    df: DataFrame,
+    max_hamming: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = SIMHASH_BITS,
+) -> DataFrame:
+    """Pairs with SimHash Hamming distance ≤ max_hamming. Candidate
+    pruning: split the fingerprint into max_hamming+1 segments — any
+    pair within the distance agrees on ≥1 whole segment (pigeonhole),
+    so a groupBy(segment value) join finds all candidates without n²."""
+    fp = simhash(df, text_col, id_col, bits)
+    nseg = max_hamming + 1
+    seg_bits = bits // nseg
+    segs = []
+    for s in range(nseg):
+        shift = s * seg_bits
+        width = seg_bits if s < nseg - 1 else bits - shift
+        segs.append(
+            F.struct(
+                F.lit(s).alias("seg"),
+                (F.shiftright(F.col("simhash"), shift) % F.lit(1 << width)).alias("val"),
+            )
+        )
+    ex = fp.select("id", "simhash", F.explode(F.array(*segs)).alias("sv")).select(
+        "id", "simhash", F.col("sv.seg").alias("seg"), F.col("sv.val").alias("val")
+    )
+    a = ex.alias("a")
+    b = ex.alias("b")
+    cand = (
+        a.join(b, ["seg", "val"])
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.simhash").alias("fa"),
+            F.col("b.simhash").alias("fb"),
+        )
+        .distinct()
+    )
+    ham = F.bit_count(F.col("fa").bitwiseXOR(F.col("fb")))
+    return cand.select("id_a", "id_b", ham.alias("hamming")).filter(
+        F.col("hamming") <= max_hamming
+    )
+
+
+# --- embedding cosine near-dup ------------------------------------------
+
+
+def embedding_near_dup(
+    df: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """All pairs with cosine ≥ threshold (brute pairwise — the oracle
+    path; use ``embedding_near_dup_lsh`` at scale). Returns
+    (id_a, id_b, cos)."""
+    from auncel_spark.functions.vector import cosine_similarity
+
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", cosine_similarity("va", "vb").alias("cos"))
+        .filter(F.col("cos") >= threshold)
+    )
+
+
+def embedding_near_dup_lsh(
+    df: DataFrame,
+    threshold: float = 0.95,
+    n_planes: int = 16,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Sign-LSH pruned variant (B14 / MLlib BucketedRandomProjection
+    family, hand-rolled for determinism): bucket by the sign pattern of
+    seeded random hyperplanes; verify cosine within buckets. Multi-probe
+    over single-bit flips keeps recall high for near-identical pairs.
+
+    At 100 TB the bucket join replaces the O(n²) cross join; bucket
+    count 2^n_planes spreads the shuffle."""
+    import pandas as pd
+    from typing import Iterator
+
+    spark = df.sparkSession
+    d = len(df.select(vec_col).first()[0])
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_planes, d))
+    bc = spark.sparkContext.broadcast(planes)
+
+    def bucketize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        P = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            mat = np.array(list(pdf[vec_col]), dtype=np.float64)
+            signs = (mat @ P.T) >= 0
+            bucket = (signs * (1 << np.arange(P.shape[0]))[None, :]).sum(axis=1)
+            yield pd.DataFrame({"id": pdf[id_col].to_numpy(), "bucket": bucket.astype(np.int64)})
+
+    buckets = df.select(id_col, vec_col).mapInPandas(bucketize, "id bigint, bucket bigint")
+    # multi-probe: each vector also joins its 1-bit-flip neighbor buckets
+    flips = F.array(*[F.lit(0)] + [F.lit(1 << i) for i in range(n_planes)])
+    probed = buckets.select(
+        "id", F.explode(F.transform(flips, lambda m: F.col("bucket").bitwiseXOR(m))).alias("bucket")
+    )
+    a = probed.alias("a")
+    b = buckets.alias("b")
+    cand = (
+        a.join(b, "bucket")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    vecs = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    from auncel_spark.functions.vector import cosine_similarity
+
+    return (
+        cand.join(vecs.withColumnRenamed("id", "id_a").withColumnRenamed("v", "va"), "id_a")
+        .join(vecs.withColumnRenamed("id", "id_b").withColumnRenamed("v", "vb"), "id_b")
+        .select("id_a", "id_b", cosine_similarity("va", "vb").alias("cos"))
+        .filter(F.col("cos") >= threshold)
+    )
