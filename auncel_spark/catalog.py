@@ -313,20 +313,14 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-k over the embedding column (the ANN
     baseline; the IVF path is the scale variant)."""
-    from auncel_spark.functions.vector import cosine_similarity
-    from auncel_spark.operators.topk import topk_per_query
-
-    emb = load(spark, sf_dir, "embeddings")
-    q = emb.filter(QUERY_FILTER).select(
-        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    res = knn_exact(
+        _emb_queries(spark, sf_dir),
+        _emb_base(spark, sf_dir),
+        ANN_K,
+        Metric.COSINE,
+        "gemm",
     )
-    b = emb.select(F.col("vec_id").alias("id"), F.col("embedding").alias("bv"))
-    scored = b.join(F.broadcast(q)).select(
-        "qid", "id", (-cosine_similarity("qv", "bv")).alias("dist")
-    )
-    return topk_per_query(scored, ANN_K).select(
-        "qid", F.col("pos").cast("bigint").alias("pos"), "id"
-    )
+    return res.select("qid", F.col("pos").cast("bigint").alias("pos"), "id")
 
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -518,6 +512,71 @@ _ORACLE_LIST_SIZES = (
 )
 
 
+# --- binary path, autotune criterion, events windows --------------------
+
+
+def q_hamming_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O13/O14: sign-binarized embeddings, brute Hamming top-k."""
+    from auncel_spark.index.binary import float_to_binary, hamming_knn
+
+    emb_bits = float_to_binary(_emb_base(spark, sf_dir)).select("id", "bits")
+    q = emb_bits.filter(f"id % 20 = 0").select(
+        F.col("id").alias("qid"), F.col("bits")
+    )
+    res = hamming_knn(q, emb_bits, K)
+    return res.select("qid", F.col("pos").cast("bigint").alias("pos"), "id")
+
+
+def q_ivf_recall_worst_case(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O29 (bounded-faiss flavor): worst-case intersection criterion of
+    the fixed-nprobe config — the 'global ELP' strawman's selection
+    metric (faiss/AutoTune.cpp:93-101)."""
+    from auncel_spark.profile.autotune import intersection_criterion
+
+    cents = _seed_centroids(spark, sf_dir, NLIST)
+    idx = IVFIndex.build(_emb_base(spark, sf_dir), nlist=NLIST, centroids=cents)
+    res = idx.search(_emb_queries(spark, sf_dir), K, nprobe=NPROBE)
+    gt = knn_exact(
+        _emb_queries(spark, sf_dir), _emb_base(spark, sf_dir), K, Metric.L2, STRATEGY
+    ).select("qid", "pos", F.col("id").alias("gt_id"))
+    minf = intersection_criterion(res, gt, K, worst_case=True)
+    return spark.createDataFrame(
+        [(NPROBE, int(np.floor(minf * 1e6)))], "nprobe bigint, minf_u bigint"
+    )
+
+
+def q_events_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window event aggregation (the streaming plan's batch
+    expression — Structured Streaming produces identical results on the
+    same input; see streaming/ingest.py)."""
+    from auncel_spark.streaming.ingest import windowed_event_stats_expr
+
+    out = windowed_event_stats_expr(load(spark, sf_dir, "events"))
+    return out.select(
+        F.unix_timestamp("window_start").cast("bigint").alias("window_epoch"),
+        "event_type",
+        F.col("n_events").cast("bigint").alias("n_events"),
+        F.floor(F.col("sum_value") * 1000).cast("bigint").alias("sum_value_m"),
+    )
+
+
+def q_events_top_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational-core window top-k on the events table: top-3 users by
+    total value per event type."""
+    from pyspark.sql import Window as W
+
+    ev = load(spark, sf_dir, "events")
+    totals = ev.groupBy("event_type", "user_id").agg(F.sum("value").alias("total"))
+    w = W.partitionBy("event_type").orderBy(F.col("total").desc(), F.col("user_id").asc())
+    return (
+        totals.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select(
+            "event_type", F.col("rk").cast("bigint").alias("rk"), "user_id"
+        )
+    )
+
+
 # --- pipeline-family oracle SQL -----------------------------------------
 
 _TOK_CTE = r"""
@@ -547,10 +606,12 @@ SELECT doc_id AS id,
 FROM documents
 """
 
+# hash i derives from md5(f"{i//2}|" + shingle): hex chars 1-15 for
+# even i, 16-30 for odd i (two 60-bit hashes per digest, as the engine)
 _mh_cols = ",\n  ".join(
     "coalesce(list_min(list_transform(s, x -> "
-    + _H60.format(x=f"concat('{i}|', x)")
-    + f")), -1) AS mh{i}"
+    f"CAST(concat('0x', substr(md5(concat('{i // 2}|', x)), {1 if i % 2 == 0 else 16}, 15)) AS BIGINT)"
+    f")), -1) AS mh{i}"
     for i in range(N_MINHASH)
 )
 _SIG_CTE = _TOK_CTE + _SH_CTE + f", sig AS (SELECT id,\n  {_mh_cols}\nFROM sh)"
@@ -715,6 +776,100 @@ SELECT qid, rn - 1 AS pos, id FROM r WHERE rn <= {ANN_K}
 """
 
 
+# sign-bit packing for the hamming oracle: two 32-bit halves (bit 63
+# would overflow signed BIGINT). Engine bytes-popcount == halves sum.
+_SIGNBITS_CTE = """
+WITH sb AS (
+  SELECT vec_id AS id,
+         list_sum(list_transform(range(1, 33),
+           i -> CASE WHEN embedding[i] > 0 THEN (1::BIGINT << (i - 1)) ELSE 0 END))::BIGINT AS h1,
+         list_sum(list_transform(range(33, 65),
+           i -> CASE WHEN embedding[i] > 0 THEN (1::BIGINT << (i - 33)) ELSE 0 END))::BIGINT AS h2
+  FROM embeddings
+)
+"""
+
+_ORACLE_HAMMING = (
+    _SIGNBITS_CTE
+    + f"""
+, q AS (SELECT id AS qid, h1 AS q1, h2 AS q2 FROM sb WHERE qid % 20 = 0),
+d AS (
+  SELECT q.qid, sb.id,
+         bit_count(xor(q.q1, sb.h1)) + bit_count(xor(q.q2, sb.h2)) AS dist
+  FROM q CROSS JOIN sb
+), r AS (
+  SELECT qid, id, row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS rn
+  FROM d
+)
+SELECT qid, rn - 1 AS pos, id FROM r WHERE rn <= {K}
+"""
+)
+
+_ORACLE_IVF_WORST_CASE = (
+    _Q_CTE
+    + _CENT_CTE
+    + f"""
+, probes AS (
+  SELECT qid, list_no FROM (
+    SELECT q.qid, c.cid AS list_no,
+           row_number() OVER (
+             PARTITION BY q.qid ORDER BY list_distance(q.qv, c.cv), c.cid
+           ) AS rn
+    FROM q CROSS JOIN c
+  ) WHERE rn <= {NPROBE}
+), cand AS (
+  SELECT q.qid, a.id, list_distance(q.qv, b.embedding::DOUBLE[]) AS dist
+  FROM probes p
+  JOIN assign a ON a.list_no = p.list_no
+  JOIN q ON q.qid = p.qid
+  JOIN embeddings b ON b.vec_id = a.id
+), ivf AS (
+  SELECT qid, id FROM (
+    SELECT qid, id, row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS rn
+    FROM cand
+  ) WHERE rn <= {K}
+), ex AS (
+  SELECT qid, id FROM (
+    SELECT q.qid, b.vec_id AS id,
+           row_number() OVER (
+             PARTITION BY q.qid ORDER BY list_distance(q.qv, b.embedding::DOUBLE[]), b.vec_id
+           ) AS rn
+    FROM q CROSS JOIN embeddings b
+  ) WHERE rn <= {K}
+), hits AS (
+  SELECT i.qid, count(e.id) AS cnt
+  FROM ivf i LEFT JOIN ex e ON i.qid = e.qid AND i.id = e.id
+  GROUP BY i.qid
+)
+SELECT {NPROBE}::BIGINT AS nprobe, floor(min(cnt) / {K}.0 * 1e6)::BIGINT AS minf_u
+FROM hits
+"""
+)
+
+_ORACLE_EVENTS_WINDOW = """
+SELECT epoch(date_trunc('hour', ts))::BIGINT AS window_epoch,
+       event_type,
+       count(*) AS n_events,
+       floor(sum(value) * 1000)::BIGINT AS sum_value_m
+FROM events
+GROUP BY 1, 2
+"""
+
+_ORACLE_EVENTS_TOP_USERS = """
+WITH totals AS (
+  SELECT event_type, user_id, sum(value) AS total
+  FROM events GROUP BY 1, 2
+), ranked AS (
+  SELECT event_type, user_id,
+         row_number() OVER (
+           PARTITION BY event_type ORDER BY total DESC, user_id ASC
+         ) AS rk
+  FROM totals
+)
+SELECT event_type, rk, user_id FROM ranked WHERE rk <= 3
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "exact_knn_l2": q_exact_knn_l2,
     "exact_knn_ip": q_exact_knn_ip,
@@ -740,6 +895,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_fingerprint": q_doc_fingerprint,
     "ann_cosine_topk": q_ann_cosine_topk,
     "multimodal_byte_features": q_multimodal_features,
+    "hamming_knn_sign": q_hamming_knn,
+    "ivf_recall_worst_case": q_ivf_recall_worst_case,
+    "events_window_stats": q_events_window_stats,
+    "events_top_users": q_events_top_users,
 }
 
 ORACLES: dict[str, str] = {
@@ -769,4 +928,8 @@ ORACLES: dict[str, str] = {
     "doc_fingerprint": _ORACLE_FINGERPRINT,
     "ann_cosine_topk": _ORACLE_ANN_COSINE,
     # "multimodal_byte_features": rows-only (byte-kernel fake decoder)
+    "hamming_knn_sign": _ORACLE_HAMMING,
+    "ivf_recall_worst_case": _ORACLE_IVF_WORST_CASE,
+    "events_window_stats": _ORACLE_EVENTS_WINDOW,
+    "events_top_users": _ORACLE_EVENTS_TOP_USERS,
 }

@@ -21,6 +21,7 @@ class Metric(enum.Enum):
 
     L2 = "l2"
     IP = "ip"
+    COSINE = "cosine"
 
     @property
     def ascending_is_closer(self) -> bool:

@@ -74,6 +74,8 @@ def dist_expr(a: Column | str, b: Column | str, metric: Metric) -> Column:
     """
     if metric == Metric.L2:
         return l2sq_distance(a, b)
+    if metric == Metric.COSINE:
+        return -cosine_similarity(a, b)
     return -inner_product(a, b)
 
 

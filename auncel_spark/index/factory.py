@@ -1,0 +1,215 @@
+"""Index factory: parse Faiss-style spec strings into engine pipelines.
+
+Reference (SURVEY.md §2.3 O30): ``index_factory(d, desc, metric)``
+(``Auncel/AutoTune.cpp:741-949``). The grammar kept for familiarity:
+
+    spec      := [transform ","]* index ["," refine]
+    transform := "PCA{n}" | "PCAW{n}" | "OPQ{M}" | "RR{n}" | "L2norm"
+    index     := "Flat" | "SQ8" | "PQ{M}"
+              | "IVF{nlist},Flat" | "IVF{nlist},SQ8" | "IVF{nlist},PQ{M}"
+    refine    := "RFlat"            (IndexRefineFlat re-rank)
+    prefix    := "IDMap,"           (explicit id mapping — ids are
+                                     always explicit in this engine,
+                                     accepted as a no-op)
+
+Examples from the reference's own workloads: "IVF1024,Flat"
+(eval/bound.cpp:220), "PCA64,IVF1024,PQ8", "IVF256,SQ8".
+
+``build_index(base_df, spec, metric, path)`` returns a SearchIndex
+whose ``search(queries, k, nprobe)`` runs the right physical plan.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from auncel_spark.config import Metric
+from auncel_spark.index.ivf import IVFIndex
+from auncel_spark.index.ivfpq import IVFPQIndex
+from auncel_spark.index.pq import ProductQuantizer, pq_knn
+from auncel_spark.index.sq import ScalarQuantizer
+from auncel_spark.index.transforms import (
+    NormalizationTransform,
+    OPQTransform,
+    PCATransform,
+    RandomRotation,
+    TransformChain,
+    VectorTransform,
+)
+from auncel_spark.operators.knn import knn_by_ids, knn_exact
+
+
+@dataclass
+class ParsedSpec:
+    transforms: list[str] = field(default_factory=list)
+    index_type: str = "flat"  # flat | sq8 | pq | ivfflat | ivfsq | ivfpq
+    nlist: int = 0
+    pq_m: int = 0
+    refine: bool = False
+    idmap: bool = False
+
+
+def parse_spec(spec: str) -> ParsedSpec:
+    parts = [p.strip() for p in spec.split(",") if p.strip()]
+    out = ParsedSpec()
+    i = 0
+    while i < len(parts):
+        p = parts[i]
+        if p == "IDMap":
+            out.idmap = True
+        elif re.fullmatch(r"(PCAW?\d+|OPQ\d+|RR\d+|L2norm)", p):
+            out.transforms.append(p)
+        elif m := re.fullmatch(r"IVF(\d+)", p):
+            out.nlist = int(m.group(1))
+            i += 1
+            if i >= len(parts):
+                raise ValueError(f"IVF needs a storage clause in {spec!r}")
+            st = parts[i]
+            if st == "Flat":
+                out.index_type = "ivfflat"
+            elif st == "SQ8":
+                out.index_type = "ivfsq"
+            elif m2 := re.fullmatch(r"PQ(\d+)", st):
+                out.index_type = "ivfpq"
+                out.pq_m = int(m2.group(1))
+            else:
+                raise ValueError(f"unknown IVF storage {st!r}")
+        elif p == "Flat":
+            out.index_type = "flat"
+        elif p == "SQ8":
+            out.index_type = "sq8"
+        elif m := re.fullmatch(r"PQ(\d+)", p):
+            out.index_type = "pq"
+            out.pq_m = int(m.group(1))
+        elif p == "RFlat":
+            out.refine = True
+        else:
+            raise ValueError(f"cannot parse {p!r} in spec {spec!r}")
+        i += 1
+    return out
+
+
+class SearchIndex:
+    """A built pipeline: optional transform chain + physical index
+    (+ optional exact refine against the original vectors)."""
+
+    def __init__(
+        self,
+        spec: ParsedSpec,
+        metric: Metric,
+        base: DataFrame,
+        chain: TransformChain | None,
+        ivf: IVFIndex | None,
+        pq: ProductQuantizer | None,
+        sq: ScalarQuantizer | None,
+        coded: DataFrame | None,
+    ):
+        self.spec = spec
+        self.metric = metric
+        self.base = base
+        self.chain = chain
+        self.ivf = ivf
+        self.pq = pq
+        self.sq = sq
+        self.coded = coded
+
+    def _xform_queries(self, queries: DataFrame) -> DataFrame:
+        if self.chain is None:
+            return queries
+        return self.chain.apply(queries, vec_col="vec")
+
+    def search(self, queries: DataFrame, k: int, nprobe: int = 8) -> DataFrame:
+        q = self._xform_queries(queries)
+        t = self.spec.index_type
+        k_eff = k * 4 if self.spec.refine else k
+        if t == "flat":
+            res = knn_exact(q, self.tbase, k_eff, self.metric, strategy="gemm")
+        elif t == "sq8":
+            dec = self.sq.decode(self.coded).select(
+                "id", F.col("vec_dec").alias("vec")
+            )
+            res = knn_exact(q, dec, k_eff, self.metric, strategy="gemm")
+        elif t == "pq":
+            res = pq_knn(q, self.coded, self.pq, k_eff, self.metric)
+        elif t in ("ivfflat", "ivfsq", "ivfpq"):
+            res = self.ivf.search(q, k_eff, nprobe)
+        else:
+            raise AssertionError(t)
+        if self.spec.refine:
+            res = knn_by_ids(q, self.base, res.select("qid", "id"), k, self.metric)
+        return res
+
+    @property
+    def tbase(self) -> DataFrame:
+        return self._tbase
+
+    @tbase.setter
+    def tbase(self, v: DataFrame) -> None:
+        self._tbase = v
+
+
+def build_index(
+    base: DataFrame,
+    spec: str,
+    metric: Metric = Metric.L2,
+    path: str | None = None,
+    nlist_override: int | None = None,
+    seed: int = 42,
+    id_col: str = "id",
+    vec_col: str = "vec",
+) -> SearchIndex:
+    parsed = parse_spec(spec)
+    b = base.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    d = len(b.select("vec").first()[0])
+
+    # train + apply the transform chain
+    ts: list[VectorTransform] = []
+    cur = b
+    cur_d = d
+    for t in parsed.transforms:
+        if t == "L2norm":
+            vt: VectorTransform = NormalizationTransform(cur_d)
+        elif t.startswith("PCAW"):
+            vt = PCATransform.train(cur, int(t[4:]), whiten=True, seed=seed)
+        elif t.startswith("PCA"):
+            vt = PCATransform.train(cur, int(t[3:]), seed=seed)
+        elif t.startswith("OPQ"):
+            vt = OPQTransform.train(cur, int(t[3:]), seed=seed)
+        elif t.startswith("RR"):
+            vt = RandomRotation(int(t[2:]), seed=seed)
+        else:
+            raise AssertionError(t)
+        ts.append(vt)
+        cur = vt.apply(cur, vec_col="vec")
+        cur_d = vt.d_out
+    chain = TransformChain(ts) if ts else None
+    tb = cur.cache() if ts else b
+
+    nlist = nlist_override or parsed.nlist
+    ivf = pq = sq = coded = None
+    if parsed.index_type == "ivfflat":
+        ivf = IVFIndex.build(tb, nlist=nlist, metric=metric, path=path, seed=seed)
+    elif parsed.index_type == "ivfpq":
+        ivf = IVFPQIndex.build(
+            tb, nlist=nlist, M=parsed.pq_m, metric=metric, path=path, seed=seed
+        )
+        pq = ivf.pq
+    elif parsed.index_type == "ivfsq":
+        sq = ScalarQuantizer.train(tb)
+        dec = sq.decode(sq.encode(tb)).select("id", F.col("vec_dec").alias("vec"))
+        ivf = IVFIndex.build(dec, nlist=nlist, metric=metric, path=path, seed=seed)
+    elif parsed.index_type == "pq":
+        pq = ProductQuantizer.train(tb, M=parsed.pq_m, seed=seed)
+        coded = pq.encode(tb).select("id", "code").cache()
+    elif parsed.index_type == "sq8":
+        sq = ScalarQuantizer.train(tb)
+        coded = sq.encode(tb).select("id", "code").cache()
+
+    si = SearchIndex(parsed, metric, b, chain, ivf, pq, sq, coded)
+    si.tbase = tb
+    return si

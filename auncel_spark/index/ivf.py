@@ -205,10 +205,12 @@ class IVFIndex:
                         dist = (mat * mat).sum(axis=1) + (qv @ qv) - 2.0 * dots
                     else:
                         dist = -dots
+                    gids = grp["id"].to_numpy(dtype=np.int64)
                     kk = min(k, len(dist))
-                    sel = np.argpartition(dist, kk - 1)[:kk]
+                    # (dist, id) tie-break — see operators/knn.py note
+                    sel = np.lexsort((gids, dist))[:kk]
                     out_q.append(np.full(kk, qid, dtype=np.int64))
-                    out_i.append(grp["id"].to_numpy(dtype=np.int64)[sel])
+                    out_i.append(gids[sel])
                     out_d.append(dist[sel])
                 if out_q:
                     yield pd.DataFrame(

@@ -208,7 +208,8 @@ def pq_knn(
             gathered = luts[:, np.arange(kernel.M)[None, :], codes]  # (nq, n, M)
             dist = gathered.sum(axis=2)
             kk = min(k, dist.shape[1])
-            part = np.argpartition(dist, kk - 1, axis=1)[:, :kk]
+            # (dist, id) tie-break — see operators/knn.py note
+            part = np.lexsort((np.broadcast_to(ids, dist.shape), dist), axis=1)[:, :kk]
             yield pd.DataFrame(
                 {
                     "qid": np.repeat(bqids, kk),

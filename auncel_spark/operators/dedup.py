@@ -90,24 +90,39 @@ def minhash_signatures(
     """Per-doc MinHash signature: h_i = min over shingles of
     H(i || shingle), H = md5-based 60-bit hash. Columns (id, mh0..mh{n-1}).
     Empty shingle sets get -1 (doc shorter than the shingle width)."""
-    sh = word_shingles(text_col, shingle_n)
+    # materialize the shingle array once — referencing the raw
+    # expression from every mh column would re-shingle n_hashes times.
+    # One md5 yields TWO independent 60-bit hashes (hex chars 1-15 and
+    # 16-30), halving digest work: salt j covers mh{2j} and mh{2j+1}.
+    with_sh = df.select(
+        F.col(id_col).alias("id"), word_shingles(text_col, shingle_n).alias("_sh")
+    )
+    n_salts = (n_hashes + 1) // 2
 
-    def _minhash(salt: str) -> Column:
-        # NB: the transform lambda must take exactly one parameter —
-        # a second parameter would receive the array index from Spark.
+    def _digest_col(salt: str) -> Column:
+        # closure factory: the transform lambda must take exactly ONE
+        # parameter — a second (even defaulted) parameter would receive
+        # the array index from Spark instead of the default.
+        return F.transform(F.col("_sh"), lambda s: F.md5(F.concat(F.lit(salt), s)))
+
+    sel = [F.col("id"), F.col("_sh")]
+    for j in range(n_salts):
+        sel.append(_digest_col(f"{j}|").alias(f"_dig{j}"))
+    with_dig = with_sh.select(*sel)
+
+    def _minhash(j: int, half: int) -> Column:
+        start = 1 if half == 0 else 16
         return F.array_min(
             F.transform(
-                sh,
-                lambda s: F.conv(
-                    F.substring(F.md5(F.concat(F.lit(salt), s)), 1, 15), 16, 10
-                ).cast("bigint"),
+                F.col(f"_dig{j}"),
+                lambda h: F.conv(F.substring(h, start, 15), 16, 10).cast("bigint"),
             )
         )
 
-    cols = [F.col(id_col).alias("id")]
+    cols = [F.col("id")]
     for i in range(n_hashes):
-        cols.append(F.coalesce(_minhash(f"{i}|"), F.lit(-1)).alias(f"mh{i}"))
-    return df.select(*cols)
+        cols.append(F.coalesce(_minhash(i // 2, i % 2), F.lit(-1)).alias(f"mh{i}"))
+    return with_dig.select(*cols)
 
 
 def minhash_lsh_pairs(
@@ -161,11 +176,14 @@ def ngram_jaccard(
     computes all-pairs via a shingle equi-join (never a cross join:
     only docs sharing ≥1 shingle meet). Returns (id_a, id_b, jaccard)."""
     sh = df.select(
-        F.col(id_col).alias("id"),
-        word_shingles(text_col, shingle_n).alias("sh"),
-        F.size(word_shingles(text_col, shingle_n)).alias("n_sh"),
-    )
-    ex = sh.select("id", "n_sh", F.explode("sh").alias("s"))
+        F.col(id_col).alias("id"), word_shingles(text_col, shingle_n).alias("sh")
+    ).select("id", F.size("sh").alias("n_sh"), F.col("sh"))
+    # join on a 64-bit hash of the shingle, not the string: smaller
+    # shuffle rows and faster key compares; xxhash64 is engine-internal
+    # (never emitted), so oracle portability is unaffected
+    ex = sh.select(
+        "id", "n_sh", F.explode("sh").alias("s")
+    ).select("id", "n_sh", F.xxhash64("s").alias("s"))
     a = ex.alias("a")
     b = ex.alias("b")
     inter = (
@@ -279,17 +297,38 @@ def embedding_near_dup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """All pairs with cosine ≥ threshold (brute pairwise — the oracle
-    path; use ``embedding_near_dup_lsh`` at scale). Returns
-    (id_a, id_b, cos)."""
-    from auncel_spark.functions.vector import cosine_similarity
+    """All pairs with cosine ≥ threshold (brute pairwise — the
+    small-corpus oracle path; use ``embedding_near_dup_lsh`` at scale).
+    One float64 GEMM per partition against the broadcast matrix, i < j
+    filtered in the kernel. Returns (id_a, id_b, cos)."""
+    import pandas as pd
+    from typing import Iterator
 
-    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
-    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
-    return (
-        a.join(b, F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", cosine_similarity("va", "vb").alias("cos"))
-        .filter(F.col("cos") >= threshold)
+    spark = df.sparkSession
+    rows = df.select(id_col, vec_col).collect()
+    ids = np.array([r[id_col] for r in rows], dtype=np.int64)
+    mat = np.array([r[vec_col] for r in rows], dtype=np.float64)
+    norms = np.linalg.norm(mat, axis=1)
+    norms[norms == 0] = 1.0
+    bc = spark.sparkContext.broadcast((ids, mat, norms))
+
+    def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        gids, gmat, gnorms = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            pids = pdf[id_col].to_numpy(dtype=np.int64)
+            pmat = np.array(list(pdf[vec_col]), dtype=np.float64)
+            pn = np.linalg.norm(pmat, axis=1)
+            pn[pn == 0] = 1.0
+            cos = (pmat @ gmat.T) / (pn[:, None] * gnorms[None, :])
+            ii, jj = np.where((cos >= threshold) & (pids[:, None] < gids[None, :]))
+            yield pd.DataFrame(
+                {"id_a": pids[ii], "id_b": gids[jj], "cos": cos[ii, jj]}
+            )
+
+    return df.select(id_col, vec_col).mapInPandas(
+        scan, schema="id_a bigint, id_b bigint, cos double"
     )
 
 

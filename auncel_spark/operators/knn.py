@@ -90,24 +90,29 @@ def _gemm_partial_topk(q: DataFrame, b: DataFrame, k: int, metric: Metric) -> Da
     qids = np.array([r["qid"] for r in qrows], dtype=np.int64)
     qmat = np.array([r["_qvec"] for r in qrows], dtype=np.float64)
     bc = spark.sparkContext.broadcast((qids, qmat))
-    is_l2 = metric == Metric.L2
 
     def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         bqids, bq = bc.value
-        q_norms = (bq * bq).sum(axis=1)[:, None] if is_l2 else None
+        q_norms = (bq * bq).sum(axis=1)[:, None]
         for pdf in batches:
             if pdf.empty:
                 continue
             ids = pdf["id"].to_numpy(dtype=np.int64)
             mat = np.array(list(pdf["_bvec"]), dtype=np.float64)
             dots = bq @ mat.T  # (nq, nb_part)
-            if is_l2:
+            if metric == Metric.L2:
                 dist = q_norms + (mat * mat).sum(axis=1)[None, :] - 2.0 * dots
+            elif metric == Metric.COSINE:
+                denom = np.sqrt(q_norms) * np.sqrt((mat * mat).sum(axis=1)[None, :])
+                denom[denom == 0] = 1.0
+                dist = -dots / denom
             else:
                 dist = -dots
             kk = min(k, dist.shape[1])
-            part = np.argpartition(dist, kk - 1, axis=1)[:, :kk]
-            nq = dist.shape[0]
+            # partial top-k MUST use the global (dist, id) order — a
+            # bare argpartition breaks ties arbitrarily and can evict a
+            # lower-id candidate that belongs in the global top-k
+            part = np.lexsort((np.broadcast_to(ids, dist.shape), dist), axis=1)[:, :kk]
             out_qid = np.repeat(bqids, kk)
             out_id = ids[part].ravel()
             out_dist = np.take_along_axis(dist, part, axis=1).ravel()

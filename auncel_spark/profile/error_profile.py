@@ -151,27 +151,47 @@ class ErrorProfile:
         yields every stage (the reference re-searches from scratch per
         nprobe, profile.cpp:100-149).
         """
-        qids, qmat, ranked, cdist, dtb = self._coarse(train_queries)
-        nq = len(qids)
         if gt_dists is None:
             gt_dists = self._exact_gt(train_queries)
+        sweep = self._sweep_states(train_queries, self._stages())
+        max_collect = max(1, self.max_topk // 4)
+        self.traces = []
+        for si, s in enumerate(self._stages()):
+            state_d = sweep["states_d"][si]
+            tvals = self._tval(state_d)
+            self.traces.append(
+                self._collect_stage_pairs(
+                    state_d, tvals, gt_dists, sweep["dtb"], s, max_collect
+                )
+            )
+        return self
+
+    def _sweep_states(self, queries: DataFrame, stages: list[int]) -> dict:
+        """One cumulative delta-scan pass; snapshots the running top-k
+        after every stage. Shared by fit (trace extraction needs every
+        stage) and calibrate (stop-rule simulation replays stages in
+        numpy with zero extra Spark jobs)."""
+        qids, qmat, ranked, cdist, dtb = self._coarse(queries)
+        nq = len(qids)
         qpos = {int(q): i for i, q in enumerate(qids)}
         state_d = np.full((nq, self.max_topk), np.inf)
         state_i = np.full((nq, self.max_topk), -1, dtype=np.int64)
         active = np.ones(nq, dtype=bool)
-        max_collect = max(1, self.max_topk // 4)
-
-        self.traces = []
+        states_d, states_i = [], []
         prev = 0
-        for s in self._stages():
+        for s in stages:
             new = self._scan_delta(qids, qmat, ranked, active, prev, s)
             self._merge_state(state_d, state_i, new, qpos)
+            states_d.append(state_d.copy())
+            states_i.append(state_i.copy())
             prev = s
-            tvals = self._tval(state_d)
-            self.traces.append(
-                self._collect_stage_pairs(state_d, tvals, gt_dists, dtb, s, max_collect)
-            )
-        return self
+        return {
+            "qids": qids,
+            "dtb": dtb,
+            "stages": list(stages),
+            "states_d": states_d,
+            "states_i": states_i,
+        }
 
     def _collect_stage_pairs(
         self,
@@ -260,20 +280,7 @@ class ErrorProfile:
             undecided = active & (target == 0)
             act = np.where(undecided)[0]
             if len(act) > 0:
-                tvals = self._tval(state_d[act])
-                trace = self.traces[min(si, len(self.traces) - 1)]
-                # first-check + prefix rule of cur_num (IVF_pro.cpp:258-291)
-                phi_last = sum_angle(tvals[:, topk - 1], dtb[act], min(s, cap) - 1)
-                u_last = trace.search(phi_last, self.std_m)
-                full = topk * u_last <= topk * 1.005
-                phi_all = sum_angle(tvals[:, :topk], dtb[act], min(s, cap) - 1)
-                u_all = trace.search(phi_all.ravel(), self.std_m).reshape(phi_all.shape)
-                m = np.arange(1, topk + 1)[None, :]
-                cond = m * u_all <= topk
-                any_ok = cond.any(axis=1)
-                last_ok = np.where(any_ok, topk - np.argmax(cond[:, ::-1], axis=1), 0)
-                pre_num = np.where(full, topk, last_ok)
-                recall = pre_num / float(topk)
+                recall = self._predicted_recall(state_d[act], dtb[act], si, s, topk)
                 # stagnation heuristic: force recall=1 when the running
                 # worst kept distance is unchanged for ≥ require_acc*12
                 # scanned lists
@@ -298,46 +305,74 @@ class ErrorProfile:
             return result, {"qid": qids, "nprobe": np.where(target > 0, target, cap)}
         return result
 
+    def _predicted_recall(
+        self,
+        state_d_act: np.ndarray,
+        dtb_act: np.ndarray,
+        si: int,
+        s: int,
+        topk: int,
+    ) -> np.ndarray:
+        """The cur_num prediction (IVF_pro.cpp:258-291): first-check for
+        full recall, then the largest m with (m)·U(phi(D_m)) ≤ topk."""
+        cap = self._stages()[-1]
+        tvals = self._tval(state_d_act)
+        trace = self.traces[min(si, len(self.traces) - 1)]
+        start = min(s, cap) - 1
+        phi_last = sum_angle(tvals[:, topk - 1], dtb_act, start)
+        u_last = trace.search(phi_last, self.std_m)
+        full = topk * u_last <= topk * 1.005
+        phi_all = sum_angle(tvals[:, :topk], dtb_act, start)
+        u_all = trace.search(phi_all.ravel(), self.std_m).reshape(phi_all.shape)
+        m = np.arange(1, topk + 1)[None, :]
+        cond = m * u_all <= topk
+        any_ok = cond.any(axis=1)
+        last_ok = np.where(any_ok, topk - np.argmax(cond[:, ::-1], axis=1), 0)
+        pre_num = np.where(full, topk, last_ok)
+        return pre_num / float(topk)
+
     def calibrate(
         self,
         queries: DataFrame,
         topk: int,
         bound: float,
-        gt: DataFrame | None = None,
+        gt_dists: np.ndarray | None = None,
         std_m_grid: tuple[float, ...] = (1.0, 2.0, 4.0),
-        multipler_grid: tuple[float, ...] = (1.0, 2.0, 4.0),
+        multipler_grid: tuple[float, ...] = (1.0, 2.0, 4.0, 8.0),
     ) -> dict:
         """O27 calibration, automated: the reference reads per-workload
         (multipler, std_m) rows from ``hyperparameter.txt``
         (``error_pro::setparam``, IVF_pro.cpp:240-256) that its authors
         tuned per dataset/figure. Here the same knobs are fitted by a
-        grid sweep on the *training* queries: pick the cheapest
+        grid sweep on the *training* queries — pick the cheapest
         (mean-nprobe) setting whose worst-case training recall meets
         1 − bound (the paper's own criterion, eval/bound.cpp:404-414).
-        """
-        from auncel_spark.operators.recall import threshold_recall
 
-        if gt is None:
-            gt_d = self._exact_gt(queries)
-            qids = queries.select("qid").orderBy("qid").collect()
-            rows = [
-                (int(r["qid"]), p, -1, float(gt_d[i, p]))
-                for i, r in enumerate(qids)
-                for p in range(min(topk, gt_d.shape[1]))
-            ]
-            gt = self.index.spark.createDataFrame(
-                rows, "qid bigint, pos int, gt_id bigint, gt_dist double"
-            )
+        Cost: ONE full stage sweep (the states at every stage), then
+        every grid point replays the stop rules in numpy — no extra
+        Spark jobs per config.
+        """
+        if gt_dists is None:
+            gt_dists = self._exact_gt(queries)
+        # sweep all powers of two up to nlist so multipler targets
+        # beyond the cap can be simulated too
+        all_stages = []
+        s = 1
+        while s <= self.index.nlist:
+            all_stages.append(s)
+            s <<= 1
+        sweep = self._sweep_states(queries, all_stages)
+        gt_kth = gt_dists[:, topk - 1]
+
+        saved = (self.multipler, self.std_m)
         best = None
         for mult in multipler_grid:
             for sm in std_m_grid:
                 self.multipler, self.std_m = mult, sm
-                res, info = self.search(queries, topk, 1.0 - bound, return_info=True)
-                rec = threshold_recall(res, gt, topk)
-                minf = rec.agg({"recall": "min"}).collect()[0][0] or 0.0
-                cost = float(info["nprobe"].mean())
-                ok = minf >= 1.0 - bound
-                if ok and (best is None or cost < best["cost"]):
+                chosen = self._simulate_targets(sweep, topk, 1.0 - bound)
+                # achieved threshold-recall at each query's stop state
+                minf, cost = self._simulated_quality(sweep, chosen, topk, gt_kth)
+                if minf >= 1.0 - bound and (best is None or cost < best["cost"]):
                     best = {"multipler": mult, "std_m": sm, "cost": cost, "minf": minf}
         if best is None:  # fall back to the most conservative setting
             best = {
@@ -348,6 +383,46 @@ class ErrorProfile:
             }
         self.multipler, self.std_m = best["multipler"], best["std_m"]
         return best
+
+    def _simulate_targets(self, sweep: dict, topk: int, require_acc: float) -> np.ndarray:
+        """Replay the staged stop rules over pre-scanned states; returns
+        per-query chosen nprobe (identical math to ``search``)."""
+        stages = sweep["stages"]
+        cap = self._stages()[-1]
+        nq = len(sweep["qids"])
+        acc = np.full(nq, require_acc)
+        target = np.zeros(nq, dtype=np.int64)
+        prev_worst = np.full(nq, np.nan)
+        stagnant = np.zeros(nq, dtype=np.int64)
+        prev = 0
+        for si, s in enumerate(stages):
+            und = np.where(target == 0)[0]
+            if len(und) == 0:
+                break
+            state_d = sweep["states_d"][si]
+            recall = self._predicted_recall(state_d[und], sweep["dtb"][und], si, s, topk)
+            worst = state_d[und, topk - 1]
+            same = worst == prev_worst[und]
+            stagnant[und] = np.where(same, stagnant[und] + (s - prev), 0)
+            prev_worst[und] = worst
+            recall = np.where(stagnant[und] >= acc[und] * 12.0, 1.0, recall)
+            satisfied = (recall >= acc[und]) | (s >= cap)
+            tgt = int(min(max(np.ceil(s * self.multipler), s), self.index.nlist))
+            target[und[satisfied]] = tgt
+            prev = s
+        return np.where(target > 0, target, cap)
+
+    def _simulated_quality(
+        self, sweep: dict, chosen: np.ndarray, topk: int, gt_kth: np.ndarray
+    ) -> tuple[float, float]:
+        stages = np.array(sweep["stages"])
+        recs = np.empty(len(chosen))
+        for i, tgt in enumerate(chosen):
+            si = int(np.searchsorted(stages, tgt, side="left"))
+            si = min(si, len(stages) - 1)
+            d = sweep["states_d"][si][i, :topk]
+            recs[i] = (d <= gt_kth[i] + 1e-6).sum() / topk
+        return float(recs.min()), float(chosen.mean())
 
     def time_search(
         self,

@@ -1,0 +1,110 @@
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from auncel_spark.index.binary import (
+    BinaryIVFIndex,
+    float_to_binary,
+    hamming_knn,
+    hamming_range_count,
+    lsh_sketch,
+    pack_bits_np,
+)
+from auncel_spark.sources.fvecs import read_fbin, read_fvecs, write_fvecs, write_ivecs
+
+K = 5
+
+
+@pytest.fixture(scope="module")
+def bin_data(spark):
+    rng = np.random.default_rng(9)
+    nb, nq, d = 300, 15, 64
+    xb_bits = rng.integers(0, 2, (nb, d))
+    xq_bits = rng.integers(0, 2, (nq, d))
+    base = spark.createDataFrame(
+        [(i, bytes(pack_bits_np(xb_bits[i : i + 1])[0])) for i in range(nb)],
+        "id bigint, bits binary",
+    ).cache()
+    queries = spark.createDataFrame(
+        [(i, bytes(pack_bits_np(xq_bits[i : i + 1])[0])) for i in range(nq)],
+        "qid bigint, bits binary",
+    ).cache()
+    return xb_bits, xq_bits, base, queries
+
+
+def np_hamming_knn(xq_bits, xb_bits, k):
+    d = (xq_bits[:, None, :] != xb_bits[None, :, :]).sum(-1)
+    ids = np.arange(xb_bits.shape[0])
+    order = np.lexsort((np.broadcast_to(ids, d.shape), d), axis=1)[:, :k]
+    return order, np.take_along_axis(d, order, axis=1)
+
+
+def test_hamming_knn_matches_popcount_oracle(bin_data):
+    xb, xq, base, queries = bin_data
+    res = hamming_knn(queries, base, K)
+    ids, dists = np_hamming_knn(xq, xb, K)
+    got = {(r["qid"], r["pos"]): (r["id"], r["dist"]) for r in res.collect()}
+    for qi in range(xq.shape[0]):
+        for p in range(K):
+            assert got[(qi, p)][0] == ids[qi, p]
+            assert got[(qi, p)][1] == dists[qi, p]
+
+
+def test_hamming_range_count(bin_data):
+    xb, xq, base, queries = bin_data
+    t = 28
+    res = {r["qid"]: r["cnt"] for r in hamming_range_count(queries, base, t).collect()}
+    d = (xq[:, None, :] != xb[None, :, :]).sum(-1)
+    for qi in range(xq.shape[0]):
+        assert res[qi] == (d[qi] < t).sum()
+
+
+def test_binary_ivf_full_probe_exact(bin_data):
+    xb, xq, base, queries = bin_data
+    idx = BinaryIVFIndex.build(base, nlist=8)
+    res = idx.search(queries, K, nprobe=8)
+    ids, dists = np_hamming_knn(xq, xb, K)
+    got = {(r["qid"], r["pos"]): r["id"] for r in res.collect()}
+    for qi in range(xq.shape[0]):
+        for p in range(K):
+            assert got[(qi, p)] == ids[qi, p]
+
+
+def test_float_to_binary_and_lsh(base_df, tiny_vectors):
+    xb, _ = tiny_vectors
+    fb = float_to_binary(base_df)
+    row = fb.filter("id = 0").collect()[0]
+    want = pack_bits_np((xb[0:1] > 0))[0]
+    assert bytes(row["bits"]) == bytes(want)
+    sk = lsh_sketch(base_df, n_bits=32, seed=7)
+    a = {r["id"]: r["bits"] for r in sk.collect()}
+    b = {r["id"]: r["bits"] for r in lsh_sketch(base_df, n_bits=32, seed=7).collect()}
+    assert a == b  # seeded determinism
+    assert len(a[0]) == 4
+
+
+def test_fvecs_roundtrip(spark, tmp_path, base_df, tiny_vectors):
+    xb, _ = tiny_vectors
+    p = str(tmp_path / "vecs.fvecs")
+    write_fvecs(base_df.orderBy("id"), p)
+    back = read_fvecs(spark, p)
+    mats = np.array([r["vec"] for r in back.orderBy("id").collect()], dtype=np.float32)
+    assert mats.shape == xb.shape
+    # same multiset of vectors (per-file ids are synthetic)
+    np.testing.assert_allclose(np.sort(mats.sum(1)), np.sort(xb.sum(1)), rtol=1e-5)
+
+
+def test_fbin_reader(spark, tmp_path):
+    rng = np.random.default_rng(1)
+    mat = rng.standard_normal((40, 8)).astype(np.float32)
+    p = str(tmp_path / "base.fbin")
+    with open(p, "wb") as f:
+        f.write(struct.pack("<ii", 40, 8))
+        f.write(mat.tobytes())
+    back = read_fbin(spark, p)
+    got = np.array([r["vec"] for r in back.orderBy("id").collect()], dtype=np.float32)
+    np.testing.assert_allclose(got, mat, rtol=0)

@@ -1,0 +1,119 @@
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from auncel_spark.config import Metric
+from auncel_spark.index.factory import build_index, parse_spec
+from auncel_spark.index.ivfpq import IVFPQIndex
+from auncel_spark.index.transforms import (
+    CenteringTransform,
+    LinearTransform,
+    NormalizationTransform,
+    PCATransform,
+    RandomRotation,
+    RemapDimensionsTransform,
+    TransformChain,
+    transform_from_dict,
+)
+from tests.conftest import np_knn
+
+K = 10
+
+
+def test_parse_spec_grammar():
+    p = parse_spec("PCA8,IVF64,PQ4,RFlat")
+    assert p.transforms == ["PCA8"] and p.index_type == "ivfpq"
+    assert p.nlist == 64 and p.pq_m == 4 and p.refine
+    p2 = parse_spec("IDMap,IVF1024,Flat")
+    assert p2.idmap and p2.index_type == "ivfflat" and p2.nlist == 1024
+    p3 = parse_spec("L2norm,SQ8")
+    assert p3.transforms == ["L2norm"] and p3.index_type == "sq8"
+    with pytest.raises(ValueError):
+        parse_spec("IVF16")
+    with pytest.raises(ValueError):
+        parse_spec("Bogus42")
+
+
+def test_rotation_preserves_distances(base_df, tiny_vectors):
+    xb, _ = tiny_vectors
+    rr = RandomRotation(16, seed=1)
+    out = rr.apply(base_df).collect()
+    got = {r["id"]: np.array(r["vec"]) for r in out}
+    # orthonormal: norms preserved
+    for i in range(20):
+        assert abs(np.linalg.norm(got[i]) - np.linalg.norm(xb[i])) < 1e-4
+
+
+def test_pca_reduces_and_orders_variance(base_df):
+    pca = PCATransform.train(base_df, 4, sample_size=400)
+    assert pca.A.shape == (4, 16)
+    ev = pca.explained_variance
+    assert all(ev[i] >= ev[i + 1] - 1e-12 for i in range(3))
+
+
+def test_centering_and_remap(base_df, tiny_vectors):
+    xb, _ = tiny_vectors
+    ct = CenteringTransform.train(base_df)
+    np.testing.assert_allclose(ct.mu, xb.astype(np.float64).mean(axis=0), atol=1e-6)
+    rm = RemapDimensionsTransform(16, np.array([0, 2, 4, -1]))
+    out = rm.apply_np(xb[:3].astype(np.float64))
+    np.testing.assert_allclose(out[:, :3], xb[:3, [0, 2, 4]], rtol=1e-6)
+    assert np.all(out[:, 3] == 0)
+
+
+def test_chain_fuses_linear(tiny_vectors):
+    xb, _ = tiny_vectors
+    a = LinearTransform(np.random.default_rng(0).standard_normal((8, 16)))
+    b = LinearTransform(np.random.default_rng(1).standard_normal((4, 8)))
+    chain = TransformChain([a, b])
+    assert len(chain.transforms) == 1  # fused into one GEMM
+    x = xb[:5].astype(np.float64)
+    np.testing.assert_allclose(chain.apply_np(x), b.apply_np(a.apply_np(x)), rtol=1e-9)
+    rt = transform_from_dict(chain.to_dict())
+    np.testing.assert_allclose(rt.apply_np(x), chain.apply_np(x), rtol=1e-12)
+
+
+def test_ivfpq_residual_search_recall(base_df, query_df, tiny_vectors):
+    xb, xq = tiny_vectors
+    idx = IVFPQIndex.build(base_df, nlist=8, M=4, kmeans_iter=8, seed=2)
+    res = idx.search(query_df, K, nprobe=8)  # all lists → pure PQ error
+    ids_true, _ = np_knn(xq, xb, K, "l2")
+    got = {}
+    for r in res.collect():
+        got.setdefault(r["qid"], set()).add(r["id"])
+    recalls = [len(got[q] & set(ids_true[q].tolist())) / K for q in range(xq.shape[0])]
+    assert np.mean(recalls) > 0.45
+
+
+def test_ivfpq_refine_recovers_exact(base_df, query_df, tiny_vectors):
+    xb, xq = tiny_vectors
+    idx = IVFPQIndex.build(base_df, nlist=8, M=4, kmeans_iter=8, seed=2)
+    res = idx.search_refine(query_df, base_df, K, nprobe=8, k_factor=5)
+    ids_true, _ = np_knn(xq, xb, K, "l2")
+    got = {}
+    for r in res.collect():
+        got.setdefault(r["qid"], set()).add(r["id"])
+    recalls = [len(got[q] & set(ids_true[q].tolist())) / K for q in range(xq.shape[0])]
+    assert np.mean(recalls) > 0.9
+
+
+@pytest.mark.parametrize("spec", ["Flat", "SQ8", "PQ4", "IVF8,Flat", "IVF8,PQ4,RFlat"])
+def test_factory_specs_end_to_end(base_df, query_df, tiny_vectors, spec):
+    xb, xq = tiny_vectors
+    si = build_index(base_df, spec, seed=4)
+    res = si.search(query_df, K, nprobe=8)
+    assert res.count() == xq.shape[0] * K
+    ids_true, _ = np_knn(xq, xb, K, "l2")
+    got = {}
+    for r in res.collect():
+        got.setdefault(r["qid"], set()).add(r["id"])
+    recalls = [len(got[q] & set(ids_true[q].tolist())) / K for q in range(xq.shape[0])]
+    floor = 1.0 if spec == "Flat" else 0.4
+    assert np.mean(recalls) >= floor - 1e-9
+
+
+def test_factory_pca_chain(base_df, query_df):
+    si = build_index(base_df, "PCA8,IVF8,Flat", seed=4)
+    res = si.search(query_df, K, nprobe=8)
+    assert res.count() > 0
