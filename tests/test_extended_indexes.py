@@ -1,0 +1,129 @@
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from auncel_spark.config import Metric
+from auncel_spark.index.hnsw import HNSWIndex
+from auncel_spark.index.imi import IMIIndex
+from auncel_spark.index.polysemous import (
+    polysemous_knn,
+    polysemous_permutation,
+    remap_codes,
+    sdc_knn,
+)
+from auncel_spark.index.pq import ProductQuantizer
+from auncel_spark.operators.flat import knn_1d, knn_base_shift, matrix_stats
+from auncel_spark.sources.gt import generate_ground_truth, shard_by_id
+from tests.conftest import np_knn
+
+K = 10
+
+
+@pytest.fixture(scope="module")
+def pq4(base_df):
+    return ProductQuantizer.train(base_df, M=4, n_iter=10, sample_size=400)
+
+
+def _recalls(res, ids_true, nq):
+    got = {}
+    for r in res.collect():
+        got.setdefault(r["qid"], set()).add(r["id"])
+    return [len(got[q] & set(ids_true[q].tolist())) / K for q in range(nq)]
+
+
+def test_polysemous_filter_recall(base_df, query_df, tiny_vectors, pq4):
+    xb, xq = tiny_vectors
+    coded = pq4.encode(base_df).select("id", "code")
+    ids_true, _ = np_knn(xq, xb, K, "l2")
+    # generous threshold: near-ADC quality
+    res = polysemous_knn(query_df, coded, pq4, K, ht=28)
+    assert np.mean(_recalls(res, ids_true, xq.shape[0])) > 0.45
+    # tight threshold still returns k rows per query (fallback path)
+    res2 = polysemous_knn(query_df, coded, pq4, K, ht=1)
+    assert res2.count() == xq.shape[0] * K
+
+
+def test_polysemous_permutation_roundtrip(base_df, pq4):
+    perms = polysemous_permutation(pq4, n_iter=200, seed=1)
+    assert perms.shape == (4, 256)
+    for m in range(4):
+        assert sorted(perms[m].tolist()) == list(range(256))
+    coded = pq4.encode(base_df).select("id", "code")
+    remapped = remap_codes(coded, perms)
+    c0 = {r["id"]: r["code"] for r in coded.collect()}
+    r0 = {r["id"]: r["code"] for r in remapped.collect()}
+    for i in list(c0)[:20]:
+        orig = np.frombuffer(c0[i], dtype=np.uint8)
+        new = np.frombuffer(r0[i], dtype=np.uint8)
+        assert all(new[m] == perms[m][orig[m]] for m in range(4))
+
+
+def test_sdc_search_runs(base_df, query_df, tiny_vectors, pq4):
+    xb, xq = tiny_vectors
+    coded = pq4.encode(base_df).select("id", "code")
+    ids_true, _ = np_knn(xq, xb, K, "l2")
+    res = sdc_knn(query_df, coded, pq4, K)
+    assert np.mean(_recalls(res, ids_true, xq.shape[0])) > 0.3  # coarser than ADC
+
+
+def test_imi_full_probe_exact(base_df, query_df, tiny_vectors):
+    xb, xq = tiny_vectors
+    idx = IMIIndex.build(base_df, ksub=4, kmeans_iter=6, seed=3)
+    assert idx.nlist == 16
+    res = idx.search(query_df, K, nprobe=16)
+    ids_true, _ = np_knn(xq, xb, K, "l2")
+    got = {(r["qid"], r["pos"]): r["id"] for r in res.collect()}
+    for qi in range(xq.shape[0]):
+        for p in range(K):
+            assert got[(qi, p)] == ids_true[qi, p]
+
+
+def test_hnsw_small_recall(base_df, query_df, tiny_vectors):
+    xb, xq = tiny_vectors
+    h = HNSWIndex(M=8, ef_construction=40, seed=2).build(base_df)
+    res = h.search(query_df, K, ef_search=60)
+    ids_true, _ = np_knn(xq, xb, K, "l2")
+    recs = _recalls(res, ids_true, xq.shape[0])
+    assert np.mean(recs) > 0.8
+    with pytest.raises(ValueError):
+        HNSWIndex(max_rows=10).build(base_df)
+
+
+def test_knn_1d_and_base_shift(spark):
+    base = spark.createDataFrame(
+        [(i, float(i)) for i in range(100)], "id bigint, val double"
+    )
+    q = spark.createDataFrame([(0, 41.4), (1, 97.0)], "qid bigint, val double")
+    res = {(r["qid"], r["pos"]): r["id"] for r in knn_1d(q, base, 3).collect()}
+    assert res[(0, 0)] == 41 and res[(0, 1)] == 42 and res[(0, 2)] == 40
+    assert res[(1, 0)] == 97
+    vec_base = spark.createDataFrame(
+        [(i, [float(i)], 0.0 if i != 5 else 1e6) for i in range(10)],
+        "id bigint, vec array<float>, shift double",
+    )
+    vq = spark.createDataFrame([(0, [0.0])], "qid bigint, vec array<float>")
+    shifted = knn_base_shift(vq, vec_base, 1)
+    assert shifted.collect()[0]["id"] == 5  # huge shift wins despite distance
+
+
+def test_matrix_stats(base_df, tiny_vectors):
+    xb, _ = tiny_vectors
+    st = matrix_stats(base_df).collect()
+    assert len(st) == 16
+    r0 = st[0]
+    assert r0["n"] == xb.shape[0]
+    assert abs(r0["mean_v"] - float(xb[:, 0].mean())) < 1e-5
+    assert r0["n_invalid"] == 0
+
+
+def test_gt_generator_and_sharding(base_df, query_df, tiny_vectors, tmp_path):
+    xb, xq = tiny_vectors
+    shards = shard_by_id(base_df, 4)
+    assert sum(s.count() for s in shards) == xb.shape[0]
+    gt = generate_ground_truth(query_df, base_df, max_topk=20, path=str(tmp_path / "gt"))
+    ids_true, dists_true = np_knn(xq, xb, 20, "l2")
+    got = {(r["qid"], r["pos"]): r["gt_id"] for r in gt.collect()}
+    for qi in range(xq.shape[0]):
+        for p in range(20):
+            assert got[(qi, p)] == ids_true[qi, p]
