@@ -193,10 +193,12 @@ def _fitted_profile(spark: SparkSession, sf_dir: str):
     idx = IVFIndex.build(_emb_base(spark, sf_dir), nlist=NLIST, centroids=cents)
     q = _emb_queries(spark, sf_dir)
     ep = ErrorProfile(idx, max_topk=50)
-    ep.fit(q)
-    # the top of the multipler grid reaches a full scan (nlist/8 · 8 =
-    # nlist), so calibration always has a bound-satisfying fallback
-    ep.calibrate(q, K, BOUND, multipler_grid=(1.0, 2.0, 4.0, 8.0), std_m_grid=(1.0, 2.0))
+    # single shared sweep; the top of the multipler grid reaches a full
+    # scan (nlist/8 · 8 = nlist), so calibration always has a
+    # bound-satisfying fallback
+    ep.fit_and_calibrate(
+        q, K, BOUND, multipler_grid=(1.0, 2.0, 4.0, 8.0), std_m_grid=(1.0, 2.0)
+    )
     _PROFILE_CACHE[sf_dir] = (ep, q)
     return ep, q
 
@@ -577,6 +579,52 @@ def q_events_top_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_matrix_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O31 MatrixStats: per-dimension corpus profile of the embedding
+    column."""
+    from auncel_spark.operators.flat import matrix_stats
+
+    st = matrix_stats(_emb_base(spark, sf_dir))
+    return st.select(
+        F.col("dim").cast("bigint").alias("dim"),
+        F.col("n").cast("bigint").alias("n"),
+        F.floor(F.col("min_v") * 1e6).cast("bigint").alias("min_u"),
+        F.floor(F.col("max_v") * 1e6).cast("bigint").alias("max_u"),
+        F.floor(F.col("mean_v") * 1e6).cast("bigint").alias("mean_u"),
+        F.col("n_zero").cast("bigint").alias("n_zero"),
+    )
+
+
+def q_knn_base_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O5 BaseShift: L2² minus a per-row shift (label/10 here) changes
+    the ranking — exercises the shifted-distance path."""
+    from auncel_spark.operators.flat import knn_base_shift
+
+    emb = load(spark, sf_dir, "embeddings")
+    base = emb.select(
+        F.col("vec_id").alias("id"),
+        F.col("embedding").alias("vec"),
+        (F.col("label").cast("double") / 10.0).alias("shift"),
+    )
+    res = knn_base_shift(_emb_queries(spark, sf_dir), base, K)
+    return res.select("qid", F.col("pos").cast("bigint").alias("pos"), "id")
+
+
+def q_knn_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O5 Flat1D: nearest order-totalprice scalars for a probe set."""
+    from auncel_spark.operators.flat import knn_1d
+
+    orders = load(spark, sf_dir, "orders")
+    base = orders.select(
+        F.col("o_orderkey").alias("id"), F.col("o_totalprice").alias("val")
+    )
+    q = spark.createDataFrame(
+        [(0, 1000.0), (1, 50000.0), (2, 150000.0)], "qid bigint, val double"
+    )
+    res = knn_1d(q, base, 5)
+    return res.select("qid", F.col("pos").cast("bigint").alias("pos"), "id")
+
+
 # --- pipeline-family oracle SQL -----------------------------------------
 
 _TOK_CTE = r"""
@@ -899,6 +947,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ivf_recall_worst_case": q_ivf_recall_worst_case,
     "events_window_stats": q_events_window_stats,
     "events_top_users": q_events_top_users,
+    "matrix_stats": q_matrix_stats,
+    "knn_base_shift": q_knn_base_shift,
+    "knn_1d": q_knn_1d,
 }
 
 ORACLES: dict[str, str] = {
@@ -932,4 +983,39 @@ ORACLES: dict[str, str] = {
     "ivf_recall_worst_case": _ORACLE_IVF_WORST_CASE,
     "events_window_stats": _ORACLE_EVENTS_WINDOW,
     "events_top_users": _ORACLE_EVENTS_TOP_USERS,
+    "matrix_stats": """
+SELECT (r.i - 1)::BIGINT AS dim,
+       count(*) AS n,
+       floor(min(embedding[r.i]) * 1e6)::BIGINT AS min_u,
+       floor(max(embedding[r.i]) * 1e6)::BIGINT AS max_u,
+       floor(avg(embedding[r.i]::DOUBLE) * 1e6)::BIGINT AS mean_u,
+       sum(CASE WHEN embedding[r.i] = 0 THEN 1 ELSE 0 END)::BIGINT AS n_zero
+FROM embeddings, range(1, 65) r(i)
+GROUP BY r.i
+""",
+    "knn_base_shift": (
+        _Q_CTE
+        + f"""
+, d AS (
+  SELECT q.qid, b.vec_id AS id,
+         list_distance(q.qv, b.embedding::DOUBLE[]) ** 2 - b.label / 10.0 AS dist
+  FROM q CROSS JOIN embeddings b
+), r AS (
+  SELECT qid, id, row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS rn
+  FROM d
+)
+SELECT qid, rn - 1 AS pos, id FROM r WHERE rn <= {K}
+"""
+    ),
+    "knn_1d": """
+WITH q(qid, val) AS (VALUES (0, 1000.0), (1, 50000.0), (2, 150000.0)),
+d AS (
+  SELECT q.qid, o.o_orderkey AS id, abs(q.val - o.o_totalprice) AS dist
+  FROM q CROSS JOIN orders o
+), r AS (
+  SELECT qid, id, row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS rn
+  FROM d
+)
+SELECT qid::BIGINT AS qid, rn - 1 AS pos, id FROM r WHERE rn <= 5
+""",
 }

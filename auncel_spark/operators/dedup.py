@@ -150,6 +150,7 @@ def minhash_lsh_pairs(
     exploded = sig.select("id", F.explode(F.array(*band_cols)).alias("bk")).select(
         "id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
     )
+    exploded = exploded.persist()  # both join sides reuse the hashed bands
     a = exploded.alias("a")
     b = exploded.alias("b")
     return (
@@ -184,6 +185,9 @@ def ngram_jaccard(
     ex = sh.select(
         "id", "n_sh", F.explode("sh").alias("s")
     ).select("id", "n_sh", F.xxhash64("s").alias("s"))
+    # the self-join references ex twice; without persisting, Spark
+    # re-runs the whole shingle pipeline for each side
+    ex = ex.persist()
     a = ex.alias("a")
     b = ex.alias("b")
     inter = (
@@ -269,6 +273,7 @@ def simhash_near_pairs(
     ex = fp.select("id", "simhash", F.explode(F.array(*segs)).alias("sv")).select(
         "id", "simhash", F.col("sv.seg").alias("seg"), F.col("sv.val").alias("val")
     )
+    ex = ex.persist()  # both join sides reuse the fingerprint segments
     a = ex.alias("a")
     b = ex.alias("b")
     cand = (

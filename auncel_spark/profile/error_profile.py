@@ -166,6 +166,56 @@ class ErrorProfile:
             )
         return self
 
+    def fit_and_calibrate(
+        self,
+        train_queries: DataFrame,
+        topk: int,
+        bound: float,
+        gt_dists: np.ndarray | None = None,
+        std_m_grid: tuple[float, ...] = (1.0, 2.0, 4.0),
+        multipler_grid: tuple[float, ...] = (1.0, 2.0, 4.0, 8.0),
+    ) -> dict:
+        """fit + calibrate sharing ONE full stage sweep: trace building
+        uses the stage-prefix states, calibration replays stop rules on
+        the same snapshots. Halves the Spark jobs of calling them
+        separately (each would sweep on its own)."""
+        if gt_dists is None:
+            gt_dists = self._exact_gt(train_queries)
+        all_stages = []
+        s = 1
+        while s <= self.index.nlist:
+            all_stages.append(s)
+            s <<= 1
+        sweep = self._sweep_states(train_queries, all_stages)
+        max_collect = max(1, self.max_topk // 4)
+        self.traces = []
+        for si, st in enumerate(self._stages()):
+            state_d = sweep["states_d"][si]
+            tvals = self._tval(state_d)
+            self.traces.append(
+                self._collect_stage_pairs(
+                    state_d, tvals, gt_dists, sweep["dtb"], st, max_collect
+                )
+            )
+        gt_kth = gt_dists[:, topk - 1]
+        best = None
+        for mult in multipler_grid:
+            for sm in std_m_grid:
+                self.multipler, self.std_m = mult, sm
+                chosen = self._simulate_targets(sweep, topk, 1.0 - bound)
+                minf, cost = self._simulated_quality(sweep, chosen, topk, gt_kth)
+                if minf >= 1.0 - bound and (best is None or cost < best["cost"]):
+                    best = {"multipler": mult, "std_m": sm, "cost": cost, "minf": minf}
+        if best is None:
+            best = {
+                "multipler": multipler_grid[-1],
+                "std_m": std_m_grid[-1],
+                "cost": float("nan"),
+                "minf": float("nan"),
+            }
+        self.multipler, self.std_m = best["multipler"], best["std_m"]
+        return best
+
     def _sweep_states(self, queries: DataFrame, stages: list[int]) -> dict:
         """One cumulative delta-scan pass; snapshots the running top-k
         after every stage. Shared by fit (trace extraction needs every
