@@ -42,6 +42,15 @@ STRATEGY = "gemm"
 
 
 def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    if table == "events":
+        # the fixture stores TIMESTAMP(NANOS), which Spark's reader
+        # rejects as a timestamp; read as epoch-nano longs (normalized
+        # downstream). Runtime-settable, so this also protects sessions
+        # not built by auncel_spark.session.get_spark (e.g. the driver's)
+        try:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        except Exception:
+            pass
     return spark.read.parquet(f"{sf_dir}/{table}.parquet")
 
 

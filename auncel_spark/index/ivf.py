@@ -145,7 +145,9 @@ class IVFIndex:
         order = np.argsort(dist, axis=1, kind="stable")[:, :nprobe]
         return order.astype(np.int32), np.take_along_axis(dist, order, axis=1)
 
-    def probes_df(self, queries: DataFrame, nprobe: int) -> tuple[DataFrame, np.ndarray, np.ndarray]:
+    def probes_df(
+        self, queries: DataFrame, nprobe: int
+    ) -> tuple[DataFrame, np.ndarray, np.ndarray, list[int]]:
         qrows = queries.select("qid", "vec").collect()
         qids = np.array([r["qid"] for r in qrows], dtype=np.int64)
         qmat = np.array([r["vec"] for r in qrows], dtype=np.float64)
@@ -158,7 +160,7 @@ class IVFIndex:
             ],
             "qid bigint, list_no int, rank int",
         )
-        return probes, qids, qmat
+        return probes, qids, qmat, sorted({int(x) for x in np.unique(lists)})
 
     # --- search (O7) -----------------------------------------------------
 
@@ -172,17 +174,26 @@ class IVFIndex:
     ) -> DataFrame:
         """Fixed-nprobe IVF-Flat search. Returns (qid, pos, id, dist)."""
         q = queries.select(F.col(qid_col).alias("qid"), F.col(vec_col).alias("vec"))
-        probes, qids, qmat = self.probes_df(q, nprobe)
-        partial = self._scan_lists(probes, qids, qmat, k)
+        probes, qids, qmat, probed = self.probes_df(q, nprobe)
+        partial = self._scan_lists(probes, qids, qmat, k, probed_lists=probed)
         return topk_per_query(partial, k).select("qid", "pos", "id", "dist")
 
     def _scan_lists(
-        self, probes: DataFrame, qids: np.ndarray, qmat: np.ndarray, k: int
+        self,
+        probes: DataFrame,
+        qids: np.ndarray,
+        qmat: np.ndarray,
+        k: int,
+        probed_lists: list[int] | None = None,
     ) -> DataFrame:
         """The InvertedListScanner (``IndexIVF.cpp:439-475``) as a
         partition-pruned join + Arrow GEMM kernel emitting per-batch
-        partial top-k."""
-        probed_lists = sorted({int(r["list_no"]) for r in probes.select("list_no").distinct().collect()})
+        partial top-k. ``probed_lists`` skips a distinct-collect job
+        when the caller already knows the probe set."""
+        if probed_lists is None:
+            probed_lists = sorted(
+                {int(r["list_no"]) for r in probes.select("list_no").distinct().collect()}
+            )
         pruned = self.data.filter(F.col("list_no").isin(probed_lists))
         joined = pruned.join(F.broadcast(probes), "list_no").select("qid", "id", "vec")
 

@@ -125,13 +125,19 @@ class IVFPQIndex(IVFIndex):
         )
 
     def _scan_lists(
-        self, probes: DataFrame, qids: np.ndarray, qmat: np.ndarray, k: int
+        self,
+        probes: DataFrame,
+        qids: np.ndarray,
+        qmat: np.ndarray,
+        k: int,
+        probed_lists: list[int] | None = None,
     ) -> DataFrame:
         """ADC scan: partition-pruned code join + per-(query, list) LUT
         gather-sum (the InvertedListScanner of IndexIVFPQ)."""
-        probed_lists = sorted(
-            {int(r["list_no"]) for r in probes.select("list_no").distinct().collect()}
-        )
+        if probed_lists is None:
+            probed_lists = sorted(
+                {int(r["list_no"]) for r in probes.select("list_no").distinct().collect()}
+            )
         pruned = self.data.filter(F.col("list_no").isin(probed_lists))
         joined = pruned.join(F.broadcast(probes), "list_no").select(
             "qid", "id", "code", "list_no"

@@ -110,7 +110,10 @@ class ErrorProfile:
         probes = self.index.spark.createDataFrame(
             rows, "qid bigint, list_no int, rank int"
         )
-        part = self.index._scan_lists(probes, qids[act], qmat[act], self.max_topk)
+        probed = sorted({r[1] for r in rows})
+        part = self.index._scan_lists(
+            probes, qids[act], qmat[act], self.max_topk, probed_lists=probed
+        )
         return part.toPandas()
 
     @staticmethod
