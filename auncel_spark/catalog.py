@@ -588,6 +588,39 @@ def q_events_top_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bounded_knn_mixed_acc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O24 with per-query bounds: required recall cycles over
+    {0.1 … 0.9} by qid — the reference's distributed workload shape
+    (dist/worker.cpp:255-259). Rows-only (adaptive iterative search)."""
+    ep, q = _fitted_profile(spark, sf_dir)
+    qids = [r["qid"] for r in q.select("qid").orderBy("qid").collect()]
+    accs = np.array([0.1 + 0.1 * (i % 9) for i in range(len(qids))])
+    res = ep.search(q.orderBy("qid"), K, require_acc=accs)
+    return res.select("qid", F.col("pos").cast("bigint").alias("pos"), "id")
+
+
+def q_corpus_curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipeline integration: per language — doc count, docs passing a
+    quality floor, total whitespace tokens, distinct fingerprints.
+    Composes text-quality, token-count and fingerprint operators in one
+    aggregation (the shape of a real curation job's summary)."""
+    from auncel_spark.functions.text import doc_fingerprint, quality_score, token_count
+
+    docs = load(spark, sf_dir, "documents")
+    per_doc = docs.select(
+        "lang",
+        token_count(F.col("text")).cast("bigint").alias("n_tok"),
+        (F.floor(quality_score(F.col("text")) * 1e6) >= 500_000).alias("keep"),
+        doc_fingerprint("text").alias("fp"),
+    )
+    return per_doc.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.col("keep").cast("bigint")).alias("n_kept"),
+        F.sum("n_tok").alias("total_tokens"),
+        F.countDistinct("fp").alias("n_fingerprints"),
+    )
+
+
 def q_matrix_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O31 MatrixStats: per-dimension corpus profile of the embedding
     column."""
@@ -959,6 +992,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "matrix_stats": q_matrix_stats,
     "knn_base_shift": q_knn_base_shift,
     "knn_1d": q_knn_1d,
+    "bounded_knn_mixed_acc": q_bounded_knn_mixed_acc,
+    "corpus_curation_report": q_corpus_curation_report,
 }
 
 ORACLES: dict[str, str] = {
@@ -1027,4 +1062,36 @@ d AS (
 )
 SELECT qid::BIGINT AS qid, rn - 1 AS pos, id FROM r WHERE rn <= 5
 """,
+    # "bounded_knn_mixed_acc": rows-only (adaptive iterative search)
+    "corpus_curation_report": (
+        _TOK_CTE
+        + rf"""
+, sh5 AS (
+  SELECT id, lang, text, t, CASE WHEN len(t) >= 5
+    THEN list_distinct(list_transform(range(1, len(t) - 3),
+                                      i -> array_to_string(t[i:i+4], ' ')))
+    ELSE []::VARCHAR[] END AS s
+  FROM (SELECT tok.id, d.lang, tok.text, tok.t
+        FROM tok JOIN documents d ON d.doc_id = tok.id)
+), per_doc AS (
+  SELECT lang,
+         len(t)::BIGINT AS n_tok,
+         floor((
+           0.3 * least(len(t) / 64.0, 1.0)
+           + 0.2 * (1.0 - least(len(regexp_extract_all(text, '[.,!?;:]'))
+                                / greatest(len(text), 1) * 10.0, 1.0))
+           + 0.3 * (len(list_distinct(t)) / greatest(len(t), 1))
+           + 0.2 * least(len(list_filter(t, x -> list_contains({_EN_STOPS}, x)))
+                         / greatest(len(t), 1) * 5.0, 1.0)
+         ) * 1e6) >= 500000 AS keep,
+         coalesce(list_min(list_transform(s, x -> md5(x))), md5(text)) AS fp
+  FROM sh5
+)
+SELECT lang, count(*) AS n_docs,
+       sum(CASE WHEN keep THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+       sum(n_tok)::BIGINT AS total_tokens,
+       count(DISTINCT fp) AS n_fingerprints
+FROM per_doc GROUP BY lang
+"""
+    ),
 }
