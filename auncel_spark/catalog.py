@@ -314,11 +314,9 @@ def q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from auncel_spark.functions.text import doc_fingerprint
+    from auncel_spark.functions.text import fingerprint_df
 
-    return load(spark, sf_dir, "documents").select(
-        F.col("doc_id").alias("id"), doc_fingerprint("text").alias("fp")
-    )
+    return fingerprint_df(load(spark, sf_dir, "documents"))
 
 
 def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -604,15 +602,16 @@ def q_corpus_curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     quality floor, total whitespace tokens, distinct fingerprints.
     Composes text-quality, token-count and fingerprint operators in one
     aggregation (the shape of a real curation job's summary)."""
-    from auncel_spark.functions.text import doc_fingerprint, quality_score, token_count
+    from auncel_spark.functions.text import fingerprint_df, quality_score, token_count
 
     docs = load(spark, sf_dir, "documents")
+    fps = fingerprint_df(docs)
     per_doc = docs.select(
+        F.col("doc_id").alias("id"),
         "lang",
         token_count(F.col("text")).cast("bigint").alias("n_tok"),
         (F.floor(quality_score(F.col("text")) * 1e6) >= 500_000).alias("keep"),
-        doc_fingerprint("text").alias("fp"),
-    )
+    ).join(fps, "id")
     return per_doc.groupBy("lang").agg(
         F.count("*").alias("n_docs"),
         F.sum(F.col("keep").cast("bigint")).alias("n_kept"),

@@ -88,11 +88,42 @@ def langid(text_col: Column | str) -> Column:
 
 def doc_fingerprint(text_col: Column | str, shingle_n: int = 5) -> Column:
     """Winnowing-style fingerprint: lexicographic min of the md5 of
-    word shingles (rolling-hash selection, one value per doc)."""
+    word shingles (rolling-hash selection, one value per doc).
+
+    Hot paths should use ``fingerprint_df`` (tokens materialized in a
+    separate projection — see the perf note on ``word_shingles``)."""
     sh = word_shingles(text_col, shingle_n)
     return F.coalesce(
         F.array_min(F.transform(sh, lambda s: F.md5(s))),
         F.md5(F.col(text_col) if isinstance(text_col, str) else text_col),
+    )
+
+
+def fingerprint_df(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 5,
+    out_col: str = "fp",
+) -> DataFrame:
+    """(id, fp) with the token array materialized first (~7× faster
+    than the inline-Column form at sf0.1)."""
+    from auncel_spark.operators.dedup import _shingles_of_tokens
+
+    toked = df.select(
+        F.col(id_col).alias("id"),
+        F.col(text_col).alias("_text"),
+        tokens(text_col).alias("_tok"),
+    )
+    shingled = toked.select(
+        "id", "_text", _shingles_of_tokens(F.col("_tok"), shingle_n).alias("_sh")
+    )
+    return shingled.select(
+        "id",
+        F.coalesce(
+            F.array_min(F.transform(F.col("_sh"), lambda s: F.md5(s))),
+            F.md5(F.col("_text")),
+        ).alias(out_col),
     )
 
 
