@@ -152,6 +152,80 @@ class SearchIndex:
     def tbase(self, v: DataFrame) -> None:
         self._tbase = v
 
+    # --- persistence (S4: write_index/read_index for composites) -------
+
+    def save(self, path: str, spec_str: str) -> None:
+        """Persist the full pipeline: spec + transform chain + codec
+        state + data tables. IVF-backed variants write their own list
+        layout; flat/coded variants write the (id, vec/code) table."""
+        import json
+        import os
+
+        import numpy as np
+
+        os.makedirs(path, exist_ok=True)
+        meta = {
+            "spec": spec_str,
+            "metric": self.metric.value,
+            "chain": self.chain.to_dict() if self.chain else None,
+            "pq": self.pq.to_dict() if self.pq else None,
+            "sq": self.sq.to_dict() if self.sq else None,
+            "index_type": self.spec.index_type,
+        }
+        with open(os.path.join(path, "pipeline.json"), "w") as f:
+            json.dump(meta, f)
+        if self.ivf is not None:
+            np.save(os.path.join(path, "centroids.npy"), self.ivf.centroids)
+            (
+                self.ivf.data.repartition("list_no")
+                .write.mode("overwrite")
+                .partitionBy("list_no")
+                .parquet(os.path.join(path, "lists"))
+            )
+        if self.coded is not None:
+            self.coded.write.mode("overwrite").parquet(os.path.join(path, "coded"))
+        self.base.write.mode("overwrite").parquet(os.path.join(path, "base"))
+        if self.chain is not None:
+            self.tbase.write.mode("overwrite").parquet(os.path.join(path, "tbase"))
+
+    @classmethod
+    def load(cls, spark, path: str) -> "SearchIndex":
+        import json
+        import os
+
+        import numpy as np
+
+        from auncel_spark.index.transforms import TransformChain, transform_from_dict
+
+        with open(os.path.join(path, "pipeline.json")) as f:
+            meta = json.load(f)
+        parsed = parse_spec(meta["spec"])
+        metric = Metric(meta["metric"])
+        base = spark.read.parquet(os.path.join(path, "base"))
+        chain = None
+        if meta["chain"]:
+            t = transform_from_dict(meta["chain"])
+            chain = t if isinstance(t, TransformChain) else TransformChain([t])
+        pq = ProductQuantizer.from_dict(meta["pq"]) if meta["pq"] else None
+        sq = ScalarQuantizer.from_dict(meta["sq"]) if meta["sq"] else None
+        ivf = None
+        if meta["index_type"] in ("ivfflat", "ivfsq", "ivfpq"):
+            cents = np.load(os.path.join(path, "centroids.npy"))
+            data = spark.read.parquet(os.path.join(path, "lists"))
+            if meta["index_type"] == "ivfpq":
+                from auncel_spark.index.ivfpq import IVFPQIndex
+
+                ivf = IVFPQIndex(spark, cents, pq, None, metric, True, data)
+            else:
+                ivf = IVFIndex(spark, cents, None, metric, data)
+        coded = None
+        if os.path.isdir(os.path.join(path, "coded")):
+            coded = spark.read.parquet(os.path.join(path, "coded"))
+        si = cls(parsed, metric, base, chain, ivf, pq, sq, coded)
+        tb_path = os.path.join(path, "tbase")
+        si.tbase = spark.read.parquet(tb_path) if os.path.isdir(tb_path) else base
+        return si
+
 
 def build_index(
     base: DataFrame,

@@ -63,6 +63,16 @@ def copy_subset_to(
     return IVFIndex(idx.spark, idx.centroids, None, idx.metric, d.cache())
 
 
+def set_invlist_range(idx: IVFIndex, list_lo: int, list_hi: int) -> IVFIndex:
+    """``IVFlib::set_invlist_range``: restrict the searchable index to
+    posting lists [list_lo, list_hi) — a pure partition filter, no data
+    movement."""
+    d = idx.data.filter(
+        (F.col("list_no") >= list_lo) & (F.col("list_no") < list_hi)
+    )
+    return IVFIndex(idx.spark, idx.centroids, None, idx.metric, d)
+
+
 def remap_ids(result: DataFrame, id_map: DataFrame, id_col: str = "id") -> DataFrame:
     """IndexIDMap: translate internal ids to external labels via the
     (internal_id, external_id) mapping table (broadcast if small)."""

@@ -117,3 +117,30 @@ def test_factory_pca_chain(base_df, query_df):
     si = build_index(base_df, "PCA8,IVF8,Flat", seed=4)
     res = si.search(query_df, K, nprobe=8)
     assert res.count() > 0
+
+
+def test_factory_save_load_roundtrip(base_df, query_df, tmp_path, spark):
+    from auncel_spark.index.factory import SearchIndex
+
+    spec = "PCA8,IVF8,Flat"
+    si = build_index(base_df, spec, seed=4)
+    p = str(tmp_path / "pipeline")
+    si.save(p, spec)
+    si2 = SearchIndex.load(spark, p)
+    # ranking contract: same (qid, pos, id); distances may differ by
+    # 1-2 ulp across the serialize/recompute boundary
+    r1 = sorted((r["qid"], r["pos"], r["id"]) for r in si.search(query_df, 5, nprobe=8).collect())
+    r2 = sorted((r["qid"], r["pos"], r["id"]) for r in si2.search(query_df, 5, nprobe=8).collect())
+    assert r1 == r2
+
+
+def test_set_invlist_range(base_df, tiny_vectors):
+    import numpy as np
+    from auncel_spark.index.ivf import IVFIndex
+    from auncel_spark.index.maintenance import set_invlist_range
+
+    xb, _ = tiny_vectors
+    idx = IVFIndex.build(base_df, nlist=8, centroids=xb[:8].astype(np.float64))
+    sub = set_invlist_range(idx, 0, 4)
+    assert sub.data.filter("list_no >= 4").count() == 0
+    assert sub.data.count() < idx.data.count()
