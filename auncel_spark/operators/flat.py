@@ -17,8 +17,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from auncel_spark.config import Metric
-from auncel_spark.functions.vector import dist_expr
 from auncel_spark.operators.topk import topk_per_query
 
 
@@ -32,19 +30,48 @@ def knn_base_shift(
     id_col: str = "id",
     vec_col: str = "vec",
 ) -> DataFrame:
-    """O5 BaseShift: rank by L2²(q, x) − shift(x)."""
-    q = queries.select(F.col(qid_col).alias("qid"), F.col(q_vec_col).alias("_qv"))
+    """O5 BaseShift: rank by L2²(q, x) − shift(x). Same GEMM partial
+    top-k shape as ``knn_exact(strategy='gemm')`` with the per-row
+    shift applied inside the kernel."""
+    from typing import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    spark = queries.sparkSession
+    qrows = queries.select(qid_col, q_vec_col).collect()
+    qids = np.array([r[qid_col] for r in qrows], dtype=np.int64)
+    qmat = np.array([r[q_vec_col] for r in qrows], dtype=np.float64)
+    bc = spark.sparkContext.broadcast((qids, qmat))
     b = base.select(
         F.col(id_col).alias("id"),
-        F.col(vec_col).alias("_bv"),
-        F.col(shift_col).alias("_shift"),
+        F.col(vec_col).alias("vec"),
+        F.col(shift_col).alias("shift"),
     )
-    scored = b.join(F.broadcast(q)).select(
-        "qid",
-        "id",
-        (dist_expr("_qv", "_bv", Metric.L2) - F.col("_shift")).alias("dist"),
-    )
-    return topk_per_query(scored, k).select("qid", "pos", "id", "dist")
+
+    def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        gq, gm = bc.value
+        qn = (gm * gm).sum(axis=1)[:, None]
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids = pdf["id"].to_numpy(dtype=np.int64)
+            mat = np.array(list(pdf["vec"]), dtype=np.float64)
+            shift = pdf["shift"].to_numpy(dtype=np.float64)
+            dist = qn + (mat * mat).sum(axis=1)[None, :] - 2.0 * (gm @ mat.T)
+            dist = dist - shift[None, :]
+            kk = min(k, dist.shape[1])
+            part = np.lexsort((np.broadcast_to(ids, dist.shape), dist), axis=1)[:, :kk]
+            yield pd.DataFrame(
+                {
+                    "qid": np.repeat(gq, kk),
+                    "id": ids[part].ravel(),
+                    "dist": np.take_along_axis(dist, part, axis=1).ravel(),
+                }
+            )
+
+    partial = b.mapInPandas(scan, schema="qid bigint, id bigint, dist double")
+    return topk_per_query(partial, k).select("qid", "pos", "id", "dist")
 
 
 def knn_1d(

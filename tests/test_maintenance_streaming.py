@@ -161,3 +161,35 @@ def test_streaming_ivf_ingest(spark, tmp_path, base_df, tiny_vectors):
     import os
 
     assert any(p.startswith("list_no=") for p in os.listdir(out))
+
+
+def test_continuous_topk_matches_batch(spark, tmp_path, base_df, query_df, tiny_vectors):
+    """Stateful streaming top-k over two micro-batches equals batch kNN
+    over the union — exactly-once state merge."""
+    import numpy as np
+    from auncel_spark.streaming.stateful_topk import continuous_topk
+    from tests.conftest import np_knn
+
+    xb, xq = tiny_vectors
+    k = 5
+    src = str(tmp_path / "stk_src")
+    # two files → two input splits; availableNow drains both
+    base_df.filter("id < 200").write.parquet(src)
+    base_df.filter("id >= 200").write.mode("append").parquet(src)
+    out = str(tmp_path / "stk_out")
+    ck = str(tmp_path / "stk_ck")
+    q = continuous_topk(spark, src, base_df.schema, query_df, k, out, ck)
+    q.awaitTermination(180)
+    got = spark.read.parquet(out)
+    # take the final (best) state per qid: min dist-sum snapshot == last
+    # emitted; since both batches drained in one availableNow run, the
+    # final rows per qid reflect the full corpus
+    import pandas as pd
+
+    pdf = got.toPandas()
+    ids_true, _ = np_knn(xq, xb, k, "l2")
+    for qi in range(xq.shape[0]):
+        rows = pdf[pdf.qid == qi]
+        best = rows.sort_values("dist").drop_duplicates("pos", keep="first")
+        top = best.sort_values("pos")["id"].tolist()[:k]
+        assert top == ids_true[qi].tolist()
