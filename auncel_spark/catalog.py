@@ -666,6 +666,53 @@ def q_knn_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select("qid", F.col("pos").cast("bigint").alias("pos"), "id")
 
 
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational core §2.4 (group-by agg) at the largest fixture:
+    TPC-H Q1-shaped pricing summary over lineitem."""
+    li = load(spark, sf_dir, "lineitem")
+    # exact integer arithmetic: prices/discounts are 2-decimal values;
+    # convert to cents/percent BEFORE summing so the aggregate is
+    # order-independent (float sums over 600k rows can straddle a floor
+    # boundary between engines)
+    qty_c = F.floor(F.col("l_quantity") * 100 + 0.5).cast("bigint")
+    ep_c = F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("bigint")
+    disc_pct = F.floor(F.col("l_discount") * 100 + 0.5).cast("bigint")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum(qty_c).alias("sum_qty_c"),
+            F.sum(ep_c * (100 - disc_pct)).alias("revenue_u"),
+            F.countDistinct("l_orderkey").alias("n_orders"),
+        )
+    )
+
+
+def q_top_parts_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational core §2.4 (join + window top-k): top-3 parts by
+    lineitem revenue within each brand."""
+    from pyspark.sql import Window as W
+
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part")
+    # integer-cent revenue (see pricing_summary): exact, so the window
+    # ordering cannot flip between engines on float noise
+    ep_c = F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("bigint")
+    disc_pct = F.floor(F.col("l_discount") * 100 + 0.5).cast("bigint")
+    rev = li.groupBy("l_partkey").agg(F.sum(ep_c * (100 - disc_pct)).alias("rev"))
+    joined = rev.join(F.broadcast(part), rev.l_partkey == part.p_partkey)
+    w = W.partitionBy("p_brand").orderBy(F.col("rev").desc(), F.col("p_partkey").asc())
+    return (
+        joined.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select(
+            "p_brand",
+            F.col("rk").cast("bigint").alias("rk"),
+            F.col("p_partkey").alias("partkey"),
+        )
+    )
+
+
 # --- pipeline-family oracle SQL -----------------------------------------
 
 _TOK_CTE = r"""
@@ -993,6 +1040,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "knn_1d": q_knn_1d,
     "bounded_knn_mixed_acc": q_bounded_knn_mixed_acc,
     "corpus_curation_report": q_corpus_curation_report,
+    "pricing_summary": q_pricing_summary,
+    "top_parts_by_brand": q_top_parts_by_brand,
 }
 
 ORACLES: dict[str, str] = {
@@ -1093,4 +1142,28 @@ SELECT lang, count(*) AS n_docs,
 FROM per_doc GROUP BY lang
 """
     ),
+    "pricing_summary": """
+SELECT l_returnflag, l_linestatus,
+       count(*) AS n_rows,
+       sum(floor(l_quantity * 100 + 0.5)::BIGINT)::BIGINT AS sum_qty_c,
+       sum(floor(l_extendedprice * 100 + 0.5)::BIGINT
+           * (100 - floor(l_discount * 100 + 0.5)::BIGINT))::BIGINT AS revenue_u,
+       count(DISTINCT l_orderkey) AS n_orders
+FROM lineitem GROUP BY 1, 2
+""",
+    "top_parts_by_brand": """
+WITH rev AS (
+  SELECT l_partkey,
+         sum(floor(l_extendedprice * 100 + 0.5)::BIGINT
+             * (100 - floor(l_discount * 100 + 0.5)::BIGINT)) AS rev
+  FROM lineitem GROUP BY 1
+), ranked AS (
+  SELECT p.p_brand, p.p_partkey,
+         row_number() OVER (
+           PARTITION BY p.p_brand ORDER BY rev.rev DESC, p.p_partkey ASC
+         ) AS rk
+  FROM rev JOIN part p ON rev.l_partkey = p.p_partkey
+)
+SELECT p_brand, rk, p_partkey AS partkey FROM ranked WHERE rk <= 3
+""",
 }

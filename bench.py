@@ -40,11 +40,29 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - t0, 3)
         assert rows is not None
 
+    # derived per-query latency figures comparable to BASELINE.md's
+    # per-query-ms numbers (nq = embeddings rows with vec_id % 20 = 0;
+    # bounded_knn includes build+fit+calibrate, mixed_acc reuses the
+    # cached profile so it is the pure bounded-search batch)
+    nq = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .filter("vec_id % 20 = 0")
+        .count()
+    )
+    derived = {"n_queries": nq}
+    if "bounded_knn_mixed_acc" in timings and nq:
+        derived["bounded_search_ms_per_query"] = round(
+            timings["bounded_knn_mixed_acc"] / nq * 1000.0, 2
+        )
+    if "exact_knn_l2" in timings and nq:
+        derived["exact_knn_qps"] = round(nq / timings["exact_knn_l2"], 1)
+
     out = {
         "metric": "headline_query_wall_time",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
+        "derived": derived,
         "sf": sf,
     }
     print(json.dumps(out))

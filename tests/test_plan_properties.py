@@ -1,0 +1,39 @@
+"""Physical-plan regression guards: the scale behavior the engine is
+built around must be visible in the executed plan, not assumed."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from auncel_spark.index.ivf import IVFIndex
+
+
+def test_ivf_scan_prunes_partitions_and_broadcasts(base_df, query_df, tiny_vectors, tmp_path):
+    xb, _ = tiny_vectors
+    path = str(tmp_path / "ivf_plan")
+    idx = IVFIndex.build(
+        base_df, nlist=16, centroids=xb[:16].astype(np.float64), path=path
+    )
+    idx2 = IVFIndex.load(base_df.sparkSession, path)
+    probes, qids, qmat, probed = idx2.probes_df(query_df.select("qid", "vec"), 4)
+    partial = idx2._scan_lists(probes, qids, qmat, 10, probed_lists=probed)
+    plan = partial._jdf.queryExecution().executedPlan().toString()
+    # static partition pruning from the isin filter over list_no
+    assert "PartitionFilters" in plan and "INSET" in plan, plan[:2000]
+    # the probe side must broadcast (never shuffle the lists table)
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    # no full-corpus exchange before the scan kernel
+    assert plan.count("FileScan parquet") == 1
+
+
+def test_exact_knn_has_no_shuffle_before_kernel(base_df, query_df):
+    from auncel_spark.config import Metric
+    from auncel_spark.operators.knn import knn_exact
+
+    res = knn_exact(query_df, base_df, 5, Metric.L2, "gemm")
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    # exactly one exchange: the qid hash for the global top-k window —
+    # the scan side must not shuffle vectors
+    n_exchanges = plan.count("Exchange hashpartitioning")
+    assert n_exchanges == 1, plan[:2000]
