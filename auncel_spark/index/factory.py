@@ -274,9 +274,10 @@ def build_index(
         )
         pq = ivf.pq
     elif parsed.index_type == "ivfsq":
-        sq = ScalarQuantizer.train(tb)
-        dec = sq.decode(sq.encode(tb)).select("id", F.col("vec_dec").alias("vec"))
-        ivf = IVFIndex.build(dec, nlist=nlist, metric=metric, path=path, seed=seed)
+        from auncel_spark.index.ivfsq import IVFSQIndex
+
+        ivf = IVFSQIndex.build(tb, nlist=nlist, metric=metric, path=path, seed=seed)
+        sq = ivf.sq
     elif parsed.index_type == "pq":
         pq = ProductQuantizer.train(tb, M=parsed.pq_m, seed=seed)
         coded = pq.encode(tb).select("id", "code").cache()

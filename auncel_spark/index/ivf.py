@@ -178,6 +178,37 @@ class IVFIndex:
         partial = self._scan_lists(probes, qids, qmat, k, probed_lists=probed)
         return topk_per_query(partial, k).select("qid", "pos", "id", "dist")
 
+    def search_with_stats(
+        self, queries: DataFrame, k: int, nprobe: int
+    ) -> tuple[DataFrame, dict]:
+        """O31 ``IndexIVFStats`` parity (IndexIVF.h:361-374): run the
+        search eagerly and report nq, nprobe, posting lists touched,
+        distances computed (ndis, via accumulator from the scan
+        kernels), and wall times for the quantization and scan phases.
+        """
+        import time as _time
+
+        q = queries.select("qid", "vec")
+        t0 = _time.perf_counter()
+        probes, qids, qmat, probed = self.probes_df(q, nprobe)
+        t_quant = _time.perf_counter() - t0
+        acc = self.spark.sparkContext.accumulator(0)
+        self._ndis_acc = acc
+        t1 = _time.perf_counter()
+        partial = self._scan_lists(probes, qids, qmat, k, probed_lists=probed)
+        res = topk_per_query(partial, k).select("qid", "pos", "id", "dist").cache()
+        res.count()
+        t_search = _time.perf_counter() - t1
+        self._ndis_acc = None
+        return res, {
+            "nq": int(len(qids)),
+            "nprobe": int(nprobe),
+            "nlists_scanned": len(probed),
+            "ndis": int(acc.value),
+            "quantization_time_s": round(t_quant, 4),
+            "search_time_s": round(t_search, 4),
+        }
+
     def _scan_lists(
         self,
         probes: DataFrame,
@@ -201,12 +232,15 @@ class IVFIndex:
             (qids, qmat, {int(q): i for i, q in enumerate(qids)})
         )
         is_l2 = self.metric == Metric.L2
+        ndis_acc = getattr(self, "_ndis_acc", None)
 
         def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             _, bq, qpos = bc.value
             for pdf in batches:
                 if pdf.empty:
                     continue
+                if ndis_acc is not None:
+                    ndis_acc.add(len(pdf))
                 out_q, out_i, out_d = [], [], []
                 for qid, grp in pdf.groupby("qid"):
                     qv = bq[qpos[int(qid)]]

@@ -1,0 +1,164 @@
+"""IVF-SQ: inverted lists storing 8-bit scalar-quantized codes.
+
+Reference (SURVEY.md §2.2 B8): ``IndexIVFScalarQuantizer``
+(``Auncel/IndexScalarQuantizer.h:90-150``): lists hold SQ codes
+(d bytes/vector at QT_8bit — 4× smaller than float32), decoded on the
+fly inside the scan. Same storage layout and probe machinery as
+IVF-Flat/IVF-PQ; the scan kernel decodes each Arrow batch with the
+broadcast (vmin, vdiff) tables before the GEMM.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from auncel_spark.config import DEFAULT_NLIST, Metric
+from auncel_spark.index.ivf import IVFIndex
+from auncel_spark.index.kmeans import assign_lists, train_kmeans
+from auncel_spark.index.sq import ScalarQuantizer
+
+
+class IVFSQIndex(IVFIndex):
+    def __init__(
+        self,
+        spark: SparkSession,
+        centroids: np.ndarray,
+        sq: ScalarQuantizer,
+        data_path: str | None,
+        metric: Metric = Metric.L2,
+        data_df: DataFrame | None = None,
+    ):
+        super().__init__(spark, centroids, data_path, metric, data_df)
+        self.sq = sq
+
+    @classmethod
+    def build(
+        cls,
+        base: DataFrame,
+        nlist: int = DEFAULT_NLIST,
+        metric: Metric = Metric.L2,
+        path: str | None = None,
+        centroids: np.ndarray | None = None,
+        kmeans_iter: int = 25,
+        seed: int = 42,
+        id_col: str = "id",
+        vec_col: str = "vec",
+    ) -> "IVFSQIndex":
+        spark = base.sparkSession
+        b = base.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+        if centroids is None:
+            centroids, _ = train_kmeans(
+                b, nlist, metric=metric, max_iter=kmeans_iter, seed=seed,
+                spherical=(metric == Metric.IP),
+            )
+        centroids = np.asarray(centroids, dtype=np.float64)
+        sq = ScalarQuantizer.train(b)
+        idx = cls(spark, centroids, sq, path, metric)
+        coded = sq.encode(assign_lists(b, centroids, metric)).select(
+            "id", "code", "list_no"
+        )
+        if path is not None:
+            (
+                coded.repartition("list_no")
+                .write.mode("overwrite")
+                .partitionBy("list_no")
+                .parquet(os.path.join(path, "lists"))
+            )
+            with open(os.path.join(path, "meta.json"), "w") as f:
+                json.dump(
+                    {
+                        "kind": "ivfsq",
+                        "nlist": idx.nlist,
+                        "d": idx.d,
+                        "metric": metric.value,
+                        "sq": sq.to_dict(),
+                    },
+                    f,
+                )
+            np.save(os.path.join(path, "centroids.npy"), centroids)
+        else:
+            idx._data_df = coded.cache()
+            idx._data_df.count()
+        return idx
+
+    @classmethod
+    def load(cls, spark: SparkSession, path: str) -> "IVFSQIndex":
+        with open(os.path.join(path, "meta.json")) as f:
+            meta = json.load(f)
+        centroids = np.load(os.path.join(path, "centroids.npy"))
+        return cls(
+            spark,
+            centroids,
+            ScalarQuantizer.from_dict(meta["sq"]),
+            path,
+            Metric(meta["metric"]),
+        )
+
+    def _scan_lists(
+        self,
+        probes: DataFrame,
+        qids: np.ndarray,
+        qmat: np.ndarray,
+        k: int,
+        probed_lists: list[int] | None = None,
+    ) -> DataFrame:
+        if probed_lists is None:
+            probed_lists = sorted(
+                {int(r["list_no"]) for r in probes.select("list_no").distinct().collect()}
+            )
+        pruned = self.data.filter(F.col("list_no").isin(probed_lists))
+        joined = pruned.join(F.broadcast(probes), "list_no").select("qid", "id", "code")
+        bc = self.spark.sparkContext.broadcast(
+            (
+                qids,
+                qmat,
+                {int(q): i for i, q in enumerate(qids)},
+                self.sq.vmin,
+                self.sq.vdiff,
+            )
+        )
+        is_l2 = self.metric == Metric.L2
+
+        def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            _, bq, qpos, vmin, vdiff = bc.value
+            dec = ScalarQuantizer(vmin, vdiff)
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                out = []
+                codes = np.array(
+                    [np.frombuffer(c, dtype=np.uint8) for c in pdf["code"]]
+                )
+                mat = dec.decode_np(codes)
+                ids_all = pdf["id"].to_numpy(dtype=np.int64)
+                for qid, grp_idx in pdf.groupby("qid").indices.items():
+                    qv = bq[qpos[int(qid)]]
+                    sub = mat[grp_idx]
+                    dots = sub @ qv
+                    if is_l2:
+                        dist = (sub * sub).sum(axis=1) + (qv @ qv) - 2.0 * dots
+                    else:
+                        dist = -dots
+                    gids = ids_all[grp_idx]
+                    kk = min(k, len(dist))
+                    sel = np.lexsort((gids, dist))[:kk]
+                    out.append(
+                        pd.DataFrame(
+                            {
+                                "qid": np.full(kk, qid, dtype=np.int64),
+                                "id": gids[sel],
+                                "dist": dist[sel],
+                            }
+                        )
+                    )
+                if out:
+                    yield pd.concat(out, ignore_index=True)
+
+        return joined.mapInPandas(scan, schema="qid bigint, id bigint, dist double")

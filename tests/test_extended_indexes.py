@@ -127,3 +127,27 @@ def test_gt_generator_and_sharding(base_df, query_df, tiny_vectors, tmp_path):
     for qi in range(xq.shape[0]):
         for p in range(20):
             assert got[(qi, p)] == ids_true[qi, p]
+
+
+def test_ivfsq_code_storage_and_recall(base_df, query_df, tiny_vectors):
+    from auncel_spark.index.ivfsq import IVFSQIndex
+
+    xb, xq = tiny_vectors
+    idx = IVFSQIndex.build(base_df, nlist=8, centroids=xb[:8].astype(np.float64))
+    # lists hold codes, not vectors
+    assert set(idx.data.columns) == {"id", "code", "list_no"}
+    res = idx.search(query_df, K, nprobe=8)
+    ids_true, _ = np_knn(xq, xb, K, "l2")
+    recs = _recalls(res, ids_true, xq.shape[0])
+    assert np.mean(recs) > 0.9  # 8-bit quantization barely hurts
+
+
+def test_factory_ivfsq_spec(base_df, query_df, tiny_vectors):
+    from auncel_spark.index.factory import build_index
+
+    xb, xq = tiny_vectors
+    si = build_index(base_df, "IVF8,SQ8", seed=4)
+    res = si.search(query_df, K, nprobe=8)
+    ids_true, _ = np_knn(xq, xb, K, "l2")
+    recs = _recalls(res, ids_true, xq.shape[0])
+    assert np.mean(recs) > 0.85

@@ -90,3 +90,15 @@ def test_remove_ids_anti_join(base_df, tiny_vectors):
     kept = idx.remove_ids(drop)
     assert kept.count() == xb.shape[0] - 50
     assert kept.filter("id < 50").count() == 0
+
+
+def test_search_with_stats(base_df, query_df, tiny_vectors):
+    xb, _ = tiny_vectors
+    idx = IVFIndex.build(base_df, nlist=NLIST, centroids=xb[:NLIST].astype(np.float64))
+    res, st = idx.search_with_stats(query_df, K, nprobe=4)
+    assert res.count() > 0
+    assert st["nq"] == 20 and st["nprobe"] == 4
+    assert 0 < st["nlists_scanned"] <= NLIST
+    # every scanned (query, row) pair computed one distance
+    assert st["ndis"] > 0
+    assert st["search_time_s"] > 0
