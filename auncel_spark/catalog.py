@@ -666,6 +666,19 @@ def q_knn_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select("qid", F.col("pos").cast("bigint").alias("pos"), "id")
 
 
+def q_ivfpq_refine_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O8+O9: residual IVF-PQ ADC candidates, exact re-rank (the
+    compressed 100 TB path). Rows-only: PQ codebooks come from sampled
+    k-means, not SQL-expressible."""
+    from auncel_spark.index.ivfpq import IVFPQIndex
+
+    cents = _seed_centroids(spark, sf_dir, NLIST)
+    base = _emb_base(spark, sf_dir)
+    idx = IVFPQIndex.build(base, nlist=NLIST, M=8, centroids=cents, seed=42)
+    res = idx.search_refine(_emb_queries(spark, sf_dir), base, K, nprobe=8, k_factor=4)
+    return res.select("qid", F.col("pos").cast("bigint").alias("pos"), "id")
+
+
 def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Relational core §2.4 (group-by agg) at the largest fixture:
     TPC-H Q1-shaped pricing summary over lineitem."""
@@ -1042,6 +1055,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_curation_report": q_corpus_curation_report,
     "pricing_summary": q_pricing_summary,
     "top_parts_by_brand": q_top_parts_by_brand,
+    "ivfpq_refine_knn": q_ivfpq_refine_knn,
 }
 
 ORACLES: dict[str, str] = {
