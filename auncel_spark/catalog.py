@@ -666,6 +666,15 @@ def q_knn_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select("qid", F.col("pos").cast("bigint").alias("pos"), "id")
 
 
+def q_time_bounded_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O28: latency-budgeted anytime search (reference time_tune mode,
+    eval/effect_time.cpp). Generous budget → full-quality results;
+    rows-only (wall-clock dependent by construction)."""
+    ep, q = _fitted_profile(spark, sf_dir)
+    res = ep.time_search(q, K, budget_ms=1e7)
+    return res.select("qid", F.col("pos").cast("bigint").alias("pos"), "id")
+
+
 def q_ivfpq_refine_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O8+O9: residual IVF-PQ ADC candidates, exact re-rank (the
     compressed 100 TB path). Rows-only: PQ codebooks come from sampled
@@ -1056,6 +1065,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pricing_summary": q_pricing_summary,
     "top_parts_by_brand": q_top_parts_by_brand,
     "ivfpq_refine_knn": q_ivfpq_refine_knn,
+    "time_bounded_knn": q_time_bounded_knn,
 }
 
 ORACLES: dict[str, str] = {

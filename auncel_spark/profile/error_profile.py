@@ -46,6 +46,7 @@ import time as _time
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from auncel_spark.config import ELP_STAGE_CAP_FRACTION, Metric
 from auncel_spark.index.ivf import IVFIndex
@@ -476,6 +477,37 @@ class ErrorProfile:
             d = sweep["states_d"][si][i, :topk]
             recs[i] = (d <= gt_kth[i] + 1e-6).sum() / topk
         return float(recs.min()), float(chosen.mean())
+
+    def search_sharded(
+        self,
+        queries: DataFrame,
+        topk: int,
+        require_acc: float,
+        shard_size: int = 50_000,
+    ) -> DataFrame:
+        """Bounded search over arbitrarily large query sets: process the
+        query table in id-ordered shards so driver state stays at
+        O(shard_size · max_topk) regardless of total query count — the
+        batch analogue of the reference's distributed mode, where each
+        round handles a bounded query batch (dist/worker.cpp:248).
+        """
+        n = queries.count()
+        if n <= shard_size:
+            return self.search(queries, topk, require_acc)
+        from pyspark.sql import Window as W
+
+        ranked = queries.withColumn(
+            "_shard",
+            F.floor((F.row_number().over(W.orderBy("qid")) - 1) / shard_size),
+        ).cache()
+        n_shards = ranked.agg(F.max("_shard")).collect()[0][0] + 1
+        out = None
+        for s in range(int(n_shards)):
+            part = self.search(
+                ranked.filter(F.col("_shard") == s).drop("_shard"), topk, require_acc
+            )
+            out = part if out is None else out.unionByName(part)
+        return out
 
     def time_search(
         self,

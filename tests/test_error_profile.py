@@ -139,3 +139,57 @@ def test_profile_save_load(fitted, tmp_path):
     ep2 = ErrorProfile.load(idx, p)
     assert len(ep2.traces) == len(ep.traces)
     np.testing.assert_allclose(ep2.traces[0].phi, ep.traces[0].phi)
+
+
+@pytest.fixture(scope="module")
+def ip_fitted(spark):
+    """Unit-normalized clustered corpus under inner-product metric —
+    exercises the arccos geometry path (IVF_pro.cpp IP branches)."""
+    rng = np.random.default_rng(31)
+    k, per, d = 16, 100, 16
+    centers = rng.standard_normal((k, d))
+    xb = np.vstack([centers[i] + 0.3 * rng.standard_normal((per, d)) for i in range(k)])
+    xb /= np.linalg.norm(xb, axis=1, keepdims=True)
+    xq = centers[rng.integers(0, k, 40)] + 0.3 * rng.standard_normal((40, d))
+    xq /= np.linalg.norm(xq, axis=1, keepdims=True)
+    xb32, xq32 = xb.astype(np.float32), xq.astype(np.float32)
+    base = spark.createDataFrame(
+        [(i, [float(v) for v in r]) for i, r in enumerate(xb32)], "id bigint, vec array<float>"
+    ).cache()
+    queries = spark.createDataFrame(
+        [(i, [float(v) for v in r]) for i, r in enumerate(xq32)], "qid bigint, vec array<float>"
+    ).cache()
+    idx = IVFIndex.build(base, nlist=32, metric=Metric.IP, kmeans_iter=8, seed=7)
+    ep = ErrorProfile(idx, max_topk=30)
+    return xb32, xq32, idx, ep, queries
+
+
+def test_ip_bounded_search_meets_bound(ip_fitted, spark):
+    xb, xq, idx, ep, queries = ip_fitted
+    bound = 0.2
+    cal = ep.fit_and_calibrate(queries, TOPK, bound)
+    res, info = ep.search(queries, TOPK, require_acc=1.0 - bound, return_info=True)
+    ids, dists = np_knn(xq, xb, TOPK, "ip")
+    gt = spark.createDataFrame(
+        [
+            (int(qi), int(p), int(ids[qi, p]), float(dists[qi, p]))
+            for qi in range(xq.shape[0])
+            for p in range(TOPK)
+        ],
+        "qid bigint, pos int, gt_id bigint, gt_dist double",
+    )
+    rec = threshold_recall(res, gt, TOPK)
+    assert worst_case_bound_holds(rec, bound)
+    assert info["nprobe"].max() <= 32
+
+
+def test_search_sharded_equals_unsharded(fitted):
+    _, _, idx, ep, queries = fitted
+    full = sorted(
+        (r["qid"], r["pos"], r["id"]) for r in ep.search(queries, TOPK, 0.8).collect()
+    )
+    sharded = sorted(
+        (r["qid"], r["pos"], r["id"])
+        for r in ep.search_sharded(queries, TOPK, 0.8, shard_size=25).collect()
+    )
+    assert full == sharded
