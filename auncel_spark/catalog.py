@@ -688,6 +688,42 @@ def q_ivfpq_refine_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select("qid", F.col("pos").cast("bigint").alias("pos"), "id")
 
 
+def q_laet_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B18: LAET-style learned termination — GBT-predicted per-query
+    probe budgets. Rows-only (learned model)."""
+    from auncel_spark.profile.laet import LearnedTermination
+
+    cents = _seed_centroids(spark, sf_dir, NLIST)
+    base = _emb_base(spark, sf_dir)
+    idx = IVFIndex.build(base, nlist=NLIST, centroids=cents)
+    q = _emb_queries(spark, sf_dir)
+    lt = LearnedTermination(idx, max_topk=50, multiplier=2.0)
+    lt.fit(q, K, target_recall=0.9)
+    res = lt.search(q, K)
+    return res.select("qid", F.col("pos").cast("bigint").alias("pos"), "id")
+
+
+def q_hnsw_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O12/B13: driver-side HNSW helper (SURVEY §7.3 decision).
+    Rows-only (stochastic level assignment is seeded but graph search
+    isn't SQL-expressible)."""
+    from auncel_spark.index.hnsw import HNSWIndex
+
+    h = HNSWIndex(M=8, ef_construction=40, seed=3).build(_emb_base(spark, sf_dir))
+    res = h.search(_emb_queries(spark, sf_dir), K, ef_search=64)
+    return res.select("qid", F.col("pos").cast("bigint").alias("pos"), "id")
+
+
+def q_imi_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O10: inverted multi-index coarse quantizer. Rows-only (half-space
+    k-means)."""
+    from auncel_spark.index.imi import IMIIndex
+
+    idx = IMIIndex.build(_emb_base(spark, sf_dir), ksub=4, kmeans_iter=8, seed=5)
+    res = idx.search(_emb_queries(spark, sf_dir), K, nprobe=8)
+    return res.select("qid", F.col("pos").cast("bigint").alias("pos"), "id")
+
+
 def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Relational core §2.4 (group-by agg) at the largest fixture:
     TPC-H Q1-shaped pricing summary over lineitem."""
@@ -1066,6 +1102,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "top_parts_by_brand": q_top_parts_by_brand,
     "ivfpq_refine_knn": q_ivfpq_refine_knn,
     "time_bounded_knn": q_time_bounded_knn,
+    "laet_knn": q_laet_knn,
+    "hnsw_knn": q_hnsw_knn,
+    "imi_knn": q_imi_knn,
 }
 
 ORACLES: dict[str, str] = {
