@@ -115,7 +115,14 @@ class ErrorProfile:
         part = self.index._scan_lists(
             probes, qids[act], qmat[act], self.max_topk, probed_lists=probed
         )
-        return part.toPandas()
+        # reduce distributed BEFORE collecting: per-partition partials
+        # are nq·k rows EACH — at hundreds of partitions the raw
+        # collect blows spark.driver.maxResultSize. One window pass
+        # caps the driver transfer at nq·max_topk rows per stage.
+        from auncel_spark.operators.topk import topk_per_query
+
+        reduced = topk_per_query(part, self.max_topk).select("qid", "id", "dist")
+        return reduced.toPandas()
 
     @staticmethod
     def _merge_state(
@@ -158,6 +165,7 @@ class ErrorProfile:
         if gt_dists is None:
             gt_dists = self._exact_gt(train_queries)
         sweep = self._sweep_states(train_queries, self._stages())
+        gt_dists = self._align_gt(gt_dists, sweep["qids"])
         max_collect = max(1, self.max_topk // 4)
         self.traces = []
         for si, s in enumerate(self._stages()):
@@ -191,6 +199,7 @@ class ErrorProfile:
             all_stages.append(s)
             s <<= 1
         sweep = self._sweep_states(train_queries, all_stages)
+        gt_dists = self._align_gt(gt_dists, sweep["qids"])
         max_collect = max(1, self.max_topk // 4)
         self.traces = []
         for si, st in enumerate(self._stages()):
@@ -270,6 +279,9 @@ class ErrorProfile:
         return Trace.from_pairs(stage, np.array(phis), np.array(us))
 
     def _exact_gt(self, queries: DataFrame) -> np.ndarray:
+        """True sorted distances, rows ordered by ASCENDING qid (the
+        engine-wide gt_dists convention — align to a sweep's collect
+        order with ``_align_gt`` before pairing rows)."""
         from auncel_spark.operators.knn import knn_exact
 
         res = knn_exact(
@@ -285,6 +297,21 @@ class ErrorProfile:
         for r in res:
             out[qpos[r["qid"]], r["pos"]] = r["dist"]
         return out
+
+    @staticmethod
+    def _align_gt(gt_dists: np.ndarray, sweep_qids: np.ndarray) -> np.ndarray:
+        """Reorder ascending-qid gt rows to a sweep's qid order. The
+        sweep follows ``queries.collect()`` order, which is NOT sorted
+        once the query set spans multiple partitions — pairing by raw
+        row index silently trains traces against the wrong ground
+        truth (found at 200k rows; invisible on single-partition test
+        data)."""
+        order = np.argsort(sweep_qids, kind="stable")
+        inv = np.empty_like(order)
+        inv[order] = np.arange(len(order))
+        # gt row j corresponds to the j-th smallest qid; sweep row i has
+        # rank inv[i] among qids
+        return gt_dists[inv]
 
     # ------------------------------------------------------------------
     # online bounded search (O24-O27)
@@ -416,6 +443,7 @@ class ErrorProfile:
             all_stages.append(s)
             s <<= 1
         sweep = self._sweep_states(queries, all_stages)
+        gt_dists = self._align_gt(gt_dists, sweep["qids"])
         gt_kth = gt_dists[:, topk - 1]
 
         saved = (self.multipler, self.std_m)

@@ -62,6 +62,8 @@ class LearnedTermination:
             s <<= 1
         sweep = self._helper._sweep_states(train_queries, stages)
         qids = sweep["qids"]
+        # gt rows are ascending-qid; sweep rows follow collect order
+        gt_dists = self._helper._align_gt(gt_dists, qids)
         gt_kth = gt_dists[:, topk - 1]
         # label: smallest stage whose state meets the recall target
         labels = np.full(len(qids), float(np.log2(stages[-1])))
