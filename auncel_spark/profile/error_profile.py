@@ -101,17 +101,20 @@ class ErrorProfile:
     ) -> pd.DataFrame:
         """Distributed scan of lists ranked [lo, hi) for active queries."""
         act = np.where(active)[0]
-        rows = [
-            (int(qids[i]), int(ranked[i, j]), j)
-            for i in act
-            for j in range(lo, min(hi, ranked.shape[1]))
-        ]
-        if not rows:
+        hi_eff = min(hi, ranked.shape[1])
+        if len(act) == 0 or hi_eff <= lo:
             return pd.DataFrame(columns=["qid", "id", "dist"])
-        probes = self.index.spark.createDataFrame(
-            rows, "qid bigint, list_no int, rank int"
+        width = hi_eff - lo
+        sub = ranked[act, lo:hi_eff]
+        probe_pdf = pd.DataFrame(
+            {
+                "qid": np.repeat(qids[act], width),
+                "list_no": sub.ravel().astype(np.int32),
+                "rank": np.tile(np.arange(lo, hi_eff, dtype=np.int32), len(act)),
+            }
         )
-        probed = sorted({r[1] for r in rows})
+        probes = self.index.spark.createDataFrame(probe_pdf)  # Arrow path
+        probed = sorted({int(x) for x in np.unique(sub)})
         part = self.index._scan_lists(
             probes, qids[act], qmat[act], self.max_topk, probed_lists=probed
         )
@@ -189,17 +192,19 @@ class ErrorProfile:
     ) -> dict:
         """fit + calibrate sharing ONE full stage sweep: trace building
         uses the stage-prefix states, calibration replays stop rules on
-        the same snapshots. Halves the Spark jobs of calling them
-        separately (each would sweep on its own)."""
-        if gt_dists is None:
-            gt_dists = self._exact_gt(train_queries)
+        the same snapshots. The sweep's FINAL state covers every list,
+        so it IS the exact ground truth — no separate GT scan, and no
+        row-alignment hazard (one corpus pass total)."""
         all_stages = []
         s = 1
         while s <= self.index.nlist:
             all_stages.append(s)
             s <<= 1
         sweep = self._sweep_states(train_queries, all_stages)
-        gt_dists = self._align_gt(gt_dists, sweep["qids"])
+        if gt_dists is None:
+            gt_dists = sweep["states_d"][-1].copy()
+        else:
+            gt_dists = self._align_gt(gt_dists, sweep["qids"])
         max_collect = max(1, self.max_topk // 4)
         self.traces = []
         for si, st in enumerate(self._stages()):
