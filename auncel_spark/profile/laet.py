@@ -49,6 +49,7 @@ class LearnedTermination:
         topk: int,
         target_recall: float = 0.9,
         gt_dists: np.ndarray | None = None,
+        gbt_iter: int = 8,
     ) -> "LearnedTermination":
         from pyspark.ml.feature import VectorAssembler
         from pyspark.ml.regression import GBTRegressor
@@ -89,7 +90,10 @@ class LearnedTermination:
         from pyspark.ml.functions import array_to_vector
 
         df = df.select(array_to_vector("raw").alias("features"), "label")
-        gbt = GBTRegressor(maxIter=20, maxDepth=4, seed=42)
+        # each boosting round is several Spark jobs; 8 rounds suffice
+        # for the 11-feature budget regression (LightGBM in the
+        # reference uses early stopping similarly)
+        gbt = GBTRegressor(maxIter=gbt_iter, maxDepth=4, seed=42)
         self.model = gbt.fit(df)
         return self
 
