@@ -757,6 +757,34 @@ def q_imi_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select("qid", F.col("pos").cast("bigint").alias("pos"), "id")
 
 
+def q_remove_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O18: IDSelector deletion = anti-join; survivors of dropping
+    every vec_id % 7 == 0 from the seed-centroid index."""
+    idx = _seed_ivf(spark, sf_dir)
+    drop = load(spark, sf_dir, "embeddings").filter("vec_id % 7 = 0").select(
+        F.col("vec_id").alias("id")
+    )
+    kept = idx.remove_ids(drop)
+    return kept.select("id", F.col("list_no").cast("bigint").alias("list_no"))
+
+
+def q_reconstruct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O19: reconstruct_n — fetch stored vectors by id, posexploded to
+    hashable (id, dim, val) rows."""
+    from auncel_spark.index.maintenance import reconstruct
+
+    idx = _seed_ivf(spark, sf_dir)
+    ids = load(spark, sf_dir, "embeddings").filter("vec_id % 50 = 0").select(
+        F.col("vec_id").alias("id")
+    )
+    rec = reconstruct(idx, ids)
+    return rec.select("id", F.posexplode("vec").alias("dim0", "v")).select(
+        "id",
+        (F.col("dim0") + 1).cast("bigint").alias("dim"),
+        F.floor(F.col("v").cast("double") * 1e6).cast("bigint").alias("val_u"),
+    )
+
+
 def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Relational core §2.4 (group-by agg) at the largest fixture:
     TPC-H Q1-shaped pricing summary over lineitem."""
@@ -1138,6 +1166,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "laet_knn": q_laet_knn,
     "hnsw_knn": q_hnsw_knn,
     "imi_knn": q_imi_knn,
+    "remove_ids_anti_join": q_remove_ids,
+    "reconstruct_vectors": q_reconstruct,
 }
 
 ORACLES: dict[str, str] = {
@@ -1261,5 +1291,20 @@ WITH rev AS (
   FROM rev JOIN part p ON rev.l_partkey = p.p_partkey
 )
 SELECT p_brand, rk, p_partkey AS partkey FROM ranked WHERE rk <= 3
+""",
+    "remove_ids_anti_join": (
+        _Q_CTE
+        + _CENT_CTE
+        + """
+SELECT a.id, a.list_no::BIGINT AS list_no
+FROM assign a
+WHERE a.id NOT IN (SELECT vec_id FROM embeddings WHERE vec_id % 7 = 0)
+"""
+    ),
+    "reconstruct_vectors": """
+SELECT e.vec_id AS id, r.i::BIGINT AS dim,
+       floor(e.embedding[r.i]::DOUBLE * 1e6)::BIGINT AS val_u
+FROM embeddings e, range(1, 65) r(i)
+WHERE e.vec_id % 50 = 0
 """,
 }
