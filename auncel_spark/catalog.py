@@ -757,6 +757,32 @@ def q_imi_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select("qid", F.col("pos").cast("bigint").alias("pos"), "id")
 
 
+def q_revenue_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational core §2.4 at full depth: the TPC-H Q5 join chain
+    region→nation→customer→orders→lineitem with broadcast dimension
+    joins and integer-cent revenue (Catalyst picks broadcast plans for
+    the small dims; AQE reorders the rest)."""
+    region = load(spark, sf_dir, "region")
+    nation = load(spark, sf_dir, "nation")
+    customer = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    ep_c = F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("bigint")
+    disc_pct = F.floor(F.col("l_discount") * 100 + 0.5).cast("bigint")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.sum(ep_c * (100 - disc_pct)).alias("revenue_u"),
+            F.countDistinct("c_custkey").alias("n_customers"),
+        )
+    )
+
+
 def q_remove_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O18: IDSelector deletion = anti-join; survivors of dropping
     every vec_id % 7 == 0 from the seed-centroid index."""
@@ -1168,6 +1194,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "imi_knn": q_imi_knn,
     "remove_ids_anti_join": q_remove_ids,
     "reconstruct_vectors": q_reconstruct,
+    "revenue_by_region": q_revenue_by_region,
 }
 
 ORACLES: dict[str, str] = {
@@ -1306,5 +1333,18 @@ SELECT e.vec_id AS id, r.i::BIGINT AS dim,
        floor(e.embedding[r.i]::DOUBLE * 1e6)::BIGINT AS val_u
 FROM embeddings e, range(1, 65) r(i)
 WHERE e.vec_id % 50 = 0
+""",
+    "revenue_by_region": """
+SELECT r.r_name,
+       count(*) AS n_items,
+       sum(floor(l.l_extendedprice * 100 + 0.5)::BIGINT
+           * (100 - floor(l.l_discount * 100 + 0.5)::BIGINT))::BIGINT AS revenue_u,
+       count(DISTINCT c.c_custkey) AS n_customers
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY r.r_name
 """,
 }

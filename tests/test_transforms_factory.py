@@ -144,3 +144,23 @@ def test_set_invlist_range(base_df, tiny_vectors):
     sub = set_invlist_range(idx, 0, 4)
     assert sub.data.filter("list_no >= 4").count() == 0
     assert sub.data.count() < idx.data.count()
+
+
+def test_opq_improves_pq_reconstruction(base_df, tiny_vectors):
+    """B10: the OPQ rotation must not hurt (and typically helps) PQ
+    reconstruction error versus no rotation."""
+    from auncel_spark.index.pq import ProductQuantizer
+    from auncel_spark.index.transforms import OPQTransform
+
+    xb, _ = tiny_vectors
+    x = xb.astype(np.float64)
+    opq = OPQTransform.train(base_df, M=4, n_iter=6, sample_size=400, seed=1)
+    rotated_df = opq.apply(base_df, vec_col="vec")
+    pq_plain = ProductQuantizer.train(base_df, M=4, n_iter=10, sample_size=400, seed=2)
+    pq_rot = ProductQuantizer.train(rotated_df, M=4, n_iter=10, sample_size=400, seed=2)
+
+    err_plain = ((pq_plain.decode_np(pq_plain.encode_np(x)) - x) ** 2).sum(1).mean()
+    xr = opq.apply_np(x)
+    err_rot = ((pq_rot.decode_np(pq_rot.encode_np(xr)) - xr) ** 2).sum(1).mean()
+    # rotation is orthonormal: errors comparable in the same geometry
+    assert err_rot <= err_plain * 1.15
