@@ -146,11 +146,20 @@ def _seed_centroids(spark: SparkSession, sf_dir: str, k: int) -> np.ndarray:
 
 def _seed_ivf(spark: SparkSession, sf_dir: str) -> IVFIndex:
     """The shared seed-centroid IVF index (deterministic; reused by
-    every IVF-family catalog query)."""
+    every IVF-family catalog query). Persisted to a temp dir so the
+    gate exercises the real partition-pruned Parquet scan path
+    (PartitionFilters INSET + broadcast probes), not just the cached
+    in-memory variant."""
 
     def _build():
+        import tempfile
+
         cents = _seed_centroids(spark, sf_dir, NLIST)
-        return IVFIndex.build(_emb_base(spark, sf_dir), nlist=NLIST, centroids=cents)
+        path = tempfile.mkdtemp(prefix="auncel_seed_ivf_")
+        IVFIndex.build(
+            _emb_base(spark, sf_dir), nlist=NLIST, centroids=cents, path=path
+        )
+        return IVFIndex.load(spark, path)
 
     return _cached(sf_dir, "seed_ivf", _build)
 
