@@ -39,3 +39,10 @@ ELP_STAGE_CAP_FRACTION = 8
 # Sort-and-batch batch size for error-profile traces
 # (Auncel/IVF_pro.h:54: bs = 250).
 TRACE_BATCH_SIZE = 250
+
+# Online bounded search fuses the stages with nprobe <= this value into
+# one bucketed scan job (the reference's cheap sequential early stages,
+# IndexIVF.cpp:526-536). Over-scan for a query that would stop at stage
+# 1 is bounded by ELP_FUSE_PREFIX - its stop stage lists — small next to
+# the nlist/8 cap — in exchange for log2(prefix) fewer Spark jobs.
+ELP_FUSE_PREFIX = 8

@@ -141,7 +141,12 @@ class SearchIndex:
         else:
             raise AssertionError(t)
         if self.spec.refine:
-            res = knn_by_ids(q, self.base, res.select("qid", "id"), k, self.metric)
+            # refine in TRANSFORMED space (faiss keeps the refine Flat
+            # storage inside IndexPreTransform): q is already
+            # transformed, so re-rank against tbase — using the raw
+            # base would compare vectors of different dimension after
+            # PCA, or silently wrong distances after OPQ/RR.
+            res = knn_by_ids(q, self.tbase, res.select("qid", "id"), k, self.metric)
         return res
 
     @property

@@ -148,17 +148,22 @@ class IVFIndex:
     def probes_df(
         self, queries: DataFrame, nprobe: int
     ) -> tuple[DataFrame, np.ndarray, np.ndarray, list[int]]:
-        qrows = queries.select("qid", "vec").collect()
-        qids = np.array([r["qid"] for r in qrows], dtype=np.int64)
-        qmat = np.array([r["vec"] for r in qrows], dtype=np.float64)
+        qpdf = queries.select("qid", "vec").toPandas()
+        qids = qpdf["qid"].to_numpy(dtype=np.int64)
+        qmat = np.array(list(qpdf["vec"]), dtype=np.float64)
         lists, _ = self.coarse_rank(qids, qmat, nprobe)
+        nq, npb = lists.shape
+        # Arrow-path createDataFrame: at nq=100k, nprobe=128 a Python
+        # tuple list would stall the driver; a columnar pandas frame
+        # ships as Arrow batches.
         probes = self.spark.createDataFrame(
-            [
-                (int(qids[i]), int(lists[i, j]), j)
-                for i in range(len(qids))
-                for j in range(lists.shape[1])
-            ],
-            "qid bigint, list_no int, rank int",
+            pd.DataFrame(
+                {
+                    "qid": np.repeat(qids, npb),
+                    "list_no": lists.ravel().astype(np.int32),
+                    "rank": np.tile(np.arange(npb, dtype=np.int32), nq),
+                }
+            )
         )
         return probes, qids, qmat, sorted({int(x) for x in np.unique(lists)})
 
@@ -171,11 +176,31 @@ class IVFIndex:
         nprobe: int,
         qid_col: str = "qid",
         vec_col: str = "vec",
+        strategy: str = "gemm",
     ) -> DataFrame:
-        """Fixed-nprobe IVF-Flat search. Returns (qid, pos, id, dist)."""
+        """Fixed-nprobe IVF-Flat search. Returns (qid, pos, id, dist).
+
+        strategy="gemm" (default): one pass over the pruned lists with
+        the broadcast-queries GEMM kernel (index/scan.py) — each base
+        vector crosses Arrow once no matter how many queries probe its
+        list. strategy="join": the probes-broadcast-join path (vector
+        payload duplicated per probing query; kept for plan tests and
+        as the oracle-shape reference).
+        """
         q = queries.select(F.col(qid_col).alias("qid"), F.col(vec_col).alias("vec"))
-        probes, qids, qmat, probed = self.probes_df(q, nprobe)
-        partial = self._scan_lists(probes, qids, qmat, k, probed_lists=probed)
+        if strategy == "join":
+            probes, qids, qmat, probed = self.probes_df(q, nprobe)
+            partial = self._scan_lists(probes, qids, qmat, k, probed_lists=probed)
+        else:
+            from auncel_spark.index.scan import scan_window
+
+            qpdf = q.toPandas()
+            qids = qpdf["qid"].to_numpy(dtype=np.int64)
+            qmat = np.array(list(qpdf["vec"]), dtype=np.float64)
+            ranked, _ = self.coarse_rank(qids, qmat, nprobe)
+            partial = scan_window(
+                self.data, qids, qmat, ranked, 0, nprobe, k, self.metric, self.nlist
+            )
         return topk_per_query(partial, k).select("qid", "pos", "id", "dist")
 
     def search_with_stats(
@@ -192,22 +217,36 @@ class IVFIndex:
         t0 = _time.perf_counter()
         probes, qids, qmat, probed = self.probes_df(q, nprobe)
         t_quant = _time.perf_counter() - t0
-        acc = self.spark.sparkContext.accumulator(0)
-        self._ndis_acc = acc
         t1 = _time.perf_counter()
         partial = self._scan_lists(probes, qids, qmat, k, probed_lists=probed)
         res = topk_per_query(partial, k).select("qid", "pos", "id", "dist").cache()
         res.count()
         t_search = _time.perf_counter() - t1
-        self._ndis_acc = None
+        # ndis = rows of the pruned join, counted as an aggregation —
+        # exact and retry-safe, unlike an accumulator bumped inside a
+        # transformation (speculative/retried tasks double-count).
+        ndis = self._pruned_join(probes, probed).count()
         return res, {
             "nq": int(len(qids)),
             "nprobe": int(nprobe),
             "nlists_scanned": len(probed),
-            "ndis": int(acc.value),
+            "ndis": int(ndis),
             "quantization_time_s": round(t_quant, 4),
             "search_time_s": round(t_search, 4),
         }
+
+    def _pruned_join(
+        self, probes: DataFrame, probed_lists: list[int] | None
+    ) -> DataFrame:
+        """Partition-pruned lists × broadcast probes — the rows an
+        exhaustive scanner would visit (one row per (query, candidate)
+        distance computation)."""
+        if probed_lists is None:
+            probed_lists = sorted(
+                {int(r["list_no"]) for r in probes.select("list_no").distinct().collect()}
+            )
+        pruned = self.data.filter(F.col("list_no").isin(probed_lists))
+        return pruned.join(F.broadcast(probes), "list_no").select("qid", "id", "vec")
 
     def _scan_lists(
         self,
@@ -221,26 +260,18 @@ class IVFIndex:
         partition-pruned join + Arrow GEMM kernel emitting per-batch
         partial top-k. ``probed_lists`` skips a distinct-collect job
         when the caller already knows the probe set."""
-        if probed_lists is None:
-            probed_lists = sorted(
-                {int(r["list_no"]) for r in probes.select("list_no").distinct().collect()}
-            )
-        pruned = self.data.filter(F.col("list_no").isin(probed_lists))
-        joined = pruned.join(F.broadcast(probes), "list_no").select("qid", "id", "vec")
+        joined = self._pruned_join(probes, probed_lists)
 
         bc = self.spark.sparkContext.broadcast(
             (qids, qmat, {int(q): i for i, q in enumerate(qids)})
         )
         is_l2 = self.metric == Metric.L2
-        ndis_acc = getattr(self, "_ndis_acc", None)
 
         def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             _, bq, qpos = bc.value
             for pdf in batches:
                 if pdf.empty:
                     continue
-                if ndis_acc is not None:
-                    ndis_acc.add(len(pdf))
                 out_q, out_i, out_d = [], [], []
                 for qid, grp in pdf.groupby("qid"):
                     qv = bq[qpos[int(qid)]]

@@ -124,6 +124,19 @@ class IVFPQIndex(IVFIndex):
             meta["by_residual"],
         )
 
+    def search(
+        self,
+        queries: DataFrame,
+        k: int,
+        nprobe: int,
+        qid_col: str = "qid",
+        vec_col: str = "vec",
+        strategy: str = "join",
+    ) -> DataFrame:
+        # the lists table stores codes, not vectors — route through the
+        # ADC _scan_lists override rather than the raw-vector GEMM path
+        return super().search(queries, k, nprobe, qid_col, vec_col, strategy="join")
+
     def _scan_lists(
         self,
         probes: DataFrame,

@@ -101,6 +101,19 @@ class IVFSQIndex(IVFIndex):
             Metric(meta["metric"]),
         )
 
+    def search(
+        self,
+        queries: DataFrame,
+        k: int,
+        nprobe: int,
+        qid_col: str = "qid",
+        vec_col: str = "vec",
+        strategy: str = "join",
+    ) -> DataFrame:
+        # lists store SQ codes — route through the decode _scan_lists
+        # override, not the raw-vector GEMM path
+        return super().search(queries, k, nprobe, qid_col, vec_col, strategy="join")
+
     def _scan_lists(
         self,
         probes: DataFrame,

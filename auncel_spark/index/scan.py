@@ -1,0 +1,301 @@
+"""Broadcast-queries GEMM scan kernels over IVF posting lists.
+
+Reference: the InvertedListScanner loop (``Auncel/IndexIVF.cpp:439-475``)
+visits each probed list once and scores its vectors against the ONE
+query owning the scan. The round-1 Spark translation joined probes to
+lists, which duplicates every base vector per probing query — at 5000
+training queries over a 1M corpus that is 5·10⁹ joined rows (~4 TB of
+vector payload through Arrow). These kernels restore the reference's
+asymptotics, distributed:
+
+- the (pruned) lists table is scanned ONCE — each vector crosses the
+  Arrow boundary exactly one time regardless of how many queries probe
+  its list;
+- the query matrix + a per-query list→rank table are broadcast (a few
+  MB at nq=5000, nlist=1024 — shard bigger query batches);
+- each task computes real BLAS GEMMs (list block × all probing queries)
+  and keeps a running per-query top-k in numpy, emitting one partial
+  top-k per task, not per (query, list);
+- a window reduce (operators/topk.py) merges task partials.
+
+Two modes:
+
+``scan_window``    score lists whose per-query rank is in [lo, hi) — the
+    fixed-nprobe search and the ELP per-stage delta scan.
+
+``scan_bucketed``  one pass emitting partials per (query, stage bucket),
+    where bucket si covers ranks [stages[si-1], stages[si]) — the ELP
+    training sweep (every stage's state from ONE job, the stage-fusion
+    the reference gets for free inside its sequential loop,
+    ``IndexIVF.cpp:526-536``) and the fused early stages of the online
+    bounded search.
+
+Shuffle volume is O(tasks · touched-queries · k), independent of corpus
+size; scan I/O is the pruned lists, once.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pyarrow as pa
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from auncel_spark.config import Metric
+
+WINDOW_SCHEMA = "qid bigint, id bigint, dist double"
+BUCKET_SCHEMA = "qid bigint, si int, id bigint, dist double"
+
+
+def _inv_rank(ranked: np.ndarray, nlist: int, width: int) -> np.ndarray:
+    """rank of each list per query, ``nlist`` (sentinel = never probed)
+    for lists outside ranked[:, :width]."""
+    nq = ranked.shape[0]
+    width = min(width, ranked.shape[1])
+    inv = np.full((nq, nlist), nlist, dtype=np.int32)
+    rows = np.repeat(np.arange(nq), width)
+    inv[rows, ranked[:, :width].ravel()] = np.tile(
+        np.arange(width, dtype=np.int32), nq
+    )
+    return inv
+
+
+def _batch_arrays(batch: pa.RecordBatch):
+    ids = batch.column(0).to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+    vc = batch.column(1)
+    n = len(vc)
+    flat = vc.flatten().to_numpy(zero_copy_only=False)
+    mat = np.asarray(flat, dtype=np.float64).reshape(n, -1)
+    lns = batch.column(2).to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+    return ids, mat, lns
+
+
+def _merge_rows(
+    state_d: np.ndarray,
+    state_i: np.ndarray,
+    rows: np.ndarray,
+    new_d: np.ndarray,
+    new_i: np.ndarray,
+) -> None:
+    """Fold (ns × kk) fresh candidates into the running top-k of the
+    selected state rows. Vectorized per-row (dist, id) lexsort: stable
+    argsort by id, then stable argsort by dist."""
+    d = np.concatenate([state_d[rows], new_d], axis=1)
+    i = np.concatenate([state_i[rows], new_i], axis=1)
+    o1 = np.argsort(i, axis=1, kind="stable")
+    d = np.take_along_axis(d, o1, axis=1)
+    i = np.take_along_axis(i, o1, axis=1)
+    o2 = np.argsort(d, axis=1, kind="stable")[:, : state_d.shape[1]]
+    state_d[rows] = np.take_along_axis(d, o2, axis=1)
+    state_i[rows] = np.take_along_axis(i, o2, axis=1)
+
+
+def _group_topk(
+    dist: np.ndarray, ids: np.ndarray, k: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Per-row top-k of a (ns × nL) distance block with global (dist,
+    id) tie-break — the per-list partial heap."""
+    kk = min(k, dist.shape[1])
+    sel = np.lexsort((np.broadcast_to(ids, dist.shape), dist), axis=1)[:, :kk]
+    return np.take_along_axis(dist, sel, axis=1), ids[sel]
+
+
+def _dist_block(
+    qmat_sel: np.ndarray, qn_sel: np.ndarray, mat: np.ndarray, metric: Metric
+) -> np.ndarray:
+    dots = qmat_sel @ mat.T
+    if metric == Metric.L2:
+        return qn_sel[:, None] + (mat * mat).sum(axis=1)[None, :] - 2.0 * dots
+    return -dots
+
+
+def _pruned(data: DataFrame, probed_lists: list[int]) -> DataFrame:
+    return (
+        data.filter(F.col("list_no").isin(probed_lists))
+        .select("id", "vec", F.col("list_no").cast("long"))
+    )
+
+
+def scan_window(
+    data: DataFrame,
+    qids: np.ndarray,
+    qmat: np.ndarray,
+    ranked: np.ndarray,
+    lo: int,
+    hi: int,
+    k: int,
+    metric: Metric,
+    nlist: int,
+    active: np.ndarray | None = None,
+) -> DataFrame:
+    """Partial top-k (qid, id, dist) over lists ranked [lo, hi) per
+    query. Callers window-reduce with ``topk_per_query``."""
+    spark = data.sparkSession
+    nq = len(qids)
+    hi = min(hi, ranked.shape[1], nlist)
+    if active is None:
+        active = np.ones(nq, dtype=bool)
+    act = np.where(active)[0]
+    if len(act) == 0 or hi <= lo:
+        return spark.createDataFrame([], WINDOW_SCHEMA)
+    inv = _inv_rank(ranked, nlist, hi)
+    probed = sorted({int(x) for x in np.unique(ranked[act, lo:hi])})
+    bc = spark.sparkContext.broadcast(
+        (qids, np.asarray(qmat, dtype=np.float64), inv, active.copy())
+    )
+
+    def scan(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        bqids, bq, binv, bact = bc.value
+        qn = (bq * bq).sum(axis=1)
+        state_d = state_i = None
+        touched = np.zeros(len(bqids), dtype=bool)
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            if state_d is None:
+                state_d = np.full((len(bqids), k), np.inf)
+                state_i = np.full((len(bqids), k), -1, dtype=np.int64)
+            ids, mat, lns = _batch_arrays(batch)
+            for ln in np.unique(lns):
+                r = binv[:, int(ln)]
+                sel = np.where(bact & (r >= lo) & (r < hi))[0]
+                if len(sel) == 0:
+                    continue
+                m = lns == ln
+                dist = _dist_block(bq[sel], qn[sel], mat[m], metric)
+                nd, ni = _group_topk(dist, ids[m], k)
+                _merge_rows(state_d, state_i, sel, nd, ni)
+                touched[sel] = True
+        if state_d is None or not touched.any():
+            return
+        t = np.where(touched)[0]
+        keep = state_i[t] >= 0
+        yield pa.RecordBatch.from_pydict(
+            {
+                "qid": np.repeat(bqids[t], k)[keep.ravel()],
+                "id": state_i[t].ravel()[keep.ravel()],
+                "dist": state_d[t].ravel()[keep.ravel()],
+            }
+        )
+
+    return _pruned(data, probed).mapInArrow(scan, schema=WINDOW_SCHEMA)
+
+
+def scan_bucketed(
+    data: DataFrame,
+    qids: np.ndarray,
+    qmat: np.ndarray,
+    ranked: np.ndarray,
+    stages: list[int],
+    k: int,
+    metric: Metric,
+    nlist: int,
+    active: np.ndarray | None = None,
+) -> DataFrame:
+    """Partial top-k per (qid, stage bucket) in ONE scan. Bucket si
+    covers list ranks [stages[si-1], stages[si]) (stages[-1] exclusive
+    overall); cumulative stage states are reassembled by merging buckets
+    0..si in order (``assemble_states``)."""
+    spark = data.sparkSession
+    nq = len(qids)
+    smax = min(stages[-1], ranked.shape[1], nlist)
+    if active is None:
+        active = np.ones(nq, dtype=bool)
+    act = np.where(active)[0]
+    if len(act) == 0 or smax <= 0:
+        return spark.createDataFrame([], BUCKET_SCHEMA)
+    inv = _inv_rank(ranked, nlist, smax)
+    # bucket of rank r: index of first stage > r
+    bucket_of_rank = np.searchsorted(np.asarray(stages), np.arange(smax), side="right")
+    nb = len(stages)
+    probed = sorted({int(x) for x in np.unique(ranked[act, :smax])})
+    bc = spark.sparkContext.broadcast(
+        (
+            qids,
+            np.asarray(qmat, dtype=np.float64),
+            inv,
+            active.copy(),
+            bucket_of_rank.astype(np.int32),
+        )
+    )
+
+    def scan(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        bqids, bq, binv, bact, brank2b = bc.value
+        qn = (bq * bq).sum(axis=1)
+        state_d = state_i = None
+        touched = np.zeros((len(bqids), nb), dtype=bool)
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            if state_d is None:
+                state_d = np.full((len(bqids), nb, k), np.inf)
+                state_i = np.full((len(bqids), nb, k), -1, dtype=np.int64)
+            ids, mat, lns = _batch_arrays(batch)
+            for ln in np.unique(lns):
+                r = binv[:, int(ln)]
+                sel = np.where(bact & (r < smax))[0]
+                if len(sel) == 0:
+                    continue
+                m = lns == ln
+                dist = _dist_block(bq[sel], qn[sel], mat[m], metric)
+                nd, ni = _group_topk(dist, ids[m], k)
+                si = brank2b[r[sel]]
+                for b in np.unique(si):
+                    rows = sel[si == b]
+                    pick = si == b
+                    _merge_rows(
+                        state_d[:, b, :], state_i[:, b, :], rows, nd[pick], ni[pick]
+                    )
+                    touched[rows, b] = True
+        if state_d is None or not touched.any():
+            return
+        tq, tb = np.where(touched)
+        keep = state_i[tq, tb] >= 0  # (nt, k)
+        yield pa.RecordBatch.from_pydict(
+            {
+                "qid": np.repeat(bqids[tq], k)[keep.ravel()],
+                "si": np.repeat(tb.astype(np.int32), k)[keep.ravel()],
+                "id": state_i[tq, tb].ravel()[keep.ravel()],
+                "dist": state_d[tq, tb].ravel()[keep.ravel()],
+            }
+        )
+
+    return _pruned(data, probed).mapInArrow(scan, schema=BUCKET_SCHEMA)
+
+
+def reduce_bucketed(partial: DataFrame, k: int) -> "pd.DataFrame":
+    """Global top-k per (qid, bucket) from task partials, collected via
+    Arrow. Result size ≤ nq · nbuckets · k rows."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("qid", "si").orderBy(
+        F.col("dist").asc(), F.col("id").asc()
+    )
+    return (
+        partial.withColumn("pos", F.row_number().over(w) - 1)
+        .filter(F.col("pos") < k)
+        .toPandas()
+    )
+
+
+def assemble_states(
+    pdf, qids: np.ndarray, nb: int, k: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """(nq, nb, k) per-BUCKET dist/id arrays from a reduce_bucketed
+    frame (cumulative merging is the caller's loop)."""
+    import pandas as pd  # noqa: F401
+
+    nq = len(qids)
+    arr_d = np.full((nq, nb, k), np.inf)
+    arr_i = np.full((nq, nb, k), -1, dtype=np.int64)
+    if len(pdf) == 0:
+        return arr_d, arr_i
+    qpos = {int(q): i for i, q in enumerate(qids)}
+    qi = pdf["qid"].map(qpos).to_numpy(dtype=np.int64)
+    arr_d[qi, pdf["si"].to_numpy(), pdf["pos"].to_numpy()] = pdf["dist"].to_numpy()
+    arr_i[qi, pdf["si"].to_numpy(), pdf["pos"].to_numpy()] = pdf["id"].to_numpy(
+        dtype=np.int64
+    )
+    return arr_d, arr_i

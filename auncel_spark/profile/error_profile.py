@@ -83,9 +83,9 @@ class ErrorProfile:
         return out
 
     def _coarse(self, queries: DataFrame):
-        q = queries.select("qid", "vec").collect()
-        qids = np.array([r["qid"] for r in q], dtype=np.int64)
-        qmat = np.array([r["vec"] for r in q], dtype=np.float64)
+        qpdf = queries.select("qid", "vec").toPandas()
+        qids = qpdf["qid"].to_numpy(dtype=np.int64)
+        qmat = np.array(list(qpdf["vec"]), dtype=np.float64)
         ranked, cdist = self.index.coarse_rank(qids, qmat, self.index.nlist)
         dtb = boundary_distances(cdist, ranked, self.index.interdis, self.index.metric)
         return qids, qmat, ranked, cdist, dtb
@@ -99,31 +99,32 @@ class ErrorProfile:
         lo: int,
         hi: int,
     ) -> pd.DataFrame:
-        """Distributed scan of lists ranked [lo, hi) for active queries."""
+        """Distributed scan of lists ranked [lo, hi) for active queries
+        — broadcast-queries GEMM kernel; each pruned list vector crosses
+        Arrow once, not once per probing query."""
+        from auncel_spark.index.scan import scan_window
+        from auncel_spark.operators.topk import topk_per_query
+
         act = np.where(active)[0]
         hi_eff = min(hi, ranked.shape[1])
         if len(act) == 0 or hi_eff <= lo:
             return pd.DataFrame(columns=["qid", "id", "dist"])
-        width = hi_eff - lo
-        sub = ranked[act, lo:hi_eff]
-        probe_pdf = pd.DataFrame(
-            {
-                "qid": np.repeat(qids[act], width),
-                "list_no": sub.ravel().astype(np.int32),
-                "rank": np.tile(np.arange(lo, hi_eff, dtype=np.int32), len(act)),
-            }
-        )
-        probes = self.index.spark.createDataFrame(probe_pdf)  # Arrow path
-        probed = sorted({int(x) for x in np.unique(sub)})
-        part = self.index._scan_lists(
-            probes, qids[act], qmat[act], self.max_topk, probed_lists=probed
+        part = scan_window(
+            self.index.data,
+            qids,
+            qmat,
+            ranked,
+            lo,
+            hi_eff,
+            self.max_topk,
+            self.index.metric,
+            self.index.nlist,
+            active=active,
         )
         # reduce distributed BEFORE collecting: per-partition partials
         # are nq·k rows EACH — at hundreds of partitions the raw
         # collect blows spark.driver.maxResultSize. One window pass
         # caps the driver transfer at nq·max_topk rows per stage.
-        from auncel_spark.operators.topk import topk_per_query
-
         reduced = topk_per_query(part, self.max_topk).select("qid", "id", "dist")
         return reduced.toPandas()
 
@@ -234,25 +235,59 @@ class ErrorProfile:
         self.multipler, self.std_m = best["multipler"], best["std_m"]
         return best
 
-    def _sweep_states(self, queries: DataFrame, stages: list[int]) -> dict:
-        """One cumulative delta-scan pass; snapshots the running top-k
-        after every stage. Shared by fit (trace extraction needs every
-        stage) and calibrate (stop-rule simulation replays stages in
-        numpy with zero extra Spark jobs)."""
+    def _sweep_states(
+        self, queries: DataFrame, stages: list[int], qshard: int = 4096
+    ) -> dict:
+        """Every stage's running top-k from ONE bucketed scan job (per
+        query shard): the kernel emits per-(query, stage-bucket) task
+        partials, a window reduces them globally, and the cumulative
+        per-stage states are assembled by merging buckets in order on
+        the driver (nq·nstages·k floats — the same state the reference
+        accumulates inside its sequential loop). Shared by fit (trace
+        extraction needs every stage) and calibrate (stop-rule
+        simulation replays stages in numpy with zero extra Spark jobs).
+
+        ``qshard`` bounds broadcast (inv_rank is nq·nlist int32) and
+        kernel-state size per task; shards run as separate jobs over the
+        same pruned scan.
+        """
+        from auncel_spark.index.scan import (
+            assemble_states,
+            reduce_bucketed,
+            scan_bucketed,
+        )
+
         qids, qmat, ranked, cdist, dtb = self._coarse(queries)
         nq = len(qids)
-        qpos = {int(q): i for i, q in enumerate(qids)}
+        nb = len(stages)
+        arr_d = np.empty((nq, nb, self.max_topk))
+        arr_i = np.empty((nq, nb, self.max_topk), dtype=np.int64)
+        for s0 in range(0, nq, qshard):
+            sl = slice(s0, min(s0 + qshard, nq))
+            part = scan_bucketed(
+                self.index.data,
+                qids[sl],
+                qmat[sl],
+                ranked[sl],
+                stages,
+                self.max_topk,
+                self.index.metric,
+                self.index.nlist,
+            )
+            pdf = reduce_bucketed(part, self.max_topk)
+            d, i = assemble_states(pdf, qids[sl], nb, self.max_topk)
+            arr_d[sl], arr_i[sl] = d, i
+        # cumulative merge: state after stage si = best-k over buckets 0..si
+        from auncel_spark.index.scan import _merge_rows
+
         state_d = np.full((nq, self.max_topk), np.inf)
         state_i = np.full((nq, self.max_topk), -1, dtype=np.int64)
-        active = np.ones(nq, dtype=bool)
+        allrows = np.arange(nq)
         states_d, states_i = [], []
-        prev = 0
-        for s in stages:
-            new = self._scan_delta(qids, qmat, ranked, active, prev, s)
-            self._merge_state(state_d, state_i, new, qpos)
+        for si in range(nb):
+            _merge_rows(state_d, state_i, allrows, arr_d[:, si], arr_i[:, si])
             states_d.append(state_d.copy())
             states_i.append(state_i.copy())
-            prev = s
         return {
             "qids": qids,
             "dtb": dtb,
@@ -337,6 +372,14 @@ class ErrorProfile:
         """
         if not self.traces:
             raise RuntimeError("ErrorProfile.fit must run before search")
+        from auncel_spark.config import ELP_FUSE_PREFIX
+        from auncel_spark.index.scan import (
+            _merge_rows,
+            assemble_states,
+            reduce_bucketed,
+            scan_bucketed,
+        )
+
         qids, qmat, ranked, cdist, dtb = self._coarse(queries)
         nq = len(qids)
         acc = np.broadcast_to(np.asarray(require_acc, dtype=np.float64), (nq,)).copy()
@@ -355,14 +398,32 @@ class ErrorProfile:
 
         stages = self._stages()
         cap = stages[-1]
+        # stage fusion: scan all stages <= ELP_FUSE_PREFIX as ONE
+        # bucketed job up front; the per-stage loop then replays those
+        # stages from the bucket arrays (merging only still-active
+        # queries — exactly the unfused semantics) with zero extra jobs.
+        fused = [st for st in stages if st <= ELP_FUSE_PREFIX]
+        nbf = len(fused) if len(fused) > 1 else 0
+        if nbf:
+            fpart = scan_bucketed(
+                self.index.data, qids, qmat, ranked, fused,
+                self.max_topk, self.index.metric, self.index.nlist,
+            )
+            fused_d, fused_i = assemble_states(
+                reduce_bucketed(fpart, self.max_topk), qids, nbf, self.max_topk
+            )
         prev = 0
         s = 1
         si = 0
         while s <= self.index.nlist:
             if not active.any():
                 break
-            new = self._scan_delta(qids, qmat, ranked, active, prev, s)
-            self._merge_state(state_d, state_i, new, qpos)
+            if si < nbf:
+                rows = np.where(active)[0]
+                _merge_rows(state_d, state_i, rows, fused_d[rows, si], fused_i[rows, si])
+            else:
+                new = self._scan_delta(qids, qmat, ranked, active, prev, s)
+                self._merge_state(state_d, state_i, new, qpos)
             undecided = active & (target == 0)
             act = np.where(undecided)[0]
             if len(act) > 0:
@@ -589,14 +650,21 @@ class ErrorProfile:
     def _state_to_df(
         self, qids: np.ndarray, state_d: np.ndarray, state_i: np.ndarray, topk: int
     ) -> DataFrame:
-        rows = []
-        for i, q in enumerate(qids):
-            for p in range(min(topk, state_d.shape[1])):
-                if state_i[i, p] < 0:
-                    continue
-                rows.append((int(q), p, int(state_i[i, p]), float(state_d[i, p])))
+        """Columnar (Arrow) result materialization — a Python tuple list
+        here is nq·topk driver objects per shard."""
+        kk = min(topk, state_d.shape[1])
+        ids = state_i[:, :kk]
+        mask = (ids >= 0).ravel()
+        pdf = pd.DataFrame(
+            {
+                "qid": np.repeat(qids, kk)[mask],
+                "pos": np.tile(np.arange(kk, dtype=np.int32), len(qids))[mask],
+                "id": ids.ravel()[mask],
+                "dist": state_d[:, :kk].ravel()[mask],
+            }
+        )
         return self.index.spark.createDataFrame(
-            rows, "qid bigint, pos int, id bigint, dist double"
+            pdf, "qid bigint, pos int, id bigint, dist double"
         )
 
     # ------------------------------------------------------------------

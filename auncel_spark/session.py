@@ -28,9 +28,20 @@ def get_spark(
     if shuffle_partitions is None:
         shuffle_partitions = cpus
 
+    builder = SparkSession.builder
+    # Respect a cluster master from spark-submit (spark.master conf) or
+    # an explicit SPARK_MASTER env; default to local[N] only when
+    # nothing else is configured.
+    env_master = os.environ.get("SPARK_MASTER")
+    if env_master:
+        builder = builder.master(env_master)
+    elif SparkSession.getActiveSession() is None:
+        from pyspark import SparkConf
+
+        if not SparkConf().contains("spark.master"):
+            builder = builder.master(f"local[{cpus}]")
     builder = (
-        SparkSession.builder.master(f"local[{cpus}]")
-        .appName(app_name)
+        builder.appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
