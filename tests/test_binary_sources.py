@@ -108,3 +108,66 @@ def test_fbin_reader(spark, tmp_path):
     back = read_fbin(spark, p)
     got = np.array([r["vec"] for r in back.orderBy("id").collect()], dtype=np.float32)
     np.testing.assert_allclose(got, mat, rtol=0)
+
+
+def test_fvecs_dist_roundtrip_multipartition(spark, tmp_path):
+    """Executor-side part-file export + chunk-planned import, no driver
+    collect anywhere (VERDICT round-1 item 7)."""
+    from auncel_spark.sources.fvecs import read_fvecs, write_fvecs_dist
+
+    rng = np.random.default_rng(3)
+    mat = rng.standard_normal((500, 12)).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in mat[i]]) for i in range(500)],
+        "id bigint, vec array<float>",
+    ).repartition(6)
+    out = str(tmp_path / "dist_export")
+    parts = write_fvecs_dist(df, out)
+    assert sum(n for _, n in parts) == 500
+    assert len(parts) >= 2  # genuinely multi-partition
+    back = read_fvecs(spark, out)
+    got = np.array(
+        sorted(tuple(r["vec"]) for r in back.collect()), dtype=np.float32
+    )
+    want = np.array(sorted(tuple(r) for r in mat), dtype=np.float32)
+    np.testing.assert_allclose(got, want, rtol=0)
+
+
+def test_fvecs_chunked_read_of_one_big_file(spark, tmp_path):
+    """A single file larger than chunk_bytes splits into several
+    byte-range tasks with globally consistent sequential ids
+    (split.cpp:60-145 parity)."""
+    import struct as _struct
+
+    from auncel_spark.sources.fvecs import read_fvecs
+
+    rng = np.random.default_rng(4)
+    n, d = 300, 8
+    mat = rng.standard_normal((n, d)).astype(np.float32)
+    p = str(tmp_path / "big.fvecs")
+    with open(p, "wb") as f:
+        for row in mat:
+            f.write(_struct.pack("<i", d))
+            f.write(row.tobytes())
+    rec = 4 + d * 4
+    back = read_fvecs(spark, p, chunk_bytes=rec * 64)  # ~5 chunks
+    rows = back.collect()
+    assert len(rows) == n
+    ids = sorted(r["id"] for r in rows)
+    assert ids == list(range(ids[0], ids[0] + n))  # contiguous ids
+    by_id = {r["id"]: np.asarray(r["vec"], dtype=np.float32) for r in rows}
+    got = np.stack([by_id[i] for i in ids])
+    np.testing.assert_allclose(got, mat, rtol=0)
+
+
+def test_fvecs_truncated_file_rejected(spark, tmp_path):
+    import struct as _struct
+
+    from auncel_spark.sources.fvecs import read_fvecs
+
+    p = str(tmp_path / "trunc.fvecs")
+    with open(p, "wb") as f:
+        f.write(_struct.pack("<i", 8))
+        f.write(b"\x00" * 20)  # 8 floats promised, 5 bytes short
+    with pytest.raises(Exception):
+        read_fvecs(spark, p).collect()

@@ -164,3 +164,22 @@ def test_opq_improves_pq_reconstruction(base_df, tiny_vectors):
     err_rot = ((pq_rot.decode_np(pq_rot.encode_np(xr)) - xr) ** 2).sum(1).mean()
     # rotation is orthonormal: errors comparable in the same geometry
     assert err_rot <= err_plain * 1.15
+
+
+def test_transform_plus_rflat_refines_in_transformed_space(base_df, query_df, tiny_vectors):
+    """ADVICE round-1: with a PCA chain, the RFlat re-rank must use the
+    TRANSFORMED base (faiss keeps refine storage inside
+    IndexPreTransform) — against the raw base the dims don't even
+    match. End-to-end: a dim-reducing chain + RFlat must return the
+    exact top-k of the transformed space."""
+    from auncel_spark.config import Metric
+    from auncel_spark.index.factory import build_index
+    from auncel_spark.operators.knn import knn_exact
+
+    si = build_index(base_df, "PCA8,IVF8,Flat,RFlat")
+    res = si.search(query_df, 5, nprobe=8)  # full probe -> candidates exact
+    tq = si.chain.apply(query_df, vec_col="vec")
+    want = knn_exact(tq, si.tbase, 5, Metric.L2, "gemm")
+    got = {(r["qid"], r["pos"]): r["id"] for r in res.collect()}
+    exp = {(r["qid"], r["pos"]): r["id"] for r in want.collect()}
+    assert got == exp
