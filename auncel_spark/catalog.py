@@ -277,6 +277,7 @@ def q_bounded_bound_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 JACCARD_T = 0.2
 COS_T = 0.4
 N_MINHASH = 8
+NGRAM_MAX_DF = 500  # ngram_jaccard stop-shingle document-frequency cap
 ANN_K = 5
 
 
@@ -303,7 +304,9 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from auncel_spark.operators.dedup import ngram_jaccard
 
-    out = ngram_jaccard(load(spark, sf_dir, "documents"), threshold=JACCARD_T)
+    out = ngram_jaccard(
+        load(spark, sf_dir, "documents"), threshold=JACCARD_T, max_doc_freq=NGRAM_MAX_DF
+    )
     return out.select(
         "id_a", "id_b", F.floor(F.col("jaccard") * 1e6).cast("bigint").alias("jaccard_u")
     )
@@ -325,6 +328,27 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from auncel_spark.operators.dedup import embedding_near_dup
 
     out = embedding_near_dup(load(spark, sf_dir, "embeddings"), threshold=COS_T)
+    return out.select("id_a", "id_b", F.round("cos", 6).alias("cos"))
+
+
+def q_embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB path of embedding near-dup (sign-LSH buckets +
+    multi-probe + exact verify) exercised explicitly — and made
+    oracle-checkable despite LSH being approximate: the corpus is
+    unioned with an exact clone of itself at id+1,000,000. Identical
+    vectors land in identical buckets, so LSH recall on the planted
+    pairs is exactly 1; the fixtures' natural pairs top out at cos
+    ≈ 0.51 (below the 0.9 threshold), so the result is precisely one
+    (i, i+10⁶, 1.0) row per vector — pure SQL on the oracle side,
+    while the Spark side runs the full bucketize → multi-probe →
+    bucket-join → exact-verify plan."""
+    from auncel_spark.operators.dedup import embedding_near_dup_lsh
+
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    clones = emb.select(
+        (F.col("vec_id") + F.lit(1_000_000)).alias("vec_id"), "embedding"
+    )
+    out = embedding_near_dup_lsh(emb.unionByName(clones), threshold=0.9)
     return out.select("id_a", "id_b", F.round("cos", 6).alias("cos"))
 
 
@@ -923,11 +947,17 @@ FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key AND a.id < b.id
 """
 )
 
+# mirrors ngram_jaccard's document-frequency guard (max_doc_freq=500):
+# stop-shingles are dropped from intersection AND union on both engines
 _ORACLE_NGRAM_JACCARD = (
     _TOK_CTE
     + _SH_CTE
     + f"""
-, ex AS (SELECT id, len(s) AS ns, unnest(s) AS w FROM sh),
+, ex0 AS (SELECT id, unnest(s) AS w FROM sh),
+keep AS (SELECT w FROM ex0 GROUP BY w HAVING count(*) < {NGRAM_MAX_DF}),
+exf AS (SELECT ex0.* FROM ex0 JOIN keep USING (w)),
+sizes AS (SELECT id, count(*) AS ns FROM exf GROUP BY id),
+ex AS (SELECT exf.id, sizes.ns, exf.w FROM exf JOIN sizes USING (id)),
 inter AS (
   SELECT a.id AS id_a, b.id AS id_b, count(*) AS ni,
          any_value(a.ns) AS na, any_value(b.ns) AS nb
@@ -1180,6 +1210,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "simhash_fingerprint": q_simhash,
     "simhash_near_pairs": q_simhash_near_pairs,
     "embedding_near_dup": q_embedding_near_dup,
+    "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
     "text_stats": q_text_stats,
     "langid": q_langid,
     "doc_fingerprint": q_doc_fingerprint,
@@ -1228,6 +1259,12 @@ ORACLES: dict[str, str] = {
     "simhash_fingerprint": _ORACLE_SIMHASH,
     "simhash_near_pairs": _ORACLE_SIMHASH_PAIRS,
     "embedding_near_dup": _ORACLE_EMB_NEAR_DUP,
+    # planted-clone protocol (see q_embedding_near_dup_lsh): the
+    # approximate operator's output is exactly the clone pairs
+    "embedding_near_dup_lsh": (
+        "SELECT vec_id AS id_a, vec_id + 1000000 AS id_b, 1.0 AS cos"
+        " FROM embeddings"
+    ),
     "text_stats": _ORACLE_TEXT_STATS,
     "langid": _ORACLE_LANGID,
     "doc_fingerprint": _ORACLE_FINGERPRINT,

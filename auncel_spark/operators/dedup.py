@@ -199,22 +199,45 @@ def ngram_jaccard(
     pairs: DataFrame | None = None,
     shingle_n: int = 3,
     threshold: float = 0.0,
+    max_doc_freq: int | None = 500,
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
     """Jaccard similarity of word-shingle sets. With ``pairs`` given
-    (id_a, id_b — e.g. LSH candidates), verifies only those; otherwise
-    computes all-pairs via a shingle equi-join (never a cross join:
-    only docs sharing ≥1 shingle meet). Returns (id_a, id_b, jaccard)."""
+    (id_a, id_b — e.g. MinHash-LSH candidates), verifies only those;
+    otherwise computes all-pairs via a shingle equi-join (never a cross
+    join: only docs sharing ≥1 shingle meet). Returns
+    (id_a, id_b, jaccard).
+
+    ``max_doc_freq`` guards the self-join against stop-phrase floods: a
+    shingle appearing in f documents emits f² join rows, so boilerplate
+    shared by a million web pages would otherwise produce 10¹² rows
+    from ONE key. Shingles with document frequency ≥ the cap are
+    dropped from BOTH the intersection and the union (standard
+    stop-shingle semantics; the same predicate is applied in the SQL
+    oracle, so results stay exactly reproducible). ``None`` disables
+    the guard — only sensible together with ``pairs``."""
     sh = with_shingles(df, shingle_n, text_col, id_col).select(
-        "id", F.size("sh").alias("n_sh"), F.col("sh")
+        "id", F.col("sh")
     )
     # join on a 64-bit hash of the shingle, not the string: smaller
     # shuffle rows and faster key compares; xxhash64 is engine-internal
     # (never emitted), so oracle portability is unaffected
-    ex = sh.select(
-        "id", "n_sh", F.explode("sh").alias("s")
-    ).select("id", "n_sh", F.xxhash64("s").alias("s"))
+    ex = sh.select("id", F.explode("sh").alias("s")).select(
+        "id", F.xxhash64("s").alias("s")
+    )
+    if pairs is None and max_doc_freq is not None:
+        # shingles are distinct per doc, so count(*) = document
+        # frequency; the semi-join shuffles on the same key as the
+        # self-join below, so it adds no new exchange pattern
+        keep = (
+            ex.groupBy("s").count().filter(F.col("count") < max_doc_freq).select("s")
+        )
+        ex = ex.join(keep, "s", "left_semi")
+    # recompute per-doc set sizes AFTER the frequency guard so the
+    # union term matches the capped intersection term
+    sizes = ex.groupBy("id").agg(F.count("*").alias("n_sh"))
+    ex = ex.join(sizes, "id")
     # the self-join references ex twice; without persisting, Spark
     # re-runs the whole shingle pipeline for each side
     ex = ex.persist()
@@ -331,11 +354,32 @@ def embedding_near_dup(
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    brute_max_rows: int = 50_000,
+) -> DataFrame:
+    """Pairs with cosine ≥ threshold. DEFAULT behavior is size-aware:
+    corpora up to ``brute_max_rows`` take the exact brute path (one
+    broadcast GEMM per partition — also the SQL-oracle shape); anything
+    larger automatically routes through ``embedding_near_dup_lsh``, the
+    bucketed scale path (the brute variant collects all vectors to the
+    driver, which is a scale-killer — VERDICT r01). Returns
+    (id_a, id_b, cos)."""
+    if df.count() > brute_max_rows:
+        return embedding_near_dup_lsh(
+            df, threshold=threshold, id_col=id_col, vec_col=vec_col
+        )
+    return embedding_near_dup_brute(df, threshold, id_col, vec_col)
+
+
+def embedding_near_dup_brute(
+    df: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
 ) -> DataFrame:
     """All pairs with cosine ≥ threshold (brute pairwise — the
-    small-corpus oracle path; use ``embedding_near_dup_lsh`` at scale).
-    One float64 GEMM per partition against the broadcast matrix, i < j
-    filtered in the kernel. Returns (id_a, id_b, cos)."""
+    small-corpus oracle path; ``embedding_near_dup_lsh`` is the scale
+    path). One float64 GEMM per partition against the broadcast matrix,
+    i < j filtered in the kernel. Returns (id_a, id_b, cos)."""
     import pandas as pd
     from typing import Iterator
 

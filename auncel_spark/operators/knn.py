@@ -82,41 +82,65 @@ def knn_exact(
 
 
 def _gemm_partial_topk(q: DataFrame, b: DataFrame, k: int, metric: Metric) -> DataFrame:
-    """Per-partition GEMM + argpartition partial top-k (reference BLAS
-    path: ``knn_L2sqr_blas``-equivalent, Auncel/utils.cpp; partial
-    per-thread heaps ``Heap.h:349-480``)."""
+    """Per-partition GEMM + top-k (reference BLAS path:
+    ``knn_L2sqr_blas``-equivalent, Auncel/utils.cpp; partial per-thread
+    heaps ``Heap.h:349-480``). Base rows are processed in blocks sized
+    so the (nq × block) distance matrix stays ~tens of MB (the
+    reference tiles its BLAS calls the same way, bs_x/bs_y), and each
+    task folds blocks into ONE running top-k state, emitting a single
+    partial per task — shuffle volume O(tasks·nq·k), any corpus size."""
     spark = q.sparkSession
-    qrows = q.collect()  # queries only — the small side, like the reference's xq
-    qids = np.array([r["qid"] for r in qrows], dtype=np.int64)
-    qmat = np.array([r["_qvec"] for r in qrows], dtype=np.float64)
+    qpdf = q.toPandas()  # queries only — the small side, like the reference's xq
+    qids = qpdf["qid"].to_numpy(dtype=np.int64)
+    qmat = np.array(list(qpdf["_qvec"]), dtype=np.float64)
     bc = spark.sparkContext.broadcast((qids, qmat))
 
     def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from auncel_spark.index.scan import _group_topk, _merge_rows
+
         bqids, bq = bc.value
+        nq = len(bqids)
         q_norms = (bq * bq).sum(axis=1)[:, None]
+        block = max(64, 4_000_000 // max(nq, 1))
+        state_d = state_i = None
+        rows_all = np.arange(nq)
         for pdf in batches:
             if pdf.empty:
                 continue
-            ids = pdf["id"].to_numpy(dtype=np.int64)
-            mat = np.array(list(pdf["_bvec"]), dtype=np.float64)
-            dots = bq @ mat.T  # (nq, nb_part)
-            if metric == Metric.L2:
-                dist = q_norms + (mat * mat).sum(axis=1)[None, :] - 2.0 * dots
-            elif metric == Metric.COSINE:
-                denom = np.sqrt(q_norms) * np.sqrt((mat * mat).sum(axis=1)[None, :])
-                denom[denom == 0] = 1.0
-                dist = -dots / denom
-            else:
-                dist = -dots
-            kk = min(k, dist.shape[1])
-            # partial top-k MUST use the global (dist, id) order — a
-            # bare argpartition breaks ties arbitrarily and can evict a
-            # lower-id candidate that belongs in the global top-k
-            part = np.lexsort((np.broadcast_to(ids, dist.shape), dist), axis=1)[:, :kk]
-            out_qid = np.repeat(bqids, kk)
-            out_id = ids[part].ravel()
-            out_dist = np.take_along_axis(dist, part, axis=1).ravel()
-            yield pd.DataFrame({"qid": out_qid, "id": out_id, "dist": out_dist})
+            if state_d is None:
+                state_d = np.full((nq, k), np.inf)
+                state_i = np.full((nq, k), -1, dtype=np.int64)
+            ids_b = pdf["id"].to_numpy(dtype=np.int64)
+            mat_b = np.array(list(pdf["_bvec"]), dtype=np.float64)
+            for s0 in range(0, len(ids_b), block):
+                ids = ids_b[s0 : s0 + block]
+                mat = mat_b[s0 : s0 + block]
+                dots = bq @ mat.T  # (nq, block)
+                if metric == Metric.L2:
+                    dist = q_norms + (mat * mat).sum(axis=1)[None, :] - 2.0 * dots
+                elif metric == Metric.COSINE:
+                    denom = np.sqrt(q_norms) * np.sqrt(
+                        (mat * mat).sum(axis=1)[None, :]
+                    )
+                    denom[denom == 0] = 1.0
+                    dist = -dots / denom
+                else:
+                    dist = -dots
+                # partial top-k MUST use the global (dist, id) order — a
+                # bare argpartition breaks ties arbitrarily and can evict
+                # a lower-id candidate that belongs in the global top-k
+                nd, ni = _group_topk(dist, ids, k)
+                _merge_rows(state_d, state_i, rows_all, nd, ni)
+        if state_d is None:
+            return
+        keep = (state_i >= 0).ravel()
+        yield pd.DataFrame(
+            {
+                "qid": np.repeat(bqids, k)[keep],
+                "id": state_i.ravel()[keep],
+                "dist": state_d.ravel()[keep],
+            }
+        )
 
     return b.mapInPandas(scan, schema=RESULT_SCHEMA)
 

@@ -182,6 +182,58 @@ class ErrorProfile:
             )
         return self
 
+    def _all_stages(self) -> list[int]:
+        out, s = [], 1
+        while s <= self.index.nlist:
+            out.append(s)
+            s <<= 1
+        return out
+
+    def _traces_from_sweep(self, sweep: dict, gt_dists: np.ndarray) -> None:
+        max_collect = max(1, self.max_topk // 4)
+        self.traces = []
+        for si, st in enumerate(self._stages()):
+            state_d = sweep["states_d"][si]
+            tvals = self._tval(state_d)
+            self.traces.append(
+                self._collect_stage_pairs(
+                    state_d, tvals, gt_dists, sweep["dtb"], st, max_collect
+                )
+            )
+
+    def _calibrate_on_sweep(
+        self,
+        sweep: dict,
+        gt_dists: np.ndarray,
+        topk: int,
+        bound: float,
+        std_m_grid: tuple[float, ...],
+        multipler_grid: tuple[float, ...],
+    ) -> dict:
+        """Grid-fit (multipler, std_m) by replaying stop rules on the
+        pre-scanned sweep states — zero Spark jobs per grid point. Picks
+        the cheapest (mean-nprobe) config whose worst-case training
+        recall meets 1 − bound (eval/bound.cpp:404-414 criterion)."""
+        gt_kth = gt_dists[:, topk - 1]
+        saved = (self.multipler, self.std_m)
+        best = None
+        for mult in multipler_grid:
+            for sm in std_m_grid:
+                self.multipler, self.std_m = mult, sm
+                chosen = self._simulate_targets(sweep, topk, 1.0 - bound)
+                minf, cost = self._simulated_quality(sweep, chosen, topk, gt_kth)
+                if minf >= 1.0 - bound and (best is None or cost < best["cost"]):
+                    best = {"multipler": mult, "std_m": sm, "cost": cost, "minf": minf}
+        self.multipler, self.std_m = saved
+        if best is None:  # fall back to the most conservative setting
+            best = {
+                "multipler": multipler_grid[-1],
+                "std_m": std_m_grid[-1],
+                "cost": float("nan"),
+                "minf": float("nan"),
+            }
+        return best
+
     def fit_and_calibrate(
         self,
         train_queries: DataFrame,
@@ -196,44 +248,39 @@ class ErrorProfile:
         the same snapshots. The sweep's FINAL state covers every list,
         so it IS the exact ground truth — no separate GT scan, and no
         row-alignment hazard (one corpus pass total)."""
-        all_stages = []
-        s = 1
-        while s <= self.index.nlist:
-            all_stages.append(s)
-            s <<= 1
-        sweep = self._sweep_states(train_queries, all_stages)
+        sweep = self._sweep_states(train_queries, self._all_stages())
         if gt_dists is None:
             gt_dists = sweep["states_d"][-1].copy()
         else:
             gt_dists = self._align_gt(gt_dists, sweep["qids"])
-        max_collect = max(1, self.max_topk // 4)
-        self.traces = []
-        for si, st in enumerate(self._stages()):
-            state_d = sweep["states_d"][si]
-            tvals = self._tval(state_d)
-            self.traces.append(
-                self._collect_stage_pairs(
-                    state_d, tvals, gt_dists, sweep["dtb"], st, max_collect
-                )
-            )
-        gt_kth = gt_dists[:, topk - 1]
-        best = None
-        for mult in multipler_grid:
-            for sm in std_m_grid:
-                self.multipler, self.std_m = mult, sm
-                chosen = self._simulate_targets(sweep, topk, 1.0 - bound)
-                minf, cost = self._simulated_quality(sweep, chosen, topk, gt_kth)
-                if minf >= 1.0 - bound and (best is None or cost < best["cost"]):
-                    best = {"multipler": mult, "std_m": sm, "cost": cost, "minf": minf}
-        if best is None:
-            best = {
-                "multipler": multipler_grid[-1],
-                "std_m": std_m_grid[-1],
-                "cost": float("nan"),
-                "minf": float("nan"),
-            }
+        self._traces_from_sweep(sweep, gt_dists)
+        best = self._calibrate_on_sweep(
+            sweep, gt_dists, topk, bound, std_m_grid, multipler_grid
+        )
         self.multipler, self.std_m = best["multipler"], best["std_m"]
         return best
+
+    def fit_and_calibrate_many(
+        self,
+        train_queries: DataFrame,
+        configs: list[tuple[int, float]],
+        std_m_grid: tuple[float, ...] = (1.0, 2.0, 4.0),
+        multipler_grid: tuple[float, ...] = (1.0, 2.0, 4.0, 8.0),
+    ) -> dict:
+        """One sweep, one trace build, N (topk, bound) calibrations —
+        the reference keeps one hyperparameter.txt row per workload
+        (IVF_pro.cpp:240-256); this returns the whole table in one
+        corpus pass. Returns {(topk, bound): best_params}; the caller
+        sets self.multipler/std_m per workload before searching."""
+        sweep = self._sweep_states(train_queries, self._all_stages())
+        gt_dists = sweep["states_d"][-1].copy()
+        self._traces_from_sweep(sweep, gt_dists)
+        return {
+            (topk, bound): self._calibrate_on_sweep(
+                sweep, gt_dists, topk, bound, std_m_grid, multipler_grid
+            )
+            for topk, bound in configs
+        }
 
     def _sweep_states(
         self, queries: DataFrame, stages: list[int], qshard: int = 4096
@@ -503,32 +550,11 @@ class ErrorProfile:
             gt_dists = self._exact_gt(queries)
         # sweep all powers of two up to nlist so multipler targets
         # beyond the cap can be simulated too
-        all_stages = []
-        s = 1
-        while s <= self.index.nlist:
-            all_stages.append(s)
-            s <<= 1
-        sweep = self._sweep_states(queries, all_stages)
+        sweep = self._sweep_states(queries, self._all_stages())
         gt_dists = self._align_gt(gt_dists, sweep["qids"])
-        gt_kth = gt_dists[:, topk - 1]
-
-        saved = (self.multipler, self.std_m)
-        best = None
-        for mult in multipler_grid:
-            for sm in std_m_grid:
-                self.multipler, self.std_m = mult, sm
-                chosen = self._simulate_targets(sweep, topk, 1.0 - bound)
-                # achieved threshold-recall at each query's stop state
-                minf, cost = self._simulated_quality(sweep, chosen, topk, gt_kth)
-                if minf >= 1.0 - bound and (best is None or cost < best["cost"]):
-                    best = {"multipler": mult, "std_m": sm, "cost": cost, "minf": minf}
-        if best is None:  # fall back to the most conservative setting
-            best = {
-                "multipler": multipler_grid[-1],
-                "std_m": std_m_grid[-1],
-                "cost": float("nan"),
-                "minf": float("nan"),
-            }
+        best = self._calibrate_on_sweep(
+            sweep, gt_dists, topk, bound, std_m_grid, multipler_grid
+        )
         self.multipler, self.std_m = best["multipler"], best["std_m"]
         return best
 

@@ -1,0 +1,224 @@
+"""Scale bench: the reference's eval workload shape at 1M × d96.
+
+Mirrors ``/root/reference/Auncel/eval/run.sh:1-17`` + ``eval/
+bound.cpp:220,418``: index IVF1024,Flat; 5000 train / 5000 test
+queries; k ∈ {10, 50, 100} × error bound ∈ {1%, 5%, 10%}; correctness
+criterion = worst-case over queries of (#results with dist ≤ gt k-th)/k
+≥ 1 − bound (``bound.cpp:404-414``). The corpus is a seeded clustered
+gaussian set (the fixtures' embeddings table is 3 orders of magnitude
+too small to exercise nlist=1024 — VERDICT r01 top item).
+
+Build artifacts (corpus parquet, persisted IVF lists, trained traces,
+per-workload calibrated hyperparameters, exact test GT) are cached
+under ``.scale_cache/`` keyed by the generation parameters, so a
+repeated bench run times ONLY the online bounded search — matching the
+baseline's protocol, which also excludes index build and profile
+training from its per-query latencies (figures/dist/figure16.py).
+
+Run directly (``python scripts/scale_bench.py``) for one JSON line, or
+through ``bench.py`` (embedded in its output under ``scale_1m``).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from auncel_spark.config import Metric
+
+# workload constants (eval/run.sh shape)
+N, D, NLIST = 1_000_000, 96, 1024
+N_TRAIN = N_TEST = 5000
+MAX_TOPK = 100
+CONFIGS = [(k, b) for k in (10, 50, 100) for b in (0.01, 0.05, 0.10)]
+N_CLUSTERS = 2048  # generator mixture components (≠ nlist, intentionally)
+
+
+def _cache_dir() -> Path:
+    root = os.environ.get(
+        "SPARK_GRAFT_SCALE_CACHE", str(Path(__file__).resolve().parent.parent / ".scale_cache")
+    )
+    return Path(root) / f"n{N}_d{D}_nlist{NLIST}"
+
+
+def _gen_queries_pdf(seed: int, n: int, base_id: int):
+    import pandas as pd
+
+    rng = np.random.default_rng(seed)
+    centers = _centers()
+    which = rng.integers(0, N_CLUSTERS, n)
+    vec = centers[which] + rng.standard_normal((n, D)).astype(np.float32)
+    return pd.DataFrame(
+        {"qid": np.arange(base_id, base_id + n, dtype=np.int64), "vec": list(vec)}
+    )
+
+
+def _centers() -> np.ndarray:
+    rng = np.random.default_rng(42)
+    return (rng.standard_normal((N_CLUSTERS, D)) * 3.0).astype(np.float32)
+
+
+def ensure_corpus(spark, cache: Path) -> str:
+    base_path = str(cache / "base")
+    if (cache / "base" / "_SUCCESS").exists():
+        return base_path
+    import pandas as pd
+
+    centers = _centers()
+    bc = spark.sparkContext.broadcast(centers)
+
+    def gen(batches):
+        cents = bc.value
+        for pdf in batches:
+            idx = pdf["id"].to_numpy()
+            g = np.random.default_rng(idx[0] if len(idx) else 0)
+            c = cents[idx % N_CLUSTERS]
+            vec = c + g.standard_normal((len(idx), D)).astype(np.float32)
+            yield pd.DataFrame({"id": idx, "vec": list(vec)})
+
+    (
+        spark.range(N)
+        .repartition(64)
+        .mapInPandas(gen, "id bigint, vec array<float>")
+        .write.mode("overwrite")
+        .parquet(base_path)
+    )
+    return base_path
+
+
+def ensure_index(spark, cache: Path, base_path: str):
+    from auncel_spark.index.ivf import IVFIndex
+    from auncel_spark.index.kmeans import train_kmeans
+
+    ivf_path = str(cache / "ivf")
+    if (cache / "ivf" / "meta.json").exists():
+        return IVFIndex.load(spark, ivf_path), 0.0
+    t0 = time.perf_counter()
+    base = spark.read.parquet(base_path)
+    # coarse quantizer trained on a subsample (the reference trains on
+    # a training slice, not the full corpus — Clustering.cpp practice)
+    sample = base.sample(fraction=min(1.0, 150_000 / N), seed=1).cache()
+    cents, _ = train_kmeans(sample, NLIST, max_iter=10, seed=1)
+    sample.unpersist()
+    idx = IVFIndex.build(base, nlist=NLIST, centroids=cents, path=ivf_path)
+    return idx, time.perf_counter() - t0
+
+
+def ensure_profile(spark, cache: Path, idx):
+    from auncel_spark.profile.error_profile import ErrorProfile
+
+    prof_path = str(cache / "profile")
+    params_path = cache / "params.json"
+    ep = ErrorProfile(idx, max_topk=MAX_TOPK)
+    if params_path.exists():
+        ep2 = ErrorProfile.load(idx, prof_path)
+        with open(params_path) as f:
+            raw = json.load(f)
+        params = {tuple(json.loads(k)): v for k, v in raw["configs"].items()}
+        return ep2, params, 0.0
+    t0 = time.perf_counter()
+    train = spark.createDataFrame(_gen_queries_pdf(7, N_TRAIN, 10_000_000))
+    params = ep.fit_and_calibrate_many(
+        train, CONFIGS, multipler_grid=(1.0, 2.0, 4.0, 8.0), std_m_grid=(1.0, 2.0)
+    )
+    fit_s = time.perf_counter() - t0
+    ep.save(prof_path)
+    with open(params_path, "w") as f:
+        json.dump(
+            {
+                "configs": {json.dumps(list(k)): v for k, v in params.items()},
+                "fit_sec": round(fit_s, 2),
+            },
+            f,
+        )
+    return ep, params, fit_s
+
+
+def ensure_gt(spark, cache: Path, idx) -> np.ndarray:
+    """Exact top-MAX_TOPK distances for the test queries, rows in
+    ascending qid order."""
+    gt_path = cache / "gt_test.npy"
+    if gt_path.exists():
+        return np.load(gt_path)
+    from auncel_spark.profile.error_profile import ErrorProfile
+
+    test = spark.createDataFrame(_gen_queries_pdf(11, N_TEST, 20_000_000))
+    ep = ErrorProfile(idx, max_topk=MAX_TOPK)
+    gt = ep._exact_gt(test)
+    np.save(gt_path, gt)
+    return gt
+
+
+def bound_satisfaction(res_pdf, gt: np.ndarray, k: int) -> float:
+    """min over queries of (#returned with dist ≤ gt k-th)/k — the
+    bound.cpp:404-414 worst-case criterion (checker inter_sec
+    :117-128). Test qids are 20M+i, so gt row = qid − 20M."""
+    qi = res_pdf["qid"].to_numpy(dtype=np.int64) - 20_000_000
+    ok = res_pdf["dist"].to_numpy() <= gt[qi, k - 1] + 1e-6
+    import pandas as pd
+
+    frac = pd.Series(ok).groupby(qi).sum() / float(k)
+    return float(frac.min())
+
+
+def run(spark, configs=None) -> dict:
+    cache = _cache_dir()
+    cache.mkdir(parents=True, exist_ok=True)
+    out: dict = {"n": N, "d": D, "nlist": NLIST, "nq": N_TEST}
+
+    t0 = time.perf_counter()
+    base_path = ensure_corpus(spark, cache)
+    gen_s = time.perf_counter() - t0
+    idx, build_s = ensure_index(spark, cache, base_path)
+    ep, params, fit_s = ensure_profile(spark, cache, idx)
+    gt = ensure_gt(spark, cache, idx)
+    if gen_s > 1 or build_s or fit_s:
+        out["cold_build"] = {
+            "generate_sec": round(gen_s, 2),
+            "index_build_sec": round(build_s, 2),
+            "fit_calibrate_sec": round(fit_s, 2),
+        }
+
+    # warm the lists footers once (the baseline holds its index in RAM)
+    idx.data.count()
+    test = spark.createDataFrame(_gen_queries_pdf(11, N_TEST, 20_000_000)).cache()
+    test.count()
+
+    results = {}
+    lat = []
+    for k, bound in configs or CONFIGS:
+        p = params[(k, bound)]
+        ep.multipler, ep.std_m = p["multipler"], p["std_m"]
+        t0 = time.perf_counter()
+        res, info = ep.search(test, k, require_acc=1.0 - bound, return_info=True)
+        pdf = res.toPandas()
+        wall = time.perf_counter() - t0
+        minf = bound_satisfaction(pdf, gt, k)
+        ms_q = wall / N_TEST * 1000.0
+        lat.append(ms_q)
+        results[f"k{k}_b{int(bound * 100)}"] = {
+            "ms_per_query": round(ms_q, 3),
+            "bound_satisfaction": round(minf, 4),
+            "holds": bool(minf >= 1.0 - bound - 1e-9),
+            "mean_nprobe": round(float(info["nprobe"].mean()), 1),
+        }
+    out["configs"] = results
+    out["ms_per_query_mean"] = round(float(np.mean(lat)), 3)
+    out["ms_per_query_worst"] = round(float(np.max(lat)), 3)
+    out["all_bounds_hold"] = all(v["holds"] for v in results.values())
+    out["baseline_ms_per_query"] = "24.2-32.2 (DEEP1B, 64-128 workers, figure16)"
+    return out
+
+
+if __name__ == "__main__":
+    from auncel_spark.session import get_spark
+
+    spark = get_spark("scale_bench")
+    print(json.dumps(run(spark)))

@@ -101,3 +101,67 @@ def test_text_stats_shape(docs):
     assert st[0]["n_tokens"] == 13
     assert st[0]["n_distinct"] == 11  # 'the', 'again' repeat
     assert 0 <= st[0]["quality_u"] <= 1_000_000
+
+
+def test_ngram_jaccard_df_cap_drops_stop_shingles(spark):
+    """A boilerplate phrase shared by every doc must not flood the
+    self-join (VERDICT r01 'What's wrong' #2): with the cap it is
+    excluded from intersection AND union; true near-dups still pair
+    via their rarer shingles."""
+    from auncel_spark.operators.dedup import ngram_jaccard
+
+    boiler = "all rights reserved by the site"
+    docs = [(i, f"{boiler} unique words here {i} alpha beta gamma delta") for i in range(20)]
+    # 20/21: same text -> identical rare shingles
+    docs.append((20, f"{boiler} shared tail words epsilon zeta eta theta"))
+    docs.append((21, f"{boiler} shared tail words epsilon zeta eta theta"))
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    res = ngram_jaccard(df, threshold=0.5, max_doc_freq=10).collect()
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in res}
+    assert (20, 21) in got
+    assert got[(20, 21)] == 1.0  # capped sets identical
+    # the boilerplate alone must NOT pair unrelated docs
+    assert all(p == (20, 21) for p in got)
+
+
+def test_embedding_near_dup_routes_to_lsh_above_threshold(spark):
+    """Size-aware default: above brute_max_rows the plan must be the
+    bucketed LSH join (no driver collect of the corpus)."""
+    import numpy as np
+
+    from auncel_spark.operators.dedup import embedding_near_dup
+
+    rng = np.random.default_rng(0)
+    n, d = 400, 16
+    mat = rng.standard_normal((n, d)).astype(np.float32)
+    mat[1] = mat[0] + 0.001  # one planted near-identical pair
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in mat[i]]) for i in range(n)],
+        "vec_id bigint, embedding array<float>",
+    )
+    res = embedding_near_dup(df, threshold=0.99, brute_max_rows=100)  # forces LSH
+    rows = {(r["id_a"], r["id_b"]) for r in res.collect()}
+    assert (0, 1) in rows
+
+
+def test_embedding_lsh_recall_vs_brute_on_near_identical(spark):
+    import numpy as np
+
+    from auncel_spark.operators.dedup import (
+        embedding_near_dup_brute,
+        embedding_near_dup_lsh,
+    )
+
+    rng = np.random.default_rng(5)
+    n, d = 300, 24
+    mat = rng.standard_normal((n, d)).astype(np.float32)
+    for i in range(0, 30, 2):  # 15 planted pairs, cos ~ 0.9995
+        mat[i + 1] = mat[i] + 0.02 * rng.standard_normal(d).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in mat[i]]) for i in range(n)],
+        "vec_id bigint, embedding array<float>",
+    ).cache()
+    brute = {(r["id_a"], r["id_b"]) for r in embedding_near_dup_brute(df, 0.99).collect()}
+    lsh = {(r["id_a"], r["id_b"]) for r in embedding_near_dup_lsh(df, 0.99).collect()}
+    assert lsh <= brute  # exact verify: no false positives
+    assert len(lsh) >= 0.9 * len(brute)  # multi-probe recall on near-identicals
