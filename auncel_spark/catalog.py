@@ -195,6 +195,26 @@ def q_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select("qid", F.col("pos").cast("bigint").alias("pos"), "id")
 
 
+def q_ivfsq4_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B8 at QT_4bit: IVF lists store packed 4-bit scalar-quantized
+    codes (d/2 bytes per vector — half the 8-bit footprint,
+    IndexScalarQuantizer.h:34-88), decoded inside the scan kernel. The
+    floor-based codec is replicated exactly in the SQL oracle, so this
+    is oracle-checked end-to-end: train stats → encode → pack →
+    unpack → decode → pruned probe scan → top-k."""
+    from auncel_spark.index.ivfsq import IVFSQIndex
+
+    def _build():
+        cents = _seed_centroids(spark, sf_dir, NLIST)
+        return IVFSQIndex.build(
+            _emb_base(spark, sf_dir), nlist=NLIST, centroids=cents, qtype="4bit"
+        )
+
+    idx = _cached(sf_dir, "seed_ivfsq4", _build)
+    res = idx.search(_emb_queries(spark, sf_dir), K, nprobe=NPROBE)
+    return res.select("qid", F.col("pos").cast("bigint").alias("pos"), "id")
+
+
 def q_ivf_list_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O31: posting-list size histogram (imbalance introspection)."""
     cents = _seed_centroids(spark, sf_dir, NLIST)
@@ -571,6 +591,54 @@ _ORACLE_LIST_SIZES = (
     _Q_CTE
     + _CENT_CTE
     + "\nSELECT list_no::BIGINT AS list_no, count(*) AS cnt FROM assign GROUP BY list_no"
+)
+
+# 4-bit SQ codec replicated in SQL: minmax per-dim stats, code =
+# clip(floor((x-lo)/diff*15), 0, 15), decode = lo + (code+0.5)/15*diff
+# (same float64 op order as ScalarQuantizer.encode_np/decode_np), then
+# the same probes/assign scan as _ORACLE_IVF_SEARCH over decoded
+# vectors. Identical codes decode to identical vectors, so distance
+# ties are exact in both engines and the (dist, id) order agrees.
+_ORACLE_IVFSQ4 = (
+    _Q_CTE
+    + _CENT_CTE
+    + f"""
+, stats AS (
+  SELECT r.i AS dim,
+         min(b.embedding[r.i]::DOUBLE) AS lo,
+         max(b.embedding[r.i]::DOUBLE) AS hi
+  FROM embeddings b, range(1, 65) r(i)
+  GROUP BY r.i
+), sdiff AS (
+  SELECT dim, lo, CASE WHEN hi - lo = 0 THEN 1.0 ELSE hi - lo END AS diff
+  FROM stats
+), dec AS (
+  SELECT b.vec_id AS id,
+         list(s.lo + (LEAST(GREATEST(floor((b.embedding[s.dim]::DOUBLE - s.lo)
+                / s.diff * 15), 0), 15) + 0.5) / 15 * s.diff
+              ORDER BY s.dim) AS dv
+  FROM embeddings b, sdiff s
+  GROUP BY b.vec_id
+), probes AS (
+  SELECT qid, list_no FROM (
+    SELECT q.qid, c.cid AS list_no,
+           row_number() OVER (
+             PARTITION BY q.qid ORDER BY list_distance(q.qv, c.cv), c.cid
+           ) AS rn
+    FROM q CROSS JOIN c
+  ) WHERE rn <= {NPROBE}
+), cand AS (
+  SELECT q.qid, a.id, list_distance(q.qv, d.dv) AS dist
+  FROM probes p
+  JOIN assign a ON a.list_no = p.list_no
+  JOIN q ON q.qid = p.qid
+  JOIN dec d ON d.id = a.id
+), r AS (
+  SELECT qid, id, row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS rn
+  FROM cand
+)
+SELECT qid, rn - 1 AS pos, id FROM r WHERE rn <= {K}
+"""
 )
 
 
@@ -1200,6 +1268,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kmeans_assign": q_kmeans_assign,
     "kmeans_update": q_kmeans_update,
     "ivf_search_nprobe": q_ivf_search,
+    "ivfsq4_knn": q_ivfsq4_knn,
     "ivf_list_sizes": q_ivf_list_sizes,
     "bounded_knn": q_bounded_knn,
     "bounded_knn_bound_check": q_bounded_bound_check,
@@ -1247,6 +1316,7 @@ ORACLES: dict[str, str] = {
     "kmeans_assign": _ORACLE_ASSIGN,
     "kmeans_update": _ORACLE_KMEANS_UPDATE,
     "ivf_search_nprobe": _ORACLE_IVF_SEARCH,
+    "ivfsq4_knn": _ORACLE_IVFSQ4,
     "ivf_list_sizes": _ORACLE_LIST_SIZES,
     # "bounded_knn": rows-only (iterative learned-trace search; SURVEY §7.3)
     "bounded_knn_bound_check": (

@@ -5,8 +5,9 @@ Reference (SURVEY.md §2.3 O30): ``index_factory(d, desc, metric)``
 
     spec      := [transform ","]* index ["," refine]
     transform := "PCA{n}" | "PCAW{n}" | "OPQ{M}" | "RR{n}" | "L2norm"
-    index     := "Flat" | "SQ8" | "PQ{M}"
-              | "IVF{nlist},Flat" | "IVF{nlist},SQ8" | "IVF{nlist},PQ{M}"
+    sq        := "SQ8" | "SQ6" | "SQ4" | "SQfp16"
+    index     := "Flat" | sq | "PQ{M}"
+              | "IVF{nlist},Flat" | "IVF{nlist}," sq | "IVF{nlist},PQ{M}"
     refine    := "RFlat"            (IndexRefineFlat re-rank)
     prefix    := "IDMap,"           (explicit id mapping — ids are
                                      always explicit in this engine,
@@ -50,8 +51,12 @@ class ParsedSpec:
     index_type: str = "flat"  # flat | sq8 | pq | ivfflat | ivfsq | ivfpq
     nlist: int = 0
     pq_m: int = 0
+    sq_type: str = "8bit"  # 8bit | 6bit | 4bit | fp16
     refine: bool = False
     idmap: bool = False
+
+
+_SQ_SPECS = {"SQ8": "8bit", "SQ6": "6bit", "SQ4": "4bit", "SQfp16": "fp16"}
 
 
 def parse_spec(spec: str) -> ParsedSpec:
@@ -72,8 +77,9 @@ def parse_spec(spec: str) -> ParsedSpec:
             st = parts[i]
             if st == "Flat":
                 out.index_type = "ivfflat"
-            elif st == "SQ8":
+            elif st in _SQ_SPECS:
                 out.index_type = "ivfsq"
+                out.sq_type = _SQ_SPECS[st]
             elif m2 := re.fullmatch(r"PQ(\d+)", st):
                 out.index_type = "ivfpq"
                 out.pq_m = int(m2.group(1))
@@ -81,8 +87,9 @@ def parse_spec(spec: str) -> ParsedSpec:
                 raise ValueError(f"unknown IVF storage {st!r}")
         elif p == "Flat":
             out.index_type = "flat"
-        elif p == "SQ8":
+        elif p in _SQ_SPECS:
             out.index_type = "sq8"
+            out.sq_type = _SQ_SPECS[p]
         elif m := re.fullmatch(r"PQ(\d+)", p):
             out.index_type = "pq"
             out.pq_m = int(m.group(1))
@@ -281,13 +288,16 @@ def build_index(
     elif parsed.index_type == "ivfsq":
         from auncel_spark.index.ivfsq import IVFSQIndex
 
-        ivf = IVFSQIndex.build(tb, nlist=nlist, metric=metric, path=path, seed=seed)
+        ivf = IVFSQIndex.build(
+            tb, nlist=nlist, metric=metric, path=path, seed=seed,
+            qtype=parsed.sq_type,
+        )
         sq = ivf.sq
     elif parsed.index_type == "pq":
         pq = ProductQuantizer.train(tb, M=parsed.pq_m, seed=seed)
         coded = pq.encode(tb).select("id", "code").cache()
     elif parsed.index_type == "sq8":
-        sq = ScalarQuantizer.train(tb)
+        sq = ScalarQuantizer.train(tb, qtype=parsed.sq_type)
         coded = sq.encode(tb).select("id", "code").cache()
 
     si = SearchIndex(parsed, metric, b, chain, ivf, pq, sq, coded)

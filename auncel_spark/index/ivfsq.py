@@ -1,11 +1,11 @@
-"""IVF-SQ: inverted lists storing 8-bit scalar-quantized codes.
+"""IVF-SQ: inverted lists storing scalar-quantized codes.
 
 Reference (SURVEY.md §2.2 B8): ``IndexIVFScalarQuantizer``
 (``Auncel/IndexScalarQuantizer.h:90-150``): lists hold SQ codes
-(d bytes/vector at QT_8bit — 4× smaller than float32), decoded on the
-fly inside the scan. Same storage layout and probe machinery as
-IVF-Flat/IVF-PQ; the scan kernel decodes each Arrow batch with the
-broadcast (vmin, vdiff) tables before the GEMM.
+(d bytes/vector at QT_8bit, d/2 at QT_4bit, 3d/4 at QT_6bit, 2d at
+QT_fp16), decoded on the fly inside the scan. Same storage layout and
+probe machinery as IVF-Flat/IVF-PQ; the scan kernel decodes each Arrow
+batch with the broadcast quantizer state before the GEMM.
 """
 
 from __future__ import annotations
@@ -48,6 +48,9 @@ class IVFSQIndex(IVFIndex):
         centroids: np.ndarray | None = None,
         kmeans_iter: int = 25,
         seed: int = 42,
+        qtype: str = "8bit",
+        rangestat: str = "minmax",
+        rs_arg: float = 1.0,
         id_col: str = "id",
         vec_col: str = "vec",
     ) -> "IVFSQIndex":
@@ -59,7 +62,7 @@ class IVFSQIndex(IVFIndex):
                 spherical=(metric == Metric.IP),
             )
         centroids = np.asarray(centroids, dtype=np.float64)
-        sq = ScalarQuantizer.train(b)
+        sq = ScalarQuantizer.train(b, rangestat=rangestat, rs_arg=rs_arg, qtype=qtype)
         idx = cls(spark, centroids, sq, path, metric)
         coded = sq.encode(assign_lists(b, centroids, metric)).select(
             "id", "code", "list_no"
@@ -133,15 +136,14 @@ class IVFSQIndex(IVFIndex):
                 qids,
                 qmat,
                 {int(q): i for i, q in enumerate(qids)},
-                self.sq.vmin,
-                self.sq.vdiff,
+                self.sq.to_dict(),
             )
         )
         is_l2 = self.metric == Metric.L2
 
         def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            _, bq, qpos, vmin, vdiff = bc.value
-            dec = ScalarQuantizer(vmin, vdiff)
+            _, bq, qpos, sqd = bc.value
+            dec = ScalarQuantizer.from_dict(sqd)
             for pdf in batches:
                 if pdf.empty:
                     continue

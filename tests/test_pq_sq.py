@@ -86,3 +86,61 @@ def test_pq_then_exact_rerank(base_df, query_df, tiny_vectors, pq):
         len(got[qi] & set(ids_true[qi].tolist())) / K for qi in range(xq.shape[0])
     ]
     assert np.mean(recalls) > 0.85
+
+
+import numpy as np
+import pytest
+
+
+@pytest.mark.parametrize("qtype,tol", [("8bit", 0.006), ("6bit", 0.02), ("4bit", 0.08), ("fp16", 0.002)])
+def test_sq_roundtrip_all_widths(spark, base_df, tiny_vectors, qtype, tol):
+    """QT_4bit/6bit/8bit/fp16 codec round-trips within each width's
+    quantization step (IndexScalarQuantizer.h:34-88)."""
+    from auncel_spark.index.sq import ScalarQuantizer
+
+    xb, _ = tiny_vectors
+    sq = ScalarQuantizer.train(base_df, qtype=qtype)
+    coded = sq.encode(base_df)
+    dec = sq.decode(coded)
+    got = {r["id"]: np.asarray(r["vec_dec"]) for r in dec.collect()}
+    err = np.abs(np.stack([got[i] for i in range(len(xb))]) - xb)
+    assert err.max() < tol
+    # byte budget: 4bit = d/2, 6bit = 3d/4, 8bit = d, fp16 = 2d
+    want_bytes = {"8bit": 16, "6bit": 12, "4bit": 8, "fp16": 32}[qtype]
+    one = coded.select("code").first()[0]
+    assert len(one) == want_bytes
+
+
+def test_sq_numpy_pack_unpack_identity():
+    from auncel_spark.index.sq import ScalarQuantizer
+
+    rng = np.random.default_rng(0)
+    for qtype, levels in [("4bit", 15), ("6bit", 63), ("8bit", 255)]:
+        for d in (7, 8, 9, 16):
+            sq = ScalarQuantizer(np.zeros(d), np.ones(d), qtype)
+            c = rng.integers(0, levels + 1, (20, d)).astype(np.uint8)
+            assert (sq._unpack(sq._pack(c)) == c).all()
+
+
+def test_sq_quantile_rangestat_ignores_outliers(spark):
+    from auncel_spark.index.sq import ScalarQuantizer
+
+    rng = np.random.default_rng(1)
+    mat = rng.uniform(0, 1, (500, 4)).astype(np.float32)
+    mat[0] = 1000.0  # one wild outlier per dim
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in mat[i]]) for i in range(500)],
+        "id bigint, vec array<float>",
+    )
+    mm = ScalarQuantizer.train(df, rangestat="minmax")
+    qs = ScalarQuantizer.train(df, rangestat="quantiles", rs_arg=0.01)
+    assert (qs.vdiff < mm.vdiff / 100).all()  # range not stretched by the outlier
+
+
+def test_factory_sq_variants_end_to_end(base_df, query_df):
+    from auncel_spark.index.factory import build_index
+
+    for spec in ("SQ4", "SQfp16", "IVF8,SQ4"):
+        si = build_index(base_df, spec)
+        res = si.search(query_df, 5, nprobe=8)
+        assert res.count() == query_df.count() * 5
