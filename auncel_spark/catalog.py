@@ -812,6 +812,28 @@ def q_ivfpq_refine_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select("qid", F.col("pos").cast("bigint").alias("pos"), "id")
 
 
+def q_ivfpqr_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O9 IVFPQR (IndexIVFPQ.h:155): second-level residual PQ refine —
+    re-ranking reconstructs candidates from CODES ONLY (c + z1 + z2),
+    never reading raw vectors; the variant that matters when the
+    uncompressed corpus is too big to scan. Rows-only: PQ codebooks
+    come from sampled k-means, not SQL-expressible.
+    tests/test_extended_indexes.py pins its recall between plain ADC
+    and exact refine."""
+    from auncel_spark.index.ivfpq import IVFPQRIndex
+
+    def _build():
+        cents = _seed_centroids(spark, sf_dir, NLIST)
+        return IVFPQRIndex.build(
+            _emb_base(spark, sf_dir), nlist=NLIST, M=8, refine_M=16,
+            centroids=cents, seed=42,
+        )
+
+    idx = _cached(sf_dir, "ivfpqr", _build)
+    res = idx.search(_emb_queries(spark, sf_dir), K, nprobe=8, k_factor=4)
+    return res.select("qid", F.col("pos").cast("bigint").alias("pos"), "id")
+
+
 def q_laet_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B18: LAET-style learned termination — GBT-predicted per-query
     probe budgets. Rows-only (learned model)."""
@@ -1297,6 +1319,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pricing_summary": q_pricing_summary,
     "top_parts_by_brand": q_top_parts_by_brand,
     "ivfpq_refine_knn": q_ivfpq_refine_knn,
+    "ivfpqr_knn": q_ivfpqr_knn,
     "time_bounded_knn": q_time_bounded_knn,
     "laet_knn": q_laet_knn,
     "hnsw_knn": q_hnsw_knn,

@@ -51,6 +51,7 @@ class ParsedSpec:
     index_type: str = "flat"  # flat | sq8 | pq | ivfflat | ivfsq | ivfpq
     nlist: int = 0
     pq_m: int = 0
+    refine_m: int = 0  # IVFPQR second-level codes (PQ{M}+{M2})
     sq_type: str = "8bit"  # 8bit | 6bit | 4bit | fp16
     refine: bool = False
     idmap: bool = False
@@ -80,6 +81,12 @@ def parse_spec(spec: str) -> ParsedSpec:
             elif st in _SQ_SPECS:
                 out.index_type = "ivfsq"
                 out.sq_type = _SQ_SPECS[st]
+            elif m2 := re.fullmatch(r"PQ(\d+)\+(\d+)", st):
+                # IVFPQR: second-level residual refine codes (faiss
+                # "IVF{n},PQ{M}+{M2}" grammar, IndexIVFPQ.h:155)
+                out.index_type = "ivfpqr"
+                out.pq_m = int(m2.group(1))
+                out.refine_m = int(m2.group(2))
             elif m2 := re.fullmatch(r"PQ(\d+)", st):
                 out.index_type = "ivfpq"
                 out.pq_m = int(m2.group(1))
@@ -143,7 +150,7 @@ class SearchIndex:
             res = knn_exact(q, dec, k_eff, self.metric, strategy="gemm")
         elif t == "pq":
             res = pq_knn(q, self.coded, self.pq, k_eff, self.metric)
-        elif t in ("ivfflat", "ivfsq", "ivfpq"):
+        elif t in ("ivfflat", "ivfsq", "ivfpq", "ivfpqr"):
             res = self.ivf.search(q, k_eff, nprobe)
         else:
             raise AssertionError(t)
@@ -183,6 +190,11 @@ class SearchIndex:
             "pq": self.pq.to_dict() if self.pq else None,
             "sq": self.sq.to_dict() if self.sq else None,
             "index_type": self.spec.index_type,
+            "refine_pq": (
+                self.ivf.refine_pq.to_dict()
+                if getattr(self.ivf, "refine_pq", None) is not None
+                else None
+            ),
         }
         with open(os.path.join(path, "pipeline.json"), "w") as f:
             json.dump(meta, f)
@@ -221,13 +233,24 @@ class SearchIndex:
         pq = ProductQuantizer.from_dict(meta["pq"]) if meta["pq"] else None
         sq = ScalarQuantizer.from_dict(meta["sq"]) if meta["sq"] else None
         ivf = None
-        if meta["index_type"] in ("ivfflat", "ivfsq", "ivfpq"):
+        if meta["index_type"] in ("ivfflat", "ivfsq", "ivfpq", "ivfpqr"):
             cents = np.load(os.path.join(path, "centroids.npy"))
             data = spark.read.parquet(os.path.join(path, "lists"))
-            if meta["index_type"] == "ivfpq":
+            if meta["index_type"] == "ivfpqr":
+                from auncel_spark.index.ivfpq import IVFPQRIndex
+
+                ivf = IVFPQRIndex(
+                    spark, cents, pq, None, metric, True, data,
+                    refine_pq=ProductQuantizer.from_dict(meta["refine_pq"]),
+                )
+            elif meta["index_type"] == "ivfpq":
                 from auncel_spark.index.ivfpq import IVFPQIndex
 
                 ivf = IVFPQIndex(spark, cents, pq, None, metric, True, data)
+            elif meta["index_type"] == "ivfsq":
+                from auncel_spark.index.ivfsq import IVFSQIndex
+
+                ivf = IVFSQIndex(spark, cents, sq, None, metric, data)
             else:
                 ivf = IVFIndex(spark, cents, None, metric, data)
         coded = None
@@ -283,6 +306,14 @@ def build_index(
     elif parsed.index_type == "ivfpq":
         ivf = IVFPQIndex.build(
             tb, nlist=nlist, M=parsed.pq_m, metric=metric, path=path, seed=seed
+        )
+        pq = ivf.pq
+    elif parsed.index_type == "ivfpqr":
+        from auncel_spark.index.ivfpq import IVFPQRIndex
+
+        ivf = IVFPQRIndex.build(
+            tb, nlist=nlist, M=parsed.pq_m, refine_M=parsed.refine_m,
+            metric=metric, path=path, seed=seed,
         )
         pq = ivf.pq
     elif parsed.index_type == "ivfsq":

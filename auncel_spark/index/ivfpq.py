@@ -41,10 +41,31 @@ class IVFPQIndex(IVFIndex):
         metric: Metric = Metric.L2,
         by_residual: bool = True,
         data_df: DataFrame | None = None,
+        use_precomputed_table: bool = True,
     ):
         super().__init__(spark, centroids, data_path, metric, data_df)
         self.pq = pq
         self.by_residual = by_residual
+        self.use_precomputed_table = use_precomputed_table
+        self._term2: np.ndarray | None = None
+
+    def precomputed_term2(self) -> np.ndarray:
+        """``use_precomputed_table`` (IndexIVFPQ.h:48-59): for residual
+        L2 ADC, |q − c − z|² = |q − c|² (term1, one scalar per probe)
+        + (|z|² + 2·c·z) (term2 — THIS table, query-independent,
+        (nlist, M, ksub)) + (−2·q·z) (term3, ONE per-query LUT). The
+        round-1 kernel rebuilt the full residual LUT per (query, probed
+        list) — M·ksub·dsub multiplies per pair; with the table it is a
+        M·ksub add. At nlist=1024, M=8, ksub=256 the table is 16 MB —
+        broadcast beside the codebooks."""
+        if self._term2 is None:
+            cb = self.pq.codebooks  # (M, ksub, dsub)
+            znorm = (cb * cb).sum(-1)  # (M, ksub)
+            csub = self.centroids.reshape(self.nlist, self.pq.M, self.pq.dsub)
+            self._term2 = znorm[None, :, :] + 2.0 * np.einsum(
+                "lmd,mkd->lmk", csub, cb
+            )
+        return self._term2
 
     @classmethod
     def build(
@@ -155,6 +176,11 @@ class IVFPQIndex(IVFIndex):
         joined = pruned.join(F.broadcast(probes), "list_no").select(
             "qid", "id", "code", "list_no"
         )
+        use_t2 = (
+            self.use_precomputed_table
+            and self.by_residual
+            and self.metric == Metric.L2
+        )
         bc = self.spark.sparkContext.broadcast(
             (
                 qids,
@@ -162,36 +188,53 @@ class IVFPQIndex(IVFIndex):
                 {int(q): i for i, q in enumerate(qids)},
                 self.pq.codebooks,
                 self.centroids if self.by_residual else None,
+                self.precomputed_term2() if use_t2 else None,
             )
         )
         metric = self.metric
 
         def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            _, bq, qpos, books, cents = bc.value
+            _, bq, qpos, books, cents, t2 = bc.value
             kernel = ProductQuantizer(books)
+            M, dsub = kernel.M, kernel.dsub
             lut_cache: dict[tuple[int, int], np.ndarray] = {}
+            t3_cache: dict[int, np.ndarray] = {}
             for pdf in batches:
                 if pdf.empty:
                     continue
                 out = []
                 for (qid, list_no), grp in pdf.groupby(["qid", "list_no"]):
                     q = bq[qpos[int(qid)]]
-                    key = (int(qid), int(list_no) if cents is not None else -1)
-                    lut = lut_cache.get(key)
-                    if lut is None:
-                        # L2: |q−x|² = |(q−c) − r|² → table on (q−c).
-                        # IP: ⟨q,x⟩ = ⟨q,c⟩ + ⟨q,r⟩ → table on q itself,
-                        # constant ⟨q,c⟩ folded in below.
-                        if cents is not None and metric == Metric.L2:
-                            qeff = q - cents[int(list_no)]
-                        else:
-                            qeff = q
-                        lut = kernel.lut_np(qeff, metric)
-                        lut_cache[key] = lut
+                    if t2 is not None:
+                        # precomputed-table path: term3 once per QUERY
+                        # (not per probed list), term2 gathered from the
+                        # broadcast table, term1 a scalar
+                        t3 = t3_cache.get(int(qid))
+                        if t3 is None:
+                            qsub = q.reshape(M, dsub)
+                            t3 = -2.0 * np.einsum("md,mkd->mk", qsub, books)
+                            t3_cache[int(qid)] = t3
+                        diff = q - cents[int(list_no)]
+                        lut = t2[int(list_no)] + t3
+                        base_term = float(diff @ diff)
+                    else:
+                        key = (int(qid), int(list_no) if cents is not None else -1)
+                        lut = lut_cache.get(key)
+                        if lut is None:
+                            # L2: |q−x|² = |(q−c) − r|² → table on (q−c).
+                            # IP: ⟨q,x⟩ = ⟨q,c⟩ + ⟨q,r⟩ → table on q
+                            # itself, constant ⟨q,c⟩ folded in below.
+                            if cents is not None and metric == Metric.L2:
+                                qeff = q - cents[int(list_no)]
+                            else:
+                                qeff = q
+                            lut = kernel.lut_np(qeff, metric)
+                            lut_cache[key] = lut
+                        base_term = 0.0
                     codes = np.array(
                         [np.frombuffer(c, dtype=np.uint8) for c in grp["code"]]
                     )
-                    dist = kernel.adc_np(lut, codes)
+                    dist = kernel.adc_np(lut, codes) + base_term
                     if cents is not None and metric == Metric.IP:
                         dist = dist - float(q @ cents[int(list_no)])
                     gids = grp["id"].to_numpy(dtype=np.int64)
@@ -225,6 +268,195 @@ class IVFPQIndex(IVFIndex):
 
         cand = self.search(queries, k * k_factor, nprobe).select("qid", "id")
         return knn_by_ids(queries, full_base, cand, k, self.metric)
+
+
+class IVFPQRIndex(IVFPQIndex):
+    """IndexIVFPQR (``Auncel/IndexIVFPQ.h:155-200``): a second product
+    quantizer encodes the residual-of-residual r₂ = x − c(list) − z₁,
+    and re-ranking reconstructs x̂ = c + z₁ + z₂ from CODES ONLY — the
+    refine never touches raw vectors (unlike IndexRefineFlat), which is
+    what matters when the uncompressed corpus is too big to scan.
+    Storage: lists carry (code, rcode); rcode adds refine_M bytes/row
+    (the reference defaults refine_M = 2·M)."""
+
+    def __init__(self, *args, refine_pq: ProductQuantizer | None = None, **kw):
+        super().__init__(*args, **kw)
+        self.refine_pq = refine_pq
+
+    @classmethod
+    def build(
+        cls,
+        base: DataFrame,
+        nlist: int = DEFAULT_NLIST,
+        M: int = 8,
+        refine_M: int | None = None,
+        nbits: int = 8,
+        metric: Metric = Metric.L2,
+        path: str | None = None,
+        centroids: np.ndarray | None = None,
+        kmeans_iter: int = 25,
+        seed: int = 42,
+        id_col: str = "id",
+        vec_col: str = "vec",
+    ) -> "IVFPQRIndex":
+        spark = base.sparkSession
+        b = base.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+        if centroids is None:
+            centroids, _ = train_kmeans(
+                b, nlist, metric=metric, max_iter=kmeans_iter, seed=seed,
+                spherical=(metric == Metric.IP),
+            )
+        centroids = np.asarray(centroids, dtype=np.float64)
+        refine_M = refine_M or 2 * M
+        assigned = _residual_df(assign_lists(b, centroids, metric), centroids)
+        pq = ProductQuantizer.train(assigned, M=M, nbits=nbits, vec_col="rvec", seed=seed)
+        coded = pq.encode(assigned, vec_col="rvec")
+        # r2 = rvec − decode(code): the second-level residual
+        r2 = _residual2_df(coded, pq)
+        rpq = ProductQuantizer.train(r2, M=refine_M, nbits=nbits, vec_col="r2", seed=seed + 1)
+        full = rpq.encode(r2, vec_col="r2", code_col="rcode").select(
+            "id", "code", "rcode", "list_no"
+        )
+        idx = cls(
+            spark, centroids, pq, path, metric, True, refine_pq=rpq
+        )
+        if path is not None:
+            import json as _json
+
+            (
+                full.repartition("list_no")
+                .write.mode("overwrite")
+                .partitionBy("list_no")
+                .parquet(os.path.join(path, "lists"))
+            )
+            with open(os.path.join(path, "meta.json"), "w") as f:
+                _json.dump(
+                    {
+                        "kind": "ivfpqr",
+                        "nlist": idx.nlist,
+                        "d": idx.d,
+                        "metric": metric.value,
+                        "by_residual": True,
+                        "pq": pq.to_dict(),
+                        "refine_pq": rpq.to_dict(),
+                    },
+                    f,
+                )
+            np.save(os.path.join(path, "centroids.npy"), centroids)
+        else:
+            idx._data_df = full.cache()
+            idx._data_df.count()
+        return idx
+
+    @classmethod
+    def load(cls, spark: SparkSession, path: str) -> "IVFPQRIndex":
+        with open(os.path.join(path, "meta.json")) as f:
+            meta = json.load(f)
+        centroids = np.load(os.path.join(path, "centroids.npy"))
+        return cls(
+            spark,
+            centroids,
+            ProductQuantizer.from_dict(meta["pq"]),
+            path,
+            Metric(meta["metric"]),
+            True,
+            refine_pq=ProductQuantizer.from_dict(meta["refine_pq"]),
+        )
+
+    def search(self, queries, k, nprobe, qid_col="qid", vec_col="vec", strategy="join", k_factor: int = 4):
+        """ADC over the first-level codes for k·k_factor candidates,
+        then codes-only re-rank through the second-level residual
+        (IndexIVFPQR::search_preassigned two-pass shape)."""
+        cand = super().search(queries, k * k_factor, nprobe, qid_col, vec_col)
+        return self.refine_by_codes(
+            queries.select(F.col(qid_col).alias("qid"), F.col(vec_col).alias("vec")),
+            cand.select("qid", "id"),
+            k,
+        )
+
+    def refine_by_codes(self, queries: DataFrame, cand: DataFrame, k: int) -> DataFrame:
+        """Exact-in-reconstruction distances |q − (c + z₁ + z₂)|² for
+        the candidate pairs; no raw vectors are read."""
+        from auncel_spark.operators.topk import topk_per_query
+
+        qpdf = queries.toPandas()
+        qids = qpdf["qid"].to_numpy(dtype=np.int64)
+        qmat = np.array(list(qpdf["vec"]), dtype=np.float64)
+        rows = self.data.join(F.broadcast(cand), "id").select(
+            "qid", "id", "code", "rcode", "list_no"
+        )
+        bc = self.spark.sparkContext.broadcast(
+            (
+                qids,
+                qmat,
+                {int(q): i for i, q in enumerate(qids)},
+                self.pq.codebooks,
+                self.refine_pq.codebooks,
+                self.centroids,
+            )
+        )
+        is_l2 = self.metric == Metric.L2
+
+        def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            _, bq, qpos, books1, books2, cents = bc.value
+            k1 = ProductQuantizer(books1)
+            k2 = ProductQuantizer(books2)
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                c1 = np.array([np.frombuffer(c, dtype=np.uint8) for c in pdf["code"]])
+                c2 = np.array([np.frombuffer(c, dtype=np.uint8) for c in pdf["rcode"]])
+                xhat = (
+                    cents[pdf["list_no"].to_numpy()]
+                    + k1.decode_np(c1)
+                    + k2.decode_np(c2)
+                )
+                ids = pdf["id"].to_numpy(dtype=np.int64)
+                out_q, out_i, out_d = [], [], []
+                for qid, idxs in pdf.groupby("qid").indices.items():
+                    qv = bq[qpos[int(qid)]]
+                    sub = xhat[idxs]
+                    if is_l2:
+                        diff = sub - qv[None, :]
+                        dist = (diff * diff).sum(axis=1)
+                    else:
+                        dist = -(sub @ qv)
+                    out_q.append(np.full(len(idxs), qid, dtype=np.int64))
+                    out_i.append(ids[idxs])
+                    out_d.append(dist)
+                yield pd.DataFrame(
+                    {
+                        "qid": np.concatenate(out_q),
+                        "id": np.concatenate(out_i),
+                        "dist": np.concatenate(out_d),
+                    }
+                )
+
+        scored = rows.mapInPandas(scan, schema="qid bigint, id bigint, dist double")
+        return topk_per_query(scored, k).select("qid", "pos", "id", "dist")
+
+
+def _residual2_df(coded: DataFrame, pq: ProductQuantizer) -> DataFrame:
+    """r2 = rvec − decode(code), Arrow-batched."""
+    from pyspark.sql import types as T
+
+    spark = coded.sparkSession
+    bc = spark.sparkContext.broadcast(pq.codebooks)
+    schema = T.StructType(
+        list(coded.schema.fields) + [T.StructField("r2", T.ArrayType(T.FloatType()))]
+    )
+
+    def work(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        kernel = ProductQuantizer(bc.value)
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            rv = np.array(list(pdf["rvec"]), dtype=np.float64)
+            codes = np.array([np.frombuffer(c, dtype=np.uint8) for c in pdf["code"]])
+            r2 = rv - kernel.decode_np(codes)
+            yield pdf.assign(r2=list(r2.astype(np.float32)))
+
+    return coded.mapInPandas(work, schema=schema)
 
 
 def _residual_df(assigned: DataFrame, centroids: np.ndarray) -> DataFrame:

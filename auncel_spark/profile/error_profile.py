@@ -266,18 +266,26 @@ class ErrorProfile:
         configs: list[tuple[int, float]],
         std_m_grid: tuple[float, ...] = (1.0, 2.0, 4.0),
         multipler_grid: tuple[float, ...] = (1.0, 2.0, 4.0, 8.0),
+        safety: float = 1.0,
     ) -> dict:
         """One sweep, one trace build, N (topk, bound) calibrations —
         the reference keeps one hyperparameter.txt row per workload
         (IVF_pro.cpp:240-256); this returns the whole table in one
         corpus pass. Returns {(topk, bound): best_params}; the caller
-        sets self.multipler/std_m per workload before searching."""
+        sets self.multipler/std_m per workload before searching.
+
+        ``safety`` < 1 tightens the calibration target to
+        bound·safety: the worst-case criterion is evaluated on UNSEEN
+        test queries, and the cheapest config that exactly meets the
+        bound on the training set routinely dips below it out of
+        sample. Calibrating against half the bound (safety=0.5) buys
+        the generalization margin at a modest nprobe cost."""
         sweep = self._sweep_states(train_queries, self._all_stages())
         gt_dists = sweep["states_d"][-1].copy()
         self._traces_from_sweep(sweep, gt_dists)
         return {
             (topk, bound): self._calibrate_on_sweep(
-                sweep, gt_dists, topk, bound, std_m_grid, multipler_grid
+                sweep, gt_dists, topk, bound * safety, std_m_grid, multipler_grid
             )
             for topk, bound in configs
         }

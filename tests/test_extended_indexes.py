@@ -151,3 +151,68 @@ def test_factory_ivfsq_spec(base_df, query_df, tiny_vectors):
     ids_true, _ = np_knn(xq, xb, K, "l2")
     recs = _recalls(res, ids_true, xq.shape[0])
     assert np.mean(recs) > 0.85
+
+
+def test_ivfpq_precomputed_table_matches_direct_lut(spark, base_df, query_df, tiny_vectors):
+    """use_precomputed_table (IndexIVFPQ.h:48-59) is a pure
+    factorization: |q-c-z|^2 = term1 + term2[l] + term3[q] must return
+    the same ids and distances as the per-(query,list) residual LUT."""
+    import numpy as np
+
+    from auncel_spark.index.ivfpq import IVFPQIndex
+
+    xb, _ = tiny_vectors
+    cents = xb[:8].astype(np.float64)
+    idx = IVFPQIndex.build(base_df, nlist=8, M=4, centroids=cents)
+    idx.use_precomputed_table = True
+    r1 = idx.search(query_df, 5, nprobe=4).collect()
+    idx.use_precomputed_table = False
+    r2 = idx.search(query_df, 5, nprobe=4).collect()
+    got1 = {(r["qid"], r["pos"]): (r["id"], r["dist"]) for r in r1}
+    got2 = {(r["qid"], r["pos"]): (r["id"], r["dist"]) for r in r2}
+    assert set(got1) == set(got2)
+    for k in got1:
+        assert got1[k][0] == got2[k][0]
+        assert abs(got1[k][1] - got2[k][1]) < 1e-9
+
+
+def test_ivfpqr_recall_between_adc_and_exact_refine(spark, base_df, query_df, tiny_vectors):
+    """IVFPQR's codes-only refine must beat plain ADC and stay <= the
+    exact IndexRefineFlat re-rank (IndexIVFPQ.h:155)."""
+    import numpy as np
+
+    from auncel_spark.config import Metric
+    from auncel_spark.index.ivfpq import IVFPQIndex, IVFPQRIndex
+    from auncel_spark.operators.knn import knn_exact
+
+    xb, xq = tiny_vectors
+    cents = xb[:4].astype(np.float64)
+    K = 10
+    gt = knn_exact(query_df, base_df, K, Metric.L2, "gemm")
+    gt_ids = {}
+    for r in gt.collect():
+        gt_ids.setdefault(r["qid"], set()).add(r["id"])
+
+    def recall(res):
+        got = {}
+        for r in res.collect():
+            got.setdefault(r["qid"], set()).add(r["id"])
+        return np.mean([len(got.get(q, set()) & gt_ids[q]) / K for q in gt_ids])
+
+    pq_idx = IVFPQIndex.build(base_df, nlist=4, M=4, centroids=cents)
+    pqr_idx = IVFPQRIndex.build(base_df, nlist=4, M=4, refine_M=8, centroids=cents)
+    r_adc = recall(pq_idx.search(query_df, K, nprobe=4))
+    r_pqr = recall(pqr_idx.search(query_df, K, nprobe=4))
+    r_exact = recall(pq_idx.search_refine(query_df, base_df, K, nprobe=4))
+    assert r_pqr >= r_adc  # second-level codes add information
+    assert r_exact >= r_pqr  # but can't beat exact re-rank
+    assert r_pqr > 0.5
+
+
+def test_factory_ivfpqr_spec(base_df, query_df):
+    from auncel_spark.index.factory import build_index, parse_spec
+
+    p = parse_spec("IVF8,PQ4+8")
+    assert p.index_type == "ivfpqr" and p.pq_m == 4 and p.refine_m == 8
+    si = build_index(base_df, "IVF8,PQ4+8")
+    assert si.search(query_df, 5, nprobe=8).count() == query_df.count() * 5
