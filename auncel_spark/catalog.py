@@ -129,6 +129,7 @@ def q_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 NLIST = 16  # seed-centroid count for oracle-expressible IVF queries
 NPROBE = 4
 KM_K = 8  # clusters for the centroid-update query
+IMI_KSUB = 8  # seeded half-space quantizers: 8² = 64 cells
 
 
 def _seed_centroids(spark: SparkSession, sf_dir: str, k: int) -> np.ndarray:
@@ -593,6 +594,64 @@ _ORACLE_LIST_SIZES = (
     + "\nSELECT list_no::BIGINT AS list_no, count(*) AS cnt FROM assign GROUP BY list_no"
 )
 
+# IMI with seeded half-space quantizers replicated in SQL: the first
+# IMI_KSUB embeddings' halves are the sub-codebooks; assignment = two
+# half-argmins composed as a*ksub+b; probe ranking = d0(a)+d1(b)
+# (multi-sequence order); candidate scan + top-k as in IVF.
+_ORACLE_IMI = (
+    _Q_CTE
+    + f"""
+, c0 AS (
+  SELECT vec_id AS cid, embedding[1:32]::DOUBLE[] AS cv
+  FROM embeddings WHERE vec_id < {IMI_KSUB}
+), c1 AS (
+  SELECT vec_id AS cid, embedding[33:64]::DOUBLE[] AS cv
+  FROM embeddings WHERE vec_id < {IMI_KSUB}
+), a0 AS (
+  SELECT id, cid AS a FROM (
+    SELECT b.vec_id AS id, c0.cid,
+           row_number() OVER (
+             PARTITION BY b.vec_id
+             ORDER BY list_distance(b.embedding[1:32]::DOUBLE[], c0.cv), c0.cid
+           ) AS rn
+    FROM embeddings b CROSS JOIN c0
+  ) WHERE rn = 1
+), a1 AS (
+  SELECT id, cid AS a FROM (
+    SELECT b.vec_id AS id, c1.cid,
+           row_number() OVER (
+             PARTITION BY b.vec_id
+             ORDER BY list_distance(b.embedding[33:64]::DOUBLE[], c1.cv), c1.cid
+           ) AS rn
+    FROM embeddings b CROSS JOIN c1
+  ) WHERE rn = 1
+), assign AS (
+  SELECT a0.id, a0.a * {IMI_KSUB} + a1.a AS list_no
+  FROM a0 JOIN a1 ON a0.id = a1.id
+), cells AS (
+  SELECT q.qid, c0.cid * {IMI_KSUB} + c1.cid AS cell,
+         list_distance(q.qv[1:32], c0.cv) ** 2
+         + list_distance(q.qv[33:64], c1.cv) ** 2 AS cd
+  FROM q CROSS JOIN c0 CROSS JOIN c1
+), probes AS (
+  SELECT qid, cell FROM (
+    SELECT qid, cell, row_number() OVER (PARTITION BY qid ORDER BY cd, cell) AS rn
+    FROM cells
+  ) WHERE rn <= 8
+), cand AS (
+  SELECT q.qid, a.id, list_distance(q.qv, b.embedding::DOUBLE[]) AS dist
+  FROM probes p
+  JOIN assign a ON a.list_no = p.cell
+  JOIN q ON q.qid = p.qid
+  JOIN embeddings b ON b.vec_id = a.id
+), r AS (
+  SELECT qid, id, row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS rn
+  FROM cand
+)
+SELECT qid, rn - 1 AS pos, id FROM r WHERE rn <= {K}
+"""
+)
+
 # 4-bit SQ codec replicated in SQL: minmax per-dim stats, code =
 # clip(floor((x-lo)/diff*15), 0, 15), decode = lo + (code+0.5)/15*diff
 # (same float64 op order as ScalarQuantizer.encode_np/decode_np), then
@@ -867,15 +926,26 @@ def q_hnsw_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_imi_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """O10: inverted multi-index coarse quantizer. Rows-only (half-space
-    k-means)."""
+    """O10: inverted multi-index coarse quantizer — oracle-checked via
+    seeded sub-quantizers (the first IMI_KSUB embeddings' halves), the
+    seed-IVF trick applied to the cartesian-product quantizer: both
+    engines replay half-argmin assignment, multi-sequence cell ranking
+    d0(a)+d1(b), pruned cell scan, top-k."""
     from auncel_spark.index.imi import IMIIndex
 
-    idx = _cached(
-        sf_dir,
-        "imi",
-        lambda: IMIIndex.build(_emb_base(spark, sf_dir), ksub=4, kmeans_iter=8, seed=5),
-    )
+    def _build():
+        rows = (
+            load(spark, sf_dir, "embeddings")
+            .filter(F.col("vec_id") < IMI_KSUB)
+            .orderBy("vec_id")
+            .collect()
+        )
+        full = np.array([r["embedding"] for r in rows], dtype=np.float64)
+        dsub = full.shape[1] // 2
+        subc = np.stack([full[:, :dsub], full[:, dsub:]])
+        return IMIIndex.build(_emb_base(spark, sf_dir), sub_centroids=subc)
+
+    idx = _cached(sf_dir, "imi", _build)
     res = idx.search(_emb_queries(spark, sf_dir), K, nprobe=8)
     return res.select("qid", F.col("pos").cast("bigint").alias("pos"), "id")
 
@@ -1363,6 +1433,7 @@ ORACLES: dict[str, str] = {
     "doc_fingerprint": _ORACLE_FINGERPRINT,
     "ann_cosine_topk": _ORACLE_ANN_COSINE,
     # "multimodal_byte_features": rows-only (byte-kernel fake decoder)
+    "imi_knn": _ORACLE_IMI,
     "hamming_knn_sign": _ORACLE_HAMMING,
     "ivf_recall_worst_case": _ORACLE_IVF_WORST_CASE,
     "events_window_stats": _ORACLE_EVENTS_WINDOW,

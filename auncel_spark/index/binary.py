@@ -173,6 +173,58 @@ def hamming_range_count(
     return partial.groupBy("qid").agg(F.sum("cnt").alias("cnt"))
 
 
+def _generalized_hamming_matrix(qbytes: np.ndarray, bbytes: np.ndarray) -> np.ndarray:
+    """Generalized Hamming (``Auncel/hamming.h:91-132``
+    ``generalized_hammings_knn_hc``): distance = number of UNEQUAL
+    BYTES, treating each byte as an opaque symbol — the metric for
+    codes where bytes are sub-quantizer indices (e.g. PQ codes), where
+    bit-level popcount is meaningless."""
+    return (qbytes[:, None, :] != bbytes[None, :, :]).sum(axis=2)
+
+
+def generalized_hamming_knn(
+    queries: DataFrame,
+    base: DataFrame,
+    k: int,
+    qid_col: str = "qid",
+    q_bits_col: str = "bits",
+    id_col: str = "id",
+    bits_col: str = "bits",
+) -> DataFrame:
+    """Top-k by generalized (per-byte) Hamming distance. Same broadcast
+    + per-partition partial + window merge shape as ``hamming_knn``.
+    Returns (qid, pos, id, dist)."""
+    from auncel_spark.operators.topk import topk_per_query
+
+    spark = queries.sparkSession
+    qrows = queries.select(qid_col, q_bits_col).collect()
+    qids = np.array([r[qid_col] for r in qrows], dtype=np.int64)
+    qb = np.array([np.frombuffer(r[q_bits_col], dtype=np.uint8) for r in qrows])
+    bc = spark.sparkContext.broadcast((qids, qb))
+    b = base.select(F.col(id_col).alias("id"), F.col(bits_col).alias("bits"))
+
+    def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        gqids, gqb = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids = pdf["id"].to_numpy(dtype=np.int64)
+            bb = np.array([np.frombuffer(x, dtype=np.uint8) for x in pdf["bits"]])
+            dist = _generalized_hamming_matrix(gqb, bb).astype(np.float64)
+            kk = min(k, dist.shape[1])
+            sel = np.lexsort((np.broadcast_to(ids, dist.shape), dist), axis=1)[:, :kk]
+            yield pd.DataFrame(
+                {
+                    "qid": np.repeat(gqids, kk),
+                    "id": ids[sel].ravel(),
+                    "dist": np.take_along_axis(dist, sel, axis=1).ravel(),
+                }
+            )
+
+    partial = b.mapInPandas(scan, schema="qid bigint, id bigint, dist double")
+    return topk_per_query(partial, k).select("qid", "pos", "id", "dist")
+
+
 class BinaryIVFIndex:
     """IVF shell over binary codes (``IndexBinaryIVF``): coarse
     centroids in bit space (medoids by Hamming), lists partitioned, scan

@@ -59,16 +59,24 @@ class IMIIndex(IVFIndex):
         metric: Metric = Metric.L2,
         kmeans_iter: int = 15,
         seed: int = 42,
+        sub_centroids: np.ndarray | None = None,
         id_col: str = "id",
         vec_col: str = "vec",
     ) -> "IMIIndex":
+        """``sub_centroids`` (2, ksub, d/2) skips the half-space k-means
+        — deterministic quantizers for oracle-checked catalog queries
+        (the seed-IVF trick applied to the multi-index)."""
         b = base.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
         d = len(b.select("vec").first()[0])
         dsub = d // 2
-        half0 = b.select("id", F.slice("vec", 1, dsub).alias("vec"))
-        half1 = b.select("id", F.slice("vec", dsub + 1, d - dsub).alias("vec"))
-        c0, _ = train_kmeans(half0, ksub, metric=metric, max_iter=kmeans_iter, seed=seed)
-        c1, _ = train_kmeans(half1, ksub, metric=metric, max_iter=kmeans_iter, seed=seed + 1)
+        if sub_centroids is not None:
+            c0, c1 = np.asarray(sub_centroids, dtype=np.float64)
+            ksub = c0.shape[0]
+        else:
+            half0 = b.select("id", F.slice("vec", 1, dsub).alias("vec"))
+            half1 = b.select("id", F.slice("vec", dsub + 1, d - dsub).alias("vec"))
+            c0, _ = train_kmeans(half0, ksub, metric=metric, max_iter=kmeans_iter, seed=seed)
+            c1, _ = train_kmeans(half1, ksub, metric=metric, max_iter=kmeans_iter, seed=seed + 1)
         idx = cls(base.sparkSession, np.stack([c0, c1]), None, metric)
 
         # assignment: two half-argmins composed into list_no

@@ -171,3 +171,56 @@ def test_fvecs_truncated_file_rejected(spark, tmp_path):
         f.write(b"\x00" * 20)  # 8 floats promised, 5 bytes short
     with pytest.raises(Exception):
         read_fvecs(spark, p).collect()
+
+
+def test_generalized_hamming_knn_byte_oracle(spark):
+    """ghamming = count of unequal BYTES (hamming.h:91-132)."""
+    rng = np.random.default_rng(11)
+    nb, nq, B = 200, 10, 8
+    xb = rng.integers(0, 4, (nb, B)).astype(np.uint8)  # small symbol space -> ties
+    xq = rng.integers(0, 4, (nq, B)).astype(np.uint8)
+    base = spark.createDataFrame(
+        [(i, bytes(xb[i])) for i in range(nb)], "id bigint, bits binary"
+    )
+    queries = spark.createDataFrame(
+        [(i, bytes(xq[i])) for i in range(nq)], "qid bigint, bits binary"
+    )
+    from auncel_spark.index.binary import generalized_hamming_knn
+
+    res = generalized_hamming_knn(queries, base, 5)
+    d = (xq[:, None, :] != xb[None, :, :]).sum(-1)
+    ids = np.arange(nb)
+    order = np.lexsort((np.broadcast_to(ids, d.shape), d), axis=1)[:, :5]
+    got = {(r["qid"], r["pos"]): (r["id"], r["dist"]) for r in res.collect()}
+    for qi in range(nq):
+        for p in range(5):
+            assert got[(qi, p)] == (order[qi, p], float(d[qi, order[qi, p]]))
+
+
+def test_spectral_hash_beats_random_and_roundtrips(spark, base_df, query_df, tiny_vectors):
+    """Spectral-hash codes must put true L2 neighbors closer in Hamming
+    space than chance (B14's data-adaptive binarization), and the
+    median threshold must split each bit ~evenly."""
+    from auncel_spark.config import Metric
+    from auncel_spark.index.spectral import SpectralHash
+    from auncel_spark.operators.knn import knn_exact
+
+    xb, xq = tiny_vectors
+    sh = SpectralHash.train(base_df, nbits=16)
+    codes = sh.encode(base_df).cache()
+    # bit balance: each bit on for 25-75% of the corpus
+    mat = np.array([np.frombuffer(r["bits"], dtype=np.uint8) for r in codes.collect()])
+    bits = np.unpackbits(mat, axis=1)[:, :16]
+    frac = bits.mean(axis=0)
+    assert (frac > 0.25).all() and (frac < 0.75).all()
+
+    K = 10
+    res = sh.knn(query_df, codes, K)
+    gt = knn_exact(query_df, base_df, K, Metric.L2, "gemm")
+    gt_ids, got_ids = {}, {}
+    for r in gt.collect():
+        gt_ids.setdefault(r["qid"], set()).add(r["id"])
+    for r in res.collect():
+        got_ids.setdefault(r["qid"], set()).add(r["id"])
+    rec = np.mean([len(gt_ids[q] & got_ids.get(q, set())) / K for q in gt_ids])
+    assert rec > 3 * K / len(xb)  # far above the random-k baseline
