@@ -54,6 +54,17 @@ from auncel_spark.profile.geometry import boundary_distances, sum_angle
 from auncel_spark.profile.traces import Trace, kscaling
 
 
+def _subsweep(sweep: dict, mask: np.ndarray) -> dict:
+    """Row-restricted view of a sweep (for holdout calibration)."""
+    return {
+        "qids": sweep["qids"][mask],
+        "dtb": sweep["dtb"][mask],
+        "stages": sweep["stages"],
+        "states_d": [s[mask] for s in sweep["states_d"]],
+        "states_i": [s[mask] for s in sweep["states_i"]],
+    }
+
+
 class ErrorProfile:
     """Per-index trained error profile + bounded adaptive search."""
 
@@ -279,13 +290,35 @@ class ErrorProfile:
         test queries, and the cheapest config that exactly meets the
         bound on the training set routinely dips below it out of
         sample. Calibrating against half the bound (safety=0.5) buys
-        the generalization margin at a modest nprobe cost."""
+        the generalization margin at a modest nprobe cost.
+
+        ``holdout``: traces are fitted on the even-index half of the
+        training queries and every grid config is scored on the odd
+        half — the config never sees its own validation queries, which
+        kills the winner's-curse failure mode (the cheapest config that
+        looks perfect in-sample is systematically the one that
+        overfits)."""
+        return self._fit_and_calibrate_many(
+            train_queries, configs, std_m_grid, multipler_grid, safety, True
+        )
+
+    def _fit_and_calibrate_many(
+        self, train_queries, configs, std_m_grid, multipler_grid, safety, holdout
+    ) -> dict:
         sweep = self._sweep_states(train_queries, self._all_stages())
         gt_dists = sweep["states_d"][-1].copy()
-        self._traces_from_sweep(sweep, gt_dists)
+        nq = len(sweep["qids"])
+        if holdout and nq >= 64:
+            fit_m = np.arange(nq) % 2 == 0
+            val_m = ~fit_m
+        else:
+            fit_m = val_m = np.ones(nq, dtype=bool)
+        self._traces_from_sweep(_subsweep(sweep, fit_m), gt_dists[fit_m])
+        val_sweep = _subsweep(sweep, val_m)
         return {
             (topk, bound): self._calibrate_on_sweep(
-                sweep, gt_dists, topk, bound * safety, std_m_grid, multipler_grid
+                val_sweep, gt_dists[val_m], topk, bound * safety,
+                std_m_grid, multipler_grid,
             )
             for topk, bound in configs
         }

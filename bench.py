@@ -65,6 +65,19 @@ def main() -> None:
         "derived": derived,
         "sf": sf,
     }
+
+    # reference-workload scale bench (VERDICT r01 top item): 1M × d96,
+    # IVF1024, eval/run.sh-shaped grid. Build artifacts cache under
+    # .scale_cache so per-round reruns time only the online search.
+    # Opt out with SPARK_GRAFT_SCALE_BENCH=0.
+    if os.environ.get("SPARK_GRAFT_SCALE_BENCH", "1") != "0":
+        try:
+            from scripts.scale_bench import run as scale_run
+
+            out["scale_1m"] = scale_run(spark)
+        except Exception as e:  # never let the scale path kill the bench line
+            out["scale_1m"] = {"error": f"{type(e).__name__}: {e}"}
+
     print(json.dumps(out))
 
 

@@ -125,7 +125,7 @@ def ensure_profile(spark, cache: Path, idx):
     if params_path.exists():
         with open(params_path) as f:
             raw = json.load(f)
-        if raw.get("safety") == SAFETY:
+        if raw.get("safety") == SAFETY and raw.get("holdout"):
             ep2 = ErrorProfile.load(idx, prof_path)
             params = {tuple(json.loads(k)): v for k, v in raw["configs"].items()}
             return ep2, params, 0.0
@@ -146,6 +146,7 @@ def ensure_profile(spark, cache: Path, idx):
                 "configs": {json.dumps(list(k)): v for k, v in params.items()},
                 "fit_sec": round(fit_s, 2),
                 "safety": SAFETY,
+                "holdout": True,
             },
             f,
         )
