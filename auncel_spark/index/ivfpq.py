@@ -152,11 +152,40 @@ class IVFPQIndex(IVFIndex):
         nprobe: int,
         qid_col: str = "qid",
         vec_col: str = "vec",
-        strategy: str = "join",
+        strategy: str = "bcast",
     ) -> DataFrame:
-        # the lists table stores codes, not vectors — route through the
-        # ADC _scan_lists override rather than the raw-vector GEMM path
-        return super().search(queries, k, nprobe, qid_col, vec_col, strategy="join")
+        """strategy="bcast" (default): broadcast-queries ADC scan —
+        each M-byte code crosses Arrow once no matter how many queries
+        probe its list; term3 LUTs are built lazily in-task, term2
+        rides in broadcast (index/scan.py). "join": the per-(query,
+        list) probes-join ADC path (kept as the oracle-shape
+        reference)."""
+        if strategy == "join":
+            return super().search(queries, k, nprobe, qid_col, vec_col, strategy="join")
+        from auncel_spark.index.scan import scan_window_coded
+        from auncel_spark.operators.topk import topk_per_query
+
+        q = queries.select(F.col(qid_col).alias("qid"), F.col(vec_col).alias("vec"))
+        qpdf = q.toPandas()
+        qids = qpdf["qid"].to_numpy(dtype=np.int64)
+        qmat = np.array(list(qpdf["vec"]), dtype=np.float64)
+        ranked, _ = self.coarse_rank(qids, qmat, nprobe)
+        use_t2 = (
+            self.use_precomputed_table
+            and self.by_residual
+            and self.metric == Metric.L2
+        )
+        codec = {
+            "kind": "pq",
+            "books": self.pq.codebooks,
+            "cents": self.centroids if self.by_residual else None,
+            "term2": self.precomputed_term2() if use_t2 else None,
+        }
+        partial = scan_window_coded(
+            self.data, qids, qmat, ranked, 0, nprobe, k, self.metric,
+            self.nlist, codec,
+        )
+        return topk_per_query(partial, k).select("qid", "pos", "id", "dist")
 
     def _scan_lists(
         self,

@@ -111,11 +111,28 @@ class IVFSQIndex(IVFIndex):
         nprobe: int,
         qid_col: str = "qid",
         vec_col: str = "vec",
-        strategy: str = "join",
+        strategy: str = "bcast",
     ) -> DataFrame:
-        # lists store SQ codes — route through the decode _scan_lists
-        # override, not the raw-vector GEMM path
-        return super().search(queries, k, nprobe, qid_col, vec_col, strategy="join")
+        """strategy="bcast" (default): broadcast-queries coded scan —
+        each SQ code crosses Arrow once regardless of how many queries
+        probe its list, decoded in-task (index/scan.py). "join": the
+        probes-broadcast-join decode path (code payload duplicated per
+        probing query; kept as the oracle-shape reference)."""
+        if strategy == "join":
+            return super().search(queries, k, nprobe, qid_col, vec_col, strategy="join")
+        from auncel_spark.index.scan import scan_window_coded
+        from auncel_spark.operators.topk import topk_per_query
+
+        q = queries.select(F.col(qid_col).alias("qid"), F.col(vec_col).alias("vec"))
+        qpdf = q.toPandas()
+        qids = qpdf["qid"].to_numpy(dtype=np.int64)
+        qmat = np.array(list(qpdf["vec"]), dtype=np.float64)
+        ranked, _ = self.coarse_rank(qids, qmat, nprobe)
+        partial = scan_window_coded(
+            self.data, qids, qmat, ranked, 0, nprobe, k, self.metric,
+            self.nlist, {"kind": "sq", "sq": self.sq.to_dict()},
+        )
+        return topk_per_query(partial, k).select("qid", "pos", "id", "dist")
 
     def _scan_lists(
         self,

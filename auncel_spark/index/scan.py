@@ -265,6 +265,171 @@ def scan_bucketed(
     return _pruned(data, probed).mapInArrow(scan, schema=BUCKET_SCHEMA)
 
 
+def scan_window_coded(
+    data: DataFrame,
+    qids: np.ndarray,
+    qmat: np.ndarray,
+    ranked: np.ndarray,
+    lo: int,
+    hi: int,
+    k: int,
+    metric: Metric,
+    nlist: int,
+    codec: dict,
+    active: np.ndarray | None = None,
+) -> DataFrame:
+    """``scan_window`` over CODED lists (``(id, code BINARY, list_no)``)
+    — the broadcast-queries analogue of the IVFPQ/IVFSQ probes-join
+    scans, restoring scan-each-code-once asymptotics for compressed
+    lists too (the join path ships every M-byte code once per probing
+    query; at nprobe=128 over shared lists that is a ~100× payload
+    blow-up even for codes).
+
+    ``codec`` selects the in-task decoder:
+
+    - ``{"kind": "sq", "sq": ScalarQuantizer.to_dict()}`` — each Arrow
+      batch is decoded once to a float block, then scored with the same
+      per-list GEMM as the raw-vector kernel (the reference's
+      IVFScalarQuantizer scanner decodes inline,
+      ``Auncel/IndexScalarQuantizer.h:90-150``).
+    - ``{"kind": "pq", "books": (M,ksub,dsub), "cents": centroids|None,
+      "term2": (nlist,M,ksub)|None}`` — ADC via LUT gather-sum
+      (``Auncel/IndexIVFPQ.h:34-130``). The query-dependent term3 LUT
+      (−2·q_m·z for L2, −q_m·z for IP) is computed lazily PER TASK and
+      only for queries that actually probe a list in that task's
+      partitions (partition pruning keeps this a small subset); the
+      query-independent term2 rides in broadcast. Residual L2 requires
+      ``term2`` (build it with ``IVFPQIndex.precomputed_term2``).
+
+    Callers window-reduce with ``topk_per_query`` exactly as for
+    ``scan_window``.
+    """
+    spark = data.sparkSession
+    nq = len(qids)
+    hi = min(hi, ranked.shape[1], nlist)
+    if active is None:
+        active = np.ones(nq, dtype=bool)
+    act = np.where(active)[0]
+    if len(act) == 0 or hi <= lo:
+        return spark.createDataFrame([], WINDOW_SCHEMA)
+    inv = _inv_rank(ranked, nlist, hi)
+    probed = sorted({int(x) for x in np.unique(ranked[act, lo:hi])})
+    bc = spark.sparkContext.broadcast(
+        (qids, np.asarray(qmat, dtype=np.float64), inv, active.copy(), codec)
+    )
+    is_l2 = metric == Metric.L2
+
+    def scan(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        bqids, bq, binv, bact, cdc = bc.value
+        qn = (bq * bq).sum(axis=1)
+        sq_dec = books = cents = t2 = znorm = None
+        t3 = t3_done = None
+        if cdc["kind"] == "sq":
+            from auncel_spark.index.sq import ScalarQuantizer
+
+            sq_dec = ScalarQuantizer.from_dict(cdc["sq"])
+        else:
+            books = np.asarray(cdc["books"], dtype=np.float64)
+            cents = cdc.get("cents")
+            t2 = cdc.get("term2")
+            znorm = (books * books).sum(-1)  # (M, ksub)
+            M, ksub, dsub = books.shape
+            # lazily-filled per-task term3 LUTs; np.empty commits pages
+            # only for rows actually touched (queries probing this
+            # task's lists)
+            t3 = np.empty((len(bqids), M, ksub))
+            t3_done = np.zeros(len(bqids), dtype=bool)
+        state_d = state_i = None
+        touched = np.zeros(len(bqids), dtype=bool)
+
+        def pq_dist(sel: np.ndarray, codes: np.ndarray, ln: int) -> np.ndarray:
+            miss = sel[~t3_done[sel]]
+            if len(miss):
+                qsub = bq[miss].reshape(len(miss), M, dsub)
+                scale = -2.0 if is_l2 else -1.0
+                t3[miss] = scale * np.einsum("qmd,mkd->qmk", qsub, books)
+                t3_done[miss] = True
+            if is_l2:
+                if cents is not None:
+                    t2_ln = (
+                        t2[ln]
+                        if t2 is not None
+                        else znorm
+                        + 2.0
+                        * np.einsum("md,mkd->mk", cents[ln].reshape(M, dsub), books)
+                    )
+                    diff = bq[sel] - cents[ln]
+                    term1 = (diff * diff).sum(axis=1)
+                else:
+                    t2_ln = znorm
+                    term1 = qn[sel]
+                lut = t3[sel] + t2_ln[None]
+            else:
+                lut = t3[sel]
+                term1 = -(bq[sel] @ cents[ln]) if cents is not None else 0.0
+            acc = np.zeros((len(sel), codes.shape[0]))
+            for m in range(M):
+                acc += lut[:, m, :][:, codes[:, m]]
+            return acc + (term1[:, None] if np.ndim(term1) else term1)
+
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            if state_d is None:
+                state_d = np.full((len(bqids), k), np.inf)
+                state_i = np.full((len(bqids), k), -1, dtype=np.int64)
+            ids = batch.column(0).to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+            codes = np.stack(
+                [
+                    np.frombuffer(b, dtype=np.uint8)
+                    for b in batch.column(1).to_pylist()
+                ]
+            )
+            lns = batch.column(2).to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+            mat = sq_dec.decode_np(codes) if sq_dec is not None else None
+            for ln in np.unique(lns):
+                r = binv[:, int(ln)]
+                sel = np.where(bact & (r >= lo) & (r < hi))[0]
+                if len(sel) == 0:
+                    continue
+                m = lns == ln
+                if sq_dec is not None:
+                    dist = _dist_block(bq[sel], qn[sel], mat[m], metric)
+                else:
+                    nL = int(m.sum())
+                    # tile sel so the (ns × nL) gather block stays
+                    # bounded (STATUS kernel-memory discipline)
+                    blk = max(1, 4_000_000 // max(nL, 1))
+                    if len(sel) > blk:
+                        dist = np.concatenate(
+                            [
+                                pq_dist(sel[i : i + blk], codes[m], int(ln))
+                                for i in range(0, len(sel), blk)
+                            ]
+                        )
+                    else:
+                        dist = pq_dist(sel, codes[m], int(ln))
+                nd, ni = _group_topk(dist, ids[m], k)
+                _merge_rows(state_d, state_i, sel, nd, ni)
+                touched[sel] = True
+        if state_d is None or not touched.any():
+            return
+        t = np.where(touched)[0]
+        keep = state_i[t] >= 0
+        yield pa.RecordBatch.from_pydict(
+            {
+                "qid": np.repeat(bqids[t], k)[keep.ravel()],
+                "id": state_i[t].ravel()[keep.ravel()],
+                "dist": state_d[t].ravel()[keep.ravel()],
+            }
+        )
+
+    pruned = data.filter(F.col("list_no").isin(probed)).select(
+        "id", "code", F.col("list_no").cast("long")
+    )
+    return pruned.mapInArrow(scan, schema=WINDOW_SCHEMA)
+
+
 def reduce_bucketed(partial: DataFrame, k: int) -> "pd.DataFrame":
     """Global top-k per (qid, bucket) from task partials, collected via
     Arrow. Result size ≤ nq · nbuckets · k rows."""
