@@ -112,6 +112,19 @@ def q_shard_merge_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select("qid", F.col("pos").cast("bigint").alias("pos"), "id")
 
 
+def q_split_vectors_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IndexSplitVectors (Auncel/MetaIndexes.cpp:188-297): exact kNN
+    over 4 dimension shards; Σ of per-shard sub-distances == full L2,
+    so the oracle is the plain exact-kNN SQL."""
+    from auncel_spark.index.split import split_columns, split_vectors_knn
+
+    shards = split_columns(_emb_base(spark, sf_dir), 4, d=64)
+    res = split_vectors_knn(
+        _emb_queries(spark, sf_dir), shards, K, Metric.L2, dims=[16, 16, 16, 16]
+    )
+    return res.select("qid", F.col("pos").cast("bigint").alias("pos"), "id")
+
+
 def q_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O17: recall of IP-ranked top-10 against true L2 top-10."""
     q = _emb_queries(spark, sf_dir)
@@ -1356,6 +1369,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "range_search_l2": q_range_search_l2,
     "knn_rerank_subset": q_knn_rerank_subset,
     "shard_merge_topk": q_shard_merge_topk,
+    "split_vectors_knn": q_split_vectors_knn,
     "recall_eval": q_recall_eval,
     "kmeans_assign": q_kmeans_assign,
     "kmeans_update": q_kmeans_update,
@@ -1405,6 +1419,7 @@ ORACLES: dict[str, str] = {
     "range_search_l2": _ORACLE_RANGE,
     "knn_rerank_subset": _ORACLE_RERANK,
     "shard_merge_topk": _ORACLE_KNN_L2,  # merge of complete shards == global top-k
+    "split_vectors_knn": _ORACLE_KNN_L2,  # Σ of dim-shard sub-distances == full L2
     "recall_eval": _ORACLE_RECALL,
     "kmeans_assign": _ORACLE_ASSIGN,
     "kmeans_update": _ORACLE_KMEANS_UPDATE,

@@ -1,0 +1,149 @@
+"""IndexSplitVectors: dimension-sharded exact search.
+
+Reference: ``IndexSplitVectors`` (``Auncel/MetaIndexes.h:82-110``,
+``MetaIndexes.cpp:188-297``): the input vector is split into contiguous
+sub-dimension blocks, one sub-index per block; search runs every
+sub-index on its slice of the query and combines the per-shard results.
+The reference's combiner is a k=1 composite-label special case; the
+meaningful semantics when every shard stores slices of the SAME rows is
+that the full distance decomposes as the SUM of per-shard
+sub-distances — exact for squared L2 and for IP. This module
+re-expresses that Spark-first and lifts the k=1 restriction:
+
+- shards are separate ``(id, vec_s)`` tables — at 100 TB each dim-slice
+  is its own Parquet table/column, so a search only reads the
+  dimensions it owns (column pruning across tables, the reason this
+  index exists);
+- search reassembles rows with ONE id-equijoin chain (Spark
+  co-partitions the join sides on the key), then a fused Arrow kernel
+  computes per-shard GEMMs against the broadcast query slices and folds
+  their sum into a per-task running top-k — shuffle out is
+  O(tasks·nq·k), independent of corpus size, like every scan kernel in
+  this engine;
+- a bare per-shard top-k would be WRONG pre-sum (the best total can be
+  mediocre in every shard), which is why the kernel sums before
+  selecting — the one barrier this operator genuinely needs.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from auncel_spark.config import Metric
+from auncel_spark.operators.knn import RESULT_SCHEMA
+from auncel_spark.operators.topk import topk_per_query
+
+
+def split_columns(
+    base: DataFrame,
+    nsplit: int,
+    id_col: str = "id",
+    vec_col: str = "vec",
+    d: int | None = None,
+) -> list[DataFrame]:
+    """Slice ``vec`` into ``nsplit`` contiguous dim blocks (last block
+    takes the remainder), one (id, vec) frame per block — the
+    ``add_sub_index`` layout, column-pruned at the source."""
+    if d is None:
+        d = len(base.select(vec_col).first()[0])
+    step = -(-d // nsplit)  # ceil
+    shards = []
+    for s in range(nsplit):
+        lo = s * step
+        ln = min(step, d - lo)
+        if ln <= 0:
+            break
+        shards.append(
+            base.select(
+                F.col(id_col).alias("id"),
+                F.slice(F.col(vec_col), lo + 1, ln).alias("vec"),
+            )
+        )
+    return shards
+
+
+def split_vectors_knn(
+    queries: DataFrame,
+    shards: list[DataFrame],
+    k: int,
+    metric: Metric = Metric.L2,
+    qid_col: str = "qid",
+    q_vec_col: str = "vec",
+    dims: list[int] | None = None,
+) -> DataFrame:
+    """Exact top-k where dist(q, x) = Σ_s dist(q_s, x_s) over the
+    dimension shards. Returns (qid, pos, id, dist) like ``knn_exact``.
+
+    ``dims`` (per-shard widths) skips the one-row probe jobs when the
+    caller already knows the layout."""
+    if metric not in (Metric.L2, Metric.IP):
+        raise ValueError("split-vectors distance decomposes only for L2/IP")
+    if dims is None:
+        dims = [len(s.select("vec").first()[0]) for s in shards]
+    offs = np.concatenate([[0], np.cumsum(dims)]).astype(int)
+
+    joined = shards[0].select("id", F.col("vec").alias("_v0"))
+    for s, sh in enumerate(shards[1:], start=1):
+        joined = joined.join(sh.select("id", F.col("vec").alias(f"_v{s}")), "id")
+
+    spark = queries.sparkSession
+    qpdf = queries.select(
+        F.col(qid_col).alias("qid"), F.col(q_vec_col).alias("vec")
+    ).toPandas()
+    qids = qpdf["qid"].to_numpy(dtype=np.int64)
+    qmat = np.array(list(qpdf["vec"]), dtype=np.float64)
+    bc = spark.sparkContext.broadcast((qids, qmat))
+    ns, is_l2 = len(shards), metric == Metric.L2
+
+    def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from auncel_spark.index.scan import _group_topk, _merge_rows
+
+        bqids, bq = bc.value
+        nq = len(bqids)
+        qs = [bq[:, offs[s] : offs[s + 1]] for s in range(ns)]
+        qn = [(x * x).sum(axis=1)[:, None] for x in qs]
+        block = max(64, 4_000_000 // max(nq, 1))
+        state_d = state_i = None
+        rows_all = np.arange(nq)
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            if state_d is None:
+                state_d = np.full((nq, k), np.inf)
+                state_i = np.full((nq, k), -1, dtype=np.int64)
+            ids_b = pdf["id"].to_numpy(dtype=np.int64)
+            mats_b = [
+                np.array(list(pdf[f"_v{s}"]), dtype=np.float64) for s in range(ns)
+            ]
+            for s0 in range(0, len(ids_b), block):
+                ids = ids_b[s0 : s0 + block]
+                dist = None
+                for s in range(ns):
+                    mat = mats_b[s][s0 : s0 + block]
+                    dots = qs[s] @ mat.T
+                    part = (
+                        qn[s] + (mat * mat).sum(axis=1)[None, :] - 2.0 * dots
+                        if is_l2
+                        else -dots
+                    )
+                    dist = part if dist is None else dist + part
+                nd, ni = _group_topk(dist, ids, k)
+                _merge_rows(state_d, state_i, rows_all, nd, ni)
+        if state_d is None:
+            return
+        keep = (state_i >= 0).ravel()
+        yield pd.DataFrame(
+            {
+                "qid": np.repeat(bqids, k)[keep],
+                "id": state_i.ravel()[keep],
+                "dist": state_d.ravel()[keep],
+            }
+        )
+
+    partial = joined.mapInPandas(scan, schema=RESULT_SCHEMA)
+    return topk_per_query(partial, k).select("qid", "pos", "id", "dist")
