@@ -266,19 +266,37 @@ class BinaryIVFIndex:
         idx._data.count()
         return idx
 
-    def search(self, queries: DataFrame, k: int, nprobe: int) -> DataFrame:
+    def search(
+        self, queries: DataFrame, k: int, nprobe: int, strategy: str = "bcast"
+    ) -> DataFrame:
         qrows = queries.select("qid", "bits").collect()
         qids = np.array([r["qid"] for r in qrows], dtype=np.int64)
         qb = np.array([np.frombuffer(r["bits"], dtype=np.uint8) for r in qrows])
         cd = _hamming_matrix(qb, self.centroids)
-        order = np.argsort(cd, axis=1, kind="stable")[:, :nprobe]
-        probe_rows = [
-            (int(qids[i]), int(order[i, j]))
-            for i in range(len(qids))
-            for j in range(order.shape[1])
-        ]
-        probes = self.spark.createDataFrame(probe_rows, "qid bigint, list_no int")
-        probed = sorted({r[1] for r in probe_rows})
+        order = np.argsort(cd, axis=1, kind="stable")[:, :nprobe].astype(np.int32)
+        if strategy == "bcast":
+            # broadcast-queries popcount kernel: each code crosses Arrow
+            # once regardless of how many queries probe its list
+            from auncel_spark.index.scan import scan_window_coded
+            from auncel_spark.config import Metric
+
+            partial = scan_window_coded(
+                self._data, qids, None, order, 0, nprobe, k, Metric.L2,
+                self.nlist, {"kind": "hamming", "qbits": qb}, code_col="bits",
+            )
+            return topk_per_query(partial, k).select("qid", "pos", "id", "dist")
+        # join path (oracle-shape reference); Arrow probes frame — a
+        # Python tuple list stalls the driver at nq·nprobe scale
+        nq, npb = order.shape
+        probes = self.spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "qid": np.repeat(qids, npb),
+                    "list_no": order.ravel(),
+                }
+            )
+        )
+        probed = sorted({int(x) for x in np.unique(order)})
         pruned = self._data.filter(F.col("list_no").isin(probed))
         joined = pruned.join(F.broadcast(probes), "list_no").select("qid", "id", "bits")
         bc = self.spark.sparkContext.broadcast((qids, qb, {int(q): i for i, q in enumerate(qids)}))

@@ -268,7 +268,7 @@ def scan_bucketed(
 def scan_window_coded(
     data: DataFrame,
     qids: np.ndarray,
-    qmat: np.ndarray,
+    qmat: np.ndarray | None,
     ranked: np.ndarray,
     lo: int,
     hi: int,
@@ -277,6 +277,7 @@ def scan_window_coded(
     nlist: int,
     codec: dict,
     active: np.ndarray | None = None,
+    code_col: str = "code",
 ) -> DataFrame:
     """``scan_window`` over CODED lists (``(id, code BINARY, list_no)``)
     — the broadcast-queries analogue of the IVFPQ/IVFSQ probes-join
@@ -300,6 +301,10 @@ def scan_window_coded(
       partitions (partition pruning keeps this a small subset); the
       query-independent term2 rides in broadcast. Residual L2 requires
       ``term2`` (build it with ``IVFPQIndex.precomputed_term2``).
+    - ``{"kind": "hamming", "qbits": (nq, code_size) uint8}`` — packed
+      binary codes scored by popcount (``Auncel/IndexBinaryIVF`` scan;
+      ``hamming.h``). ``qmat``/``metric`` are ignored — the query BIT
+      matrix rides in the codec.
 
     Callers window-reduce with ``topk_per_query`` exactly as for
     ``scan_window``.
@@ -314,6 +319,8 @@ def scan_window_coded(
         return spark.createDataFrame([], WINDOW_SCHEMA)
     inv = _inv_rank(ranked, nlist, hi)
     probed = sorted({int(x) for x in np.unique(ranked[act, lo:hi])})
+    if qmat is None:  # hamming codec: queries ride in codec["qbits"]
+        qmat = np.zeros((nq, 1))
     bc = spark.sparkContext.broadcast(
         (qids, np.asarray(qmat, dtype=np.float64), inv, active.copy(), codec)
     )
@@ -322,12 +329,14 @@ def scan_window_coded(
     def scan(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         bqids, bq, binv, bact, cdc = bc.value
         qn = (bq * bq).sum(axis=1)
-        sq_dec = books = cents = t2 = znorm = None
+        sq_dec = books = cents = t2 = znorm = qbits = None
         t3 = t3_done = None
         if cdc["kind"] == "sq":
             from auncel_spark.index.sq import ScalarQuantizer
 
             sq_dec = ScalarQuantizer.from_dict(cdc["sq"])
+        elif cdc["kind"] == "hamming":
+            qbits = cdc["qbits"]
         else:
             books = np.asarray(cdc["books"], dtype=np.float64)
             cents = cdc.get("cents")
@@ -395,6 +404,10 @@ def scan_window_coded(
                 m = lns == ln
                 if sq_dec is not None:
                     dist = _dist_block(bq[sel], qn[sel], mat[m], metric)
+                elif qbits is not None:
+                    from auncel_spark.index.binary import _hamming_matrix
+
+                    dist = _hamming_matrix(qbits[sel], codes[m]).astype(np.float64)
                 else:
                     nL = int(m.sum())
                     # tile sel so the (ns × nL) gather block stays
@@ -425,7 +438,7 @@ def scan_window_coded(
         )
 
     pruned = data.filter(F.col("list_no").isin(probed)).select(
-        "id", "code", F.col("list_no").cast("long")
+        "id", F.col(code_col), F.col("list_no").cast("long")
     )
     return pruned.mapInArrow(scan, schema=WINDOW_SCHEMA)
 
