@@ -33,6 +33,26 @@ def test_stream_ivf_matches_batch(spark, tmp_path, ivf, query_df):
     assert "batch_id" in got.columns
 
 
+def test_stream_bounded_search_matches_batch(spark, tmp_path, ivf, query_df):
+    """The ELP bounded search (error-profile adaptive nprobe) runs
+    unchanged as the per-micro-batch search_fn — the streaming serving
+    loop the reference hand-rolls in eval/bound.cpp."""
+    from auncel_spark.profile.error_profile import ErrorProfile
+
+    ep = ErrorProfile(ivf, max_topk=10)
+    ep.fit(query_df)
+    fn = lambda q: ep.search(q, K, require_acc=0.9)
+    sdir, out, ck = (str(tmp_path / p) for p in ("src", "out", "ck"))
+    query_df.write.parquet(sdir)
+    s = stream_search(spark, sdir, query_df.schema, fn, out, ck)
+    s.awaitTermination(180)
+    got = spark.read.parquet(out)
+    want = fn(query_df)
+    gw = [(r["qid"], r["pos"], r["id"]) for r in got.orderBy("qid", "pos").collect()]
+    ww = [(r["qid"], r["pos"], r["id"]) for r in want.orderBy("qid", "pos").collect()]
+    assert gw == ww
+
+
 def test_stream_search_custom_fn_multi_batch(spark, tmp_path, ivf, query_df):
     """New query files arriving after the first drain are picked up by a
     restart from the same checkpoint (exactly-once: no duplicated
