@@ -37,3 +37,22 @@ def test_exact_knn_has_no_shuffle_before_kernel(base_df, query_df):
     # the scan side must not shuffle vectors
     n_exchanges = plan.count("Exchange hashpartitioning")
     assert n_exchanges == 1, plan[:2000]
+
+
+def test_coded_scan_prunes_partitions_no_join(base_df, query_df, tmp_path):
+    """The broadcast-queries coded scan must read only probed list
+    partitions (PartitionFilters INSET) and contain NO join at all —
+    queries ride in a task broadcast, codes cross Arrow once."""
+    from auncel_spark.index.ivfsq import IVFSQIndex
+
+    path = str(tmp_path / "ivfsq_plan")
+    idx = IVFSQIndex.build(base_df, nlist=16, kmeans_iter=3, qtype="4bit", path=path)
+    idx2 = IVFSQIndex.load(base_df.sparkSession, path)
+    res = idx2.search(query_df.limit(3), 5, 2, strategy="bcast")
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and (
+        "INSET" in plan or "list_no" in plan.split("PartitionFilters")[1][:120]
+    ), plan[:2000]
+    assert "Join" not in plan, plan[:2000]
+    # only the code and partition columns are read — never a vec column
+    assert "ReadSchema" in plan and "vec" not in plan.split("ReadSchema")[1][:200]
