@@ -283,6 +283,7 @@ class BinaryIVFIndex:
             partial = scan_window_coded(
                 self._data, qids, None, order, 0, nprobe, k, Metric.L2,
                 self.nlist, {"kind": "hamming", "qbits": qb}, code_col="bits",
+                rebalance=self.spark.sparkContext.defaultParallelism,
             )
             return topk_per_query(partial, k).select("qid", "pos", "id", "dist")
         # join path (oracle-shape reference); Arrow probes frame — a

@@ -153,15 +153,19 @@ class IVFPQIndex(IVFIndex):
         qid_col: str = "qid",
         vec_col: str = "vec",
         strategy: str = "bcast",
+        rebalance: int | None = None,
     ) -> DataFrame:
         """strategy="bcast" (default): broadcast-queries ADC scan —
         each M-byte code crosses Arrow once no matter how many queries
         probe its list; term3 LUTs are built lazily in-task, term2
         rides in broadcast (index/scan.py). "join": the per-(query,
         list) probes-join ADC path (kept as the oracle-shape
-        reference)."""
+        reference). ``rebalance``: tasks for the salted skew split of
+        hot lists (None = defaultParallelism; 0 disables)."""
         if strategy == "join":
             return super().search(queries, k, nprobe, qid_col, vec_col, strategy="join")
+        if rebalance is None:
+            rebalance = self.spark.sparkContext.defaultParallelism
         from auncel_spark.index.scan import scan_window_coded
         from auncel_spark.operators.topk import topk_per_query
 
@@ -183,7 +187,7 @@ class IVFPQIndex(IVFIndex):
         }
         partial = scan_window_coded(
             self.data, qids, qmat, ranked, 0, nprobe, k, self.metric,
-            self.nlist, codec,
+            self.nlist, codec, rebalance=rebalance or None,
         )
         return topk_per_query(partial, k).select("qid", "pos", "id", "dist")
 

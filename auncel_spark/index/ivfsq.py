@@ -112,14 +112,19 @@ class IVFSQIndex(IVFIndex):
         qid_col: str = "qid",
         vec_col: str = "vec",
         strategy: str = "bcast",
+        rebalance: int | None = None,
     ) -> DataFrame:
         """strategy="bcast" (default): broadcast-queries coded scan —
         each SQ code crosses Arrow once regardless of how many queries
         probe its list, decoded in-task (index/scan.py). "join": the
         probes-broadcast-join decode path (code payload duplicated per
-        probing query; kept as the oracle-shape reference)."""
+        probing query; kept as the oracle-shape reference).
+        ``rebalance``: tasks for the salted skew split of hot lists
+        (None = defaultParallelism; 0 disables)."""
         if strategy == "join":
             return super().search(queries, k, nprobe, qid_col, vec_col, strategy="join")
+        if rebalance is None:
+            rebalance = self.spark.sparkContext.defaultParallelism
         from auncel_spark.index.scan import scan_window_coded
         from auncel_spark.operators.topk import topk_per_query
 
@@ -131,6 +136,7 @@ class IVFSQIndex(IVFIndex):
         partial = scan_window_coded(
             self.data, qids, qmat, ranked, 0, nprobe, k, self.metric,
             self.nlist, {"kind": "sq", "sq": self.sq.to_dict()},
+            rebalance=rebalance or None,
         )
         return topk_per_query(partial, k).select("qid", "pos", "id", "dist")
 

@@ -47,6 +47,7 @@ from auncel_spark.config import Metric
 
 WINDOW_SCHEMA = "qid bigint, id bigint, dist double"
 BUCKET_SCHEMA = "qid bigint, si int, id bigint, dist double"
+_SALT = 8  # skew-split fragments per list under `rebalance`
 
 
 def _inv_rank(ranked: np.ndarray, nlist: int, width: int) -> np.ndarray:
@@ -278,6 +279,7 @@ def scan_window_coded(
     codec: dict,
     active: np.ndarray | None = None,
     code_col: str = "code",
+    rebalance: int | None = None,
 ) -> DataFrame:
     """``scan_window`` over CODED lists (``(id, code BINARY, list_no)``)
     — the broadcast-queries analogue of the IVFPQ/IVFSQ probes-join
@@ -354,9 +356,15 @@ def scan_window_coded(
         def pq_dist(sel: np.ndarray, codes: np.ndarray, ln: int) -> np.ndarray:
             miss = sel[~t3_done[sel]]
             if len(miss):
-                qsub = bq[miss].reshape(len(miss), M, dsub)
+                # per-m BLAS GEMMs — an einsum('qmd,mkd->qmk') here hits
+                # numpy's generic-iterator path (no BLAS dispatch) and
+                # measured ~40 ns/flop in executors vs ~0.5 ns for dgemm
                 scale = -2.0 if is_l2 else -1.0
-                t3[miss] = scale * np.einsum("qmd,mkd->qmk", qsub, books)
+                qsub = bq[miss]
+                for mm in range(M):
+                    t3[miss, mm] = scale * (
+                        qsub[:, mm * dsub : (mm + 1) * dsub] @ books[mm].T
+                    )
                 t3_done[miss] = True
             if is_l2:
                 if cents is not None:
@@ -440,6 +448,21 @@ def scan_window_coded(
     pruned = data.filter(F.col("list_no").isin(probed)).select(
         "id", F.col(code_col), F.col("list_no").cast("long")
     )
+    if rebalance:
+        # Salted skew split: Spark's size-sorted file bin-packing puts
+        # the biggest lists — which are also the most-probed under
+        # clustered queries — into the SAME task, and scan cost is
+        # probes(list)·rows(list), so that task straggles (measured 85s
+        # vs 2s siblings at 1M×nlist=1024). Hashing on (list_no, salt)
+        # splits each hot list _SALT ways while keeping list locality
+        # (a task holds whole (list, salt) groups, so per-list LUT
+        # state is built O(groups/task) times, not O(nlist) times).
+        # Shuffle volume = the pruned CODES — M bytes/row, cheap.
+        pruned = pruned.repartition(
+            rebalance,
+            F.col("list_no"),
+            F.pmod(F.col("id"), F.lit(_SALT)),
+        )
     return pruned.mapInArrow(scan, schema=WINDOW_SCHEMA)
 
 

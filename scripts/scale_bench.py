@@ -114,6 +114,26 @@ def ensure_index(spark, cache: Path, base_path: str):
 SAFETY = 0.5  # calibrate against bound/2 so the bound generalizes to
 # unseen test queries (the worst-case criterion is evaluated out of
 # sample; exact-on-train calibration routinely misses by one result)
+MARGIN = 1  # grid steps of headroom above the cheapest passing config:
+# the validation worst-case is quantized in 1/k steps, so "cheapest
+# config with minf == 1.0 on 2500 validation queries" carries ZERO
+# margin and r02 measured it dipping to 0.9 on the 5000 unseen test
+# queries; one multiplier step up buys the tail at ~2× nprobe cost
+# (still ≪ the distributed baseline's latency)
+_MULT_GRID = (1.0, 2.0, 4.0, 8.0)
+_STD_GRID = (1.0, 2.0, 4.0)
+
+
+def _apply_margin(params: dict) -> dict:
+    for p in params.values():
+        for _ in range(MARGIN):
+            gi = _MULT_GRID.index(p["multipler"])
+            if gi + 1 < len(_MULT_GRID):
+                p["multipler"] = _MULT_GRID[gi + 1]
+            else:
+                si = _STD_GRID.index(p["std_m"])
+                p["std_m"] = _STD_GRID[min(si + 1, len(_STD_GRID) - 1)]
+    return params
 
 
 def ensure_profile(spark, cache: Path, idx):
@@ -125,18 +145,24 @@ def ensure_profile(spark, cache: Path, idx):
     if params_path.exists():
         with open(params_path) as f:
             raw = json.load(f)
-        if raw.get("safety") == SAFETY and raw.get("holdout"):
+        if (
+            raw.get("safety") == SAFETY
+            and raw.get("holdout")
+            and raw.get("margin") == MARGIN
+        ):
             ep2 = ErrorProfile.load(idx, prof_path)
             params = {tuple(json.loads(k)): v for k, v in raw["configs"].items()}
             return ep2, params, 0.0
     t0 = time.perf_counter()
     train = spark.createDataFrame(_gen_queries_pdf(7, N_TRAIN, 10_000_000))
-    params = ep.fit_and_calibrate_many(
-        train,
-        CONFIGS,
-        multipler_grid=(1.0, 2.0, 4.0, 8.0),
-        std_m_grid=(1.0, 2.0, 4.0),
-        safety=SAFETY,
+    params = _apply_margin(
+        ep.fit_and_calibrate_many(
+            train,
+            CONFIGS,
+            multipler_grid=_MULT_GRID,
+            std_m_grid=_STD_GRID,
+            safety=SAFETY,
+        )
     )
     fit_s = time.perf_counter() - t0
     ep.save(prof_path)
@@ -147,6 +173,7 @@ def ensure_profile(spark, cache: Path, idx):
                 "fit_sec": round(fit_s, 2),
                 "safety": SAFETY,
                 "holdout": True,
+                "margin": MARGIN,
             },
             f,
         )
@@ -208,26 +235,30 @@ def run_ivfpq(spark, cache: Path, base_path: str, flat_idx, gt: np.ndarray, test
         out["cold_build_sec"] = round(build_s, 2)
     base = spark.read.parquet(base_path)
     pq.data.count()  # warm footers
+    import pandas as pd
+
     k = 10
     for nprobe in (32, 64):
         t0 = time.perf_counter()
         adc = pq.search(test, k, nprobe)
         adc.toPandas()
         adc_wall = time.perf_counter() - t0
-        t0 = time.perf_counter()
-        ref = pq.search_refine(test, base, k, nprobe)
-        pdf = ref.toPandas()
-        ref_wall = time.perf_counter() - t0
-        qi = pdf["qid"].to_numpy(dtype=np.int64) - 20_000_000
-        ok = pdf["dist"].to_numpy() <= gt[qi, k - 1] + 1e-6
-        import pandas as pd
-
-        recall = float((pd.Series(ok).groupby(qi).sum() / float(k)).mean())
-        out[f"k{k}_np{nprobe}"] = {
-            "adc_ms_per_query": round(adc_wall / N_TEST * 1000.0, 3),
-            "refine_ms_per_query": round(ref_wall / N_TEST * 1000.0, 3),
-            "refine_recall_at_10": round(recall, 4),
-        }
+        row = {"adc_ms_per_query": round(adc_wall / N_TEST * 1000.0, 3)}
+        # refine recall is candidate-pool limited: k_factor spans the
+        # quality/latency trade-off (IndexIVFPQR defaults k_factor=4)
+        for kf in (4, 16):
+            t0 = time.perf_counter()
+            ref = pq.search_refine(test, base, k, nprobe, k_factor=kf)
+            pdf = ref.toPandas()
+            ref_wall = time.perf_counter() - t0
+            qi = pdf["qid"].to_numpy(dtype=np.int64) - 20_000_000
+            ok = pdf["dist"].to_numpy() <= gt[qi, k - 1] + 1e-6
+            recall = float((pd.Series(ok).groupby(qi).sum() / float(k)).mean())
+            row[f"refine_kf{kf}"] = {
+                "ms_per_query": round(ref_wall / N_TEST * 1000.0, 3),
+                "recall_at_10": round(recall, 4),
+            }
+        out[f"k{k}_np{nprobe}"] = row
     return out
 
 
