@@ -419,6 +419,32 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select("qid", F.col("pos").cast("bigint").alias("pos"), "id")
 
 
+def q_ann_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCALE path for ann_cosine_topk (which is the brute-force
+    baseline): L2-normalize, then IVF with the IP metric — dot on unit
+    vectors IS cosine, so a partition-pruned probe scan replaces the
+    full cross join. Seed-IVF trick keeps it oracle-expressible."""
+    from auncel_spark.functions.vector import l2_normalize
+    from auncel_spark.index.ivf import IVFIndex
+
+    def _norm_base():
+        return _emb_base(spark, sf_dir).select(
+            "id", l2_normalize("vec").alias("vec")
+        )
+
+    def _build():
+        cents = _seed_centroids(spark, sf_dir, NLIST)
+        cents = cents / np.linalg.norm(cents, axis=1, keepdims=True)
+        return IVFIndex.build(
+            _norm_base(), nlist=NLIST, centroids=cents, metric=Metric.IP
+        )
+
+    idx = _cached(sf_dir, "seed_ivf_cosine", _build)
+    q = _emb_queries(spark, sf_dir).select("qid", l2_normalize("vec").alias("vec"))
+    res = idx.search(q, ANN_K, nprobe=NPROBE)
+    return res.select("qid", F.col("pos").cast("bigint").alias("pos"), "id")
+
+
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: binary payload → deterministic fake feature
     vector (posexploded for a hashable shape). Rows-only check (the
@@ -1268,6 +1294,47 @@ WITH q AS (
 SELECT qid, rn - 1 AS pos, id FROM r WHERE rn <= {ANN_K}
 """
 
+# cosine of raw vectors == dot of normalized vectors, so the oracle
+# replays the seeded-IVF probe scan with list_cosine_similarity
+_ORACLE_ANN_COSINE_IVF = f"""
+WITH q AS (
+  SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+  FROM embeddings WHERE {QUERY_FILTER}
+), c AS (
+  SELECT vec_id AS cid, embedding::DOUBLE[] AS cv
+  FROM embeddings WHERE vec_id < {NLIST}
+), assign AS (
+  SELECT vec_id AS id, list_no FROM (
+    SELECT b.vec_id, c.cid AS list_no,
+           row_number() OVER (
+             PARTITION BY b.vec_id
+             ORDER BY -list_cosine_similarity(b.embedding::DOUBLE[], c.cv), c.cid
+           ) AS rn
+    FROM embeddings b CROSS JOIN c
+  ) WHERE rn = 1
+), probes AS (
+  SELECT qid, list_no FROM (
+    SELECT q.qid, c.cid AS list_no,
+           row_number() OVER (
+             PARTITION BY q.qid
+             ORDER BY -list_cosine_similarity(q.qv, c.cv), c.cid
+           ) AS rn
+    FROM q CROSS JOIN c
+  ) WHERE rn <= {NPROBE}
+), cand AS (
+  SELECT q.qid, a.id,
+         -list_cosine_similarity(q.qv, b.embedding::DOUBLE[]) AS dist
+  FROM probes p
+  JOIN assign a ON a.list_no = p.list_no
+  JOIN q ON q.qid = p.qid
+  JOIN embeddings b ON b.vec_id = a.id
+), r AS (
+  SELECT qid, id, row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS rn
+  FROM cand
+)
+SELECT qid, rn - 1 AS pos, id FROM r WHERE rn <= {ANN_K}
+"""
+
 
 # sign-bit packing for the hamming oracle: two 32-bit halves (bit 63
 # would overflow signed BIGINT). Engine bytes-popcount == halves sum.
@@ -1390,6 +1457,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "langid": q_langid,
     "doc_fingerprint": q_doc_fingerprint,
     "ann_cosine_topk": q_ann_cosine_topk,
+    "ann_cosine_ivf": q_ann_cosine_ivf,
     "multimodal_byte_features": q_multimodal_features,
     "hamming_knn_sign": q_hamming_knn,
     "ivf_recall_worst_case": q_ivf_recall_worst_case,
@@ -1447,6 +1515,7 @@ ORACLES: dict[str, str] = {
     "langid": _ORACLE_LANGID,
     "doc_fingerprint": _ORACLE_FINGERPRINT,
     "ann_cosine_topk": _ORACLE_ANN_COSINE,
+    "ann_cosine_ivf": _ORACLE_ANN_COSINE_IVF,
     # "multimodal_byte_features": rows-only (byte-kernel fake decoder)
     "imi_knn": _ORACLE_IMI,
     "hamming_knn_sign": _ORACLE_HAMMING,
