@@ -64,6 +64,11 @@ def normalize_event_ts(events: DataFrame, ts_col: str = "ts") -> DataFrame:
         return events.withColumn(
             ts_col, F.timestamp_seconds(F.col(ts_col) / F.lit(1e9))
         )
+    if isinstance(field.dataType, T.TimestampNTZType):
+        # Parquet TIMESTAMP(isAdjustedToUTC=false) reads as TIMESTAMP_NTZ,
+        # which withWatermark rejects (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE);
+        # session timezone is UTC so the cast is value-preserving.
+        return events.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
     return events
 
 

@@ -113,7 +113,10 @@ def test_autotune_sweep_and_pareto(base_df, query_df, tiny_vectors, spark):
 
 def test_streaming_matches_batch(spark, tmp_path):
     """Structured Streaming windowed agg over the events fixture equals
-    the batch expression (availableNow drain)."""
+    the batch expression. Two availableNow runs against one checkpoint:
+    run 1 ingests the fixture; run 2 ingests a single far-future sentinel
+    row that advances the watermark past every fixture window, so append
+    mode flushes them all. The flushed rows must equal the batch plan."""
     from auncel_spark.streaming.ingest import (
         stream_windowed_event_stats,
         windowed_event_stats_expr,
@@ -121,25 +124,40 @@ def test_streaming_matches_batch(spark, tmp_path):
 
     src = "/root/testdata/sf0.001"
     events = spark.read.parquet(f"{src}/events.parquet")
-    schema = events.schema.simpleString().replace("struct<", "").rstrip(">")
     # stage the fixture into a stream-source dir
     sdir = str(tmp_path / "stream_src")
     events.write.parquet(sdir)
     out = str(tmp_path / "stream_out")
     ck = str(tmp_path / "ck")
-    q = stream_windowed_event_stats(spark, sdir, events.schema, out, ck, watermark="100000 hours")
+    q = stream_windowed_event_stats(spark, sdir, events.schema, out, ck, watermark="1 hour")
     q.awaitTermination(120)
-    # append mode with a huge watermark emits nothing until more data
-    # arrives — so drive a second batch to flush, or compare complete
-    # semantics via the batch plan. Here: assert the query ran and the
-    # batch expression is consistent with a manual groupBy.
-    from auncel_spark.streaming.ingest import normalize_event_ts
+    # second micro-batch: one sentinel event a year past the fixture
+    # flushes every fixture window (same raw schema as the source)
+    from pyspark.sql import types as T
 
-    batch = windowed_event_stats_expr(events)
-    manual = normalize_event_ts(events).groupBy(
-        F.date_trunc("hour", "ts").alias("h"), "event_type"
-    ).count()
-    assert batch.count() == manual.count()
+    shift_expr = (
+        (F.col("ts") + F.lit(int(365 * 24 * 3600 * 1e9)))
+        if isinstance(events.schema["ts"].dataType, T.LongType)
+        else (F.col("ts") + F.expr("INTERVAL 365 DAYS")).cast(
+            events.schema["ts"].dataType
+        )
+    )
+    events.orderBy(F.desc("ts")).limit(1).withColumn("ts", shift_expr).write.mode(
+        "append"
+    ).parquet(sdir)
+    q2 = stream_windowed_event_stats(spark, sdir, events.schema, out, ck, watermark="1 hour")
+    q2.awaitTermination(120)
+
+    got = {
+        (r["window_start"], r["event_type"], r["n_events"], round(r["sum_value"], 6))
+        for r in spark.read.parquet(out).collect()
+    }
+    want = {
+        (r["window_start"], r["event_type"], r["n_events"], round(r["sum_value"], 6))
+        for r in windowed_event_stats_expr(events).collect()
+    }
+    assert got == want
+    assert len(want) > 0
 
 
 def test_streaming_ivf_ingest(spark, tmp_path, base_df, tiny_vectors):
