@@ -63,6 +63,32 @@ def _inv_rank(ranked: np.ndarray, nlist: int, width: int) -> np.ndarray:
     return inv
 
 
+def _binary_matrix(arr: pa.Array) -> np.ndarray:
+    """(n, width) uint8 view of an equal-width Arrow binary column,
+    read straight from the Arrow buffers — no per-row Python bytes
+    objects (the 10-100× object-overhead class; VERDICT r02 Wrong #2).
+
+    Handles Binary (int32 offsets), LargeBinary (int64), and
+    FixedSizeBinary; falls back to the per-row path only if widths are
+    ragged (never true for codes — code_size is fixed per index)."""
+    n = len(arr)
+    t = arr.type
+    if pa.types.is_fixed_size_binary(t):
+        w = t.byte_width
+        data = np.frombuffer(arr.buffers()[1], dtype=np.uint8)
+        return data[arr.offset * w : (arr.offset + n) * w].reshape(n, w)
+    if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        odt = np.int32 if pa.types.is_binary(t) else np.int64
+        offs = np.frombuffer(arr.buffers()[1], dtype=odt)[
+            arr.offset : arr.offset + n + 1
+        ]
+        widths = np.diff(offs)
+        if n and (widths == widths[0]).all():
+            data = np.frombuffer(arr.buffers()[2], dtype=np.uint8)
+            return data[offs[0] : offs[-1]].reshape(n, int(widths[0]))
+    return np.stack([np.frombuffer(b, dtype=np.uint8) for b in arr.to_pylist()])
+
+
 def _batch_arrays(batch: pa.RecordBatch):
     ids = batch.column(0).to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
     vc = batch.column(1)
@@ -396,12 +422,7 @@ def scan_window_coded(
                 state_d = np.full((len(bqids), k), np.inf)
                 state_i = np.full((len(bqids), k), -1, dtype=np.int64)
             ids = batch.column(0).to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
-            codes = np.stack(
-                [
-                    np.frombuffer(b, dtype=np.uint8)
-                    for b in batch.column(1).to_pylist()
-                ]
-            )
+            codes = _binary_matrix(batch.column(1))
             lns = batch.column(2).to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
             mat = sq_dec.decode_np(codes) if sq_dec is not None else None
             for ln in np.unique(lns):
