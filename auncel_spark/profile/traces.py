@@ -32,6 +32,40 @@ import numpy as np
 from auncel_spark.config import TRACE_BATCH_SIZE
 
 
+def kscaling_batch(
+    cand: np.ndarray, gt: np.ndarray, max_collect: int, block: int = 512
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """All queries' trace points in one shot — the batched form of
+    ``kscaling`` (identical per-row semantics: collect ranks 0..r while
+    each candidate distance appears in the true list, stop at the first
+    miss, cap at max_collect).
+
+    cand, gt: (nq, K) sorted distance matrices. Returns flat
+    (rows, ranks, U) arrays ordered query-major then rank-ascending —
+    the same pair order the per-query loop produced. Blocked over
+    queries so the (b, K, K) closeness tensor stays ~40 MB."""
+    nq, K = cand.shape
+    g = np.empty((nq, K), dtype=np.int64)
+    valid = np.empty((nq, K), dtype=bool)
+    for s0 in range(0, nq, block):
+        sl = slice(s0, min(s0 + block, nq))
+        c = cand[sl][:, :, None]
+        with np.errstate(invalid="ignore", divide="ignore"):
+            close = np.abs(gt[sl][:, None, :] - c)
+            denom = np.where(c != 0, np.abs(c), 1.0)
+            m = (close / denom < 1e-5) | (close < 1e-5)
+        valid[sl] = m.any(axis=2)
+        g[sl] = m.argmax(axis=2)
+    stop = np.where(valid.all(axis=1), K, np.argmin(valid, axis=1))
+    take = np.minimum(stop, max_collect)
+    total = int(take.sum())
+    rows = np.repeat(np.arange(nq), take)
+    offs = np.concatenate([[0], np.cumsum(take)[:-1]])
+    ranks = np.arange(total) - np.repeat(offs, take)
+    u = (g[rows, ranks] + 1.0) / (ranks + 1.0)
+    return rows, ranks, u
+
+
 def kscaling(
     cand_dists: np.ndarray, gt_dists: np.ndarray, max_collect: int
 ) -> list[tuple[int, float]]:

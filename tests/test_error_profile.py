@@ -193,3 +193,63 @@ def test_search_sharded_equals_unsharded(fitted):
         for r in ep.search_sharded(queries, TOPK, 0.8, shard_size=25).collect()
     )
     assert full == sharded
+
+
+def test_kscaling_batch_equals_scalar():
+    """Vectorized trace-point extraction (kscaling_batch) must produce
+    the per-query loop's exact (rank, U) sequence, query-major."""
+    from auncel_spark.profile.traces import kscaling_batch
+
+    rng = np.random.default_rng(42)
+    nq, K, maxc = 200, 40, 10
+    gt = np.sort(rng.uniform(0, 100, (nq, K)), axis=1)
+    # candidates: mix of true distances (hits), perturbed (misses), inf
+    cand = gt.copy()
+    miss = rng.random((nq, K)) < 0.25
+    cand[miss] += 0.37  # break the 1e-5 closeness
+    cand[rng.random((nq, K)) < 0.05] = np.inf
+    cand = np.sort(cand, axis=1)
+    rows, ranks, us = kscaling_batch(cand, gt, maxc)
+    er, ek, eu = [], [], []
+    for i in range(nq):
+        for r, u in kscaling(cand[i], gt[i], maxc):
+            er.append(i)
+            ek.append(r)
+            eu.append(u)
+    np.testing.assert_array_equal(rows, er)
+    np.testing.assert_array_equal(ranks, ek)
+    np.testing.assert_allclose(us, eu)
+
+
+def test_merge_state_equals_scalar():
+    """Vectorized _merge_state must keep the exact slots the per-qid
+    (dist, id) lexsort merge kept."""
+    import pandas as pd
+
+    rng = np.random.default_rng(7)
+    nq, k, rows_n = 50, 8, 600
+    qids = np.arange(100, 100 + nq, dtype=np.int64)
+    qpos = {int(q): i for i, q in enumerate(qids)}
+    state_d = np.sort(rng.uniform(0, 10, (nq, k)), axis=1)
+    state_d[:, -2:] = np.inf  # some unfilled slots
+    state_i = rng.integers(0, 10_000, (nq, k)).astype(np.int64)
+    state_i[state_d == np.inf] = -1
+    new = pd.DataFrame(
+        {
+            "qid": rng.choice(qids, rows_n),
+            "id": rng.integers(10_000, 20_000, rows_n).astype(np.int64),
+            "dist": rng.uniform(0, 12, rows_n),
+        }
+    )
+    exp_d, exp_i = state_d.copy(), state_i.copy()
+    for qid, grp in new.groupby("qid"):
+        i = qpos[int(qid)]
+        d = np.concatenate([exp_d[i], grp["dist"].to_numpy()])
+        ids = np.concatenate([exp_i[i], grp["id"].to_numpy(dtype=np.int64)])
+        order = np.lexsort((ids, d))[:k]
+        exp_d[i] = d[order]
+        exp_i[i] = ids[order]
+    got_d, got_i = state_d.copy(), state_i.copy()
+    ErrorProfile._merge_state(got_d, got_i, new, qpos)
+    np.testing.assert_allclose(got_d, exp_d)
+    np.testing.assert_array_equal(got_i, exp_i)
