@@ -32,6 +32,51 @@ from pyspark.sql import functions as F
 _LEVELS = {"8bit": 255, "6bit": 63, "4bit": 15}
 
 
+def _train_optim(x: np.ndarray, k: int, niter: int = 2000) -> tuple[np.ndarray, np.ndarray]:
+    """RS_optim: per-dim alternating optimization of reconstruction
+    error (``Auncel/IndexScalarQuantizer.cpp:641-693``) — assign codes
+    ni = clip(round((x−b)/a), 0, k−1), then refit (a, b) by the
+    closed-form least squares over (ni, x); stop a dim after its error
+    is unchanged 16 consecutive iterations. Vectorized over ALL dims at
+    once (the reference loops dims under OpenMP).
+
+    x: (n, d) float64 sample. Returns (vmin, vdiff) with
+    vmin = b, vdiff = a·(k−1) — the codec range."""
+    n, d = x.shape
+    vmin0 = x.min(axis=0)
+    vmax0 = x.max(axis=0)
+    b = vmin0.copy()
+    a = (vmax0 - vmin0) / (k - 1)
+    a[a == 0] = 1.0
+    sx = x.sum(axis=0)
+    last_err = np.full(d, -1.0)
+    streak = np.zeros(d, dtype=np.int64)
+    live = np.ones(d, dtype=bool)
+    for _ in range(niter):
+        if not live.any():
+            break
+        xl = x[:, live]
+        ni = np.clip(np.floor((xl - b[live]) / a[live] + 0.5), 0, k - 1)
+        rec = ni * a[live] + b[live]
+        err1 = ((xl - rec) ** 2).sum(axis=0)
+        same = err1 == last_err[live]
+        streak[live] = np.where(same, streak[live] + 1, 0)
+        last_err[live] = err1
+        sn = ni.sum(axis=0)
+        sn2 = (ni * ni).sum(axis=0)
+        sxn = (ni * xl).sum(axis=0)
+        det = sn * sn - sn2 * n
+        ok = det != 0
+        nb = np.where(ok, (sn * sxn - sn2 * sx[live]) / np.where(ok, det, 1.0), b[live])
+        na = np.where(ok, (sn * sx[live] - n * sxn) / np.where(ok, det, 1.0), a[live])
+        b[live] = nb
+        a[live] = na
+        live[live] = streak[live] < 16
+    vdiff = a * (k - 1)
+    vdiff[vdiff == 0] = 1.0
+    return b, vdiff
+
+
 class ScalarQuantizer:
     def __init__(self, vmin: np.ndarray, vdiff: np.ndarray, qtype: str = "8bit"):
         if qtype not in _LEVELS and qtype != "fp16":
@@ -85,6 +130,15 @@ class ScalarQuantizer:
                 F.percentile_approx("v", rs_arg).alias("lo"),
                 F.percentile_approx("v", 1.0 - rs_arg).alias("hi"),
             )
+        elif rangestat == "optim":
+            # RS_optim needs thousands of tiny refit iterations — a
+            # driver-side numpy fit on a bounded sample (the OPQ
+            # pattern, SURVEY B10), not 2000 distributed aggs. The
+            # sample bound keeps driver memory flat at any corpus size.
+            pdf = df.select(vec_col).limit(100_000).toPandas()
+            x = np.array(list(pdf[vec_col]), dtype=np.float64)
+            lo, diff = _train_optim(x, _LEVELS[qtype] + 1)
+            return cls(lo, diff, qtype)
         else:
             raise ValueError(f"unknown rangestat {rangestat!r}")
         rows = stats.collect()

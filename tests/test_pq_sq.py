@@ -144,3 +144,26 @@ def test_factory_sq_variants_end_to_end(base_df, query_df):
         si = build_index(base_df, spec)
         res = si.search(query_df, 5, nprobe=8)
         assert res.count() == query_df.count() * 5
+
+
+def test_sq_optim_rangestat_beats_quantiles(spark, base_df, tiny_vectors):
+    """RS_optim (alternating reconstruction-error fit,
+    Auncel/IndexScalarQuantizer.cpp:641-693): round-trip works and the
+    mean squared reconstruction error on the training data is <= the
+    quantiles variant's (it directly minimizes that objective)."""
+    xb, _ = tiny_vectors
+    x64 = xb.astype(np.float64)
+    opt = ScalarQuantizer.train(base_df, rangestat="optim", qtype="4bit")
+    qs = ScalarQuantizer.train(
+        base_df, rangestat="quantiles", rs_arg=0.05, qtype="4bit"
+    )
+    assert opt.d == xb.shape[1] and np.all(opt.vdiff > 0)
+    err_opt = ((opt.decode_np(opt.encode_np(x64)) - x64) ** 2).mean()
+    err_qs = ((qs.decode_np(qs.encode_np(x64)) - x64) ** 2).mean()
+    assert err_opt <= err_qs * 1.05  # direct MSE objective should win
+    # codec round-trip stays within one step of the trained range
+    dec = opt.decode_np(opt.encode_np(x64))
+    step = opt.vdiff / opt.levels
+    inside = (x64 >= opt.vmin) & (x64 <= opt.vmin + opt.vdiff)
+    err = np.abs(dec - x64)
+    assert np.all(err[inside] <= np.broadcast_to(step, err.shape)[inside] * 1.01)
