@@ -82,7 +82,11 @@ class IVFPQIndex(IVFIndex):
         seed: int = 42,
         id_col: str = "id",
         vec_col: str = "vec",
+        pq: ProductQuantizer | None = None,
     ) -> "IVFPQIndex":
+        """``pq``: pre-built codebooks skip sampled-k-means training —
+        used for seeded deterministic codebooks that a SQL oracle can
+        replay (the seed-IVF trick applied to PQ)."""
         spark = base.sparkSession
         b = base.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
         if centroids is None:
@@ -94,11 +98,12 @@ class IVFPQIndex(IVFIndex):
         assigned = assign_lists(b, centroids, metric)
 
         # train PQ on (residual) vectors, then encode distributed
-        if by_residual:
-            train_src = _residual_df(assigned, centroids)
-        else:
-            train_src = assigned
-        pq = ProductQuantizer.train(train_src, M=M, nbits=nbits, vec_col="vec" if not by_residual else "rvec", seed=seed)
+        if pq is None:
+            if by_residual:
+                train_src = _residual_df(assigned, centroids)
+            else:
+                train_src = assigned
+            pq = ProductQuantizer.train(train_src, M=M, nbits=nbits, vec_col="vec" if not by_residual else "rvec", seed=seed)
 
         idx = cls(spark, centroids, pq, path, metric, by_residual)
         if by_residual:
@@ -331,6 +336,8 @@ class IVFPQRIndex(IVFPQIndex):
         seed: int = 42,
         id_col: str = "id",
         vec_col: str = "vec",
+        pq: ProductQuantizer | None = None,
+        refine_pq: ProductQuantizer | None = None,
     ) -> "IVFPQRIndex":
         spark = base.sparkSession
         b = base.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
@@ -342,11 +349,12 @@ class IVFPQRIndex(IVFPQIndex):
         centroids = np.asarray(centroids, dtype=np.float64)
         refine_M = refine_M or 2 * M
         assigned = _residual_df(assign_lists(b, centroids, metric), centroids)
-        pq = ProductQuantizer.train(assigned, M=M, nbits=nbits, vec_col="rvec", seed=seed)
+        if pq is None:
+            pq = ProductQuantizer.train(assigned, M=M, nbits=nbits, vec_col="rvec", seed=seed)
         coded = pq.encode(assigned, vec_col="rvec")
         # r2 = rvec − decode(code): the second-level residual
         r2 = _residual2_df(coded, pq)
-        rpq = ProductQuantizer.train(r2, M=refine_M, nbits=nbits, vec_col="r2", seed=seed + 1)
+        rpq = refine_pq or ProductQuantizer.train(r2, M=refine_M, nbits=nbits, vec_col="r2", seed=seed + 1)
         full = rpq.encode(r2, vec_col="r2", code_col="rcode").select(
             "id", "code", "rcode", "list_no"
         )
