@@ -249,10 +249,17 @@ class ErrorProfile:
         gt_kth = gt_dists[:, topk - 1]
         saved = (self.multipler, self.std_m)
         best = None
+        # predicted recall depends only on (stage, topk, std_m) and is
+        # row-independent — memoize across the multipler grid and
+        # across bounds sharing a topk (108 simulate calls → 33 unique
+        # prediction sets at the default grids)
+        pred_cache = sweep.setdefault("_pred_cache", {})
         for mult in multipler_grid:
             for sm in std_m_grid:
                 self.multipler, self.std_m = mult, sm
-                chosen = self._simulate_targets(sweep, topk, 1.0 - bound)
+                chosen = self._simulate_targets(
+                    sweep, topk, 1.0 - bound, pred_cache
+                )
                 minf, cost = self._simulated_quality(sweep, chosen, topk, gt_kth)
                 if minf >= 1.0 - bound and (best is None or cost < best["cost"]):
                     best = {"multipler": mult, "std_m": sm, "cost": cost, "minf": minf}
@@ -618,9 +625,14 @@ class ErrorProfile:
         self.multipler, self.std_m = best["multipler"], best["std_m"]
         return best
 
-    def _simulate_targets(self, sweep: dict, topk: int, require_acc: float) -> np.ndarray:
+    def _simulate_targets(
+        self, sweep: dict, topk: int, require_acc: float, pred_cache: dict | None = None
+    ) -> np.ndarray:
         """Replay the staged stop rules over pre-scanned states; returns
-        per-query chosen nprobe (identical math to ``search``)."""
+        per-query chosen nprobe (identical math to ``search``).
+        ``pred_cache``: optional {(si, topk, std_m): recall_all_rows}
+        memo — the prediction is row-independent, so the full-set value
+        restricted to the undecided rows equals the direct call."""
         stages = sweep["stages"]
         cap = self._stages()[-1]
         nq = len(sweep["qids"])
@@ -634,7 +646,18 @@ class ErrorProfile:
             if len(und) == 0:
                 break
             state_d = sweep["states_d"][si]
-            recall = self._predicted_recall(state_d[und], sweep["dtb"][und], si, s, topk)
+            if pred_cache is not None:
+                key = (si, topk, self.std_m)
+                full = pred_cache.get(key)
+                if full is None:
+                    full = pred_cache[key] = self._predicted_recall(
+                        state_d, sweep["dtb"], si, s, topk
+                    )
+                recall = full[und]
+            else:
+                recall = self._predicted_recall(
+                    state_d[und], sweep["dtb"][und], si, s, topk
+                )
             worst = state_d[und, topk - 1]
             same = worst == prev_worst[und]
             stagnant[und] = np.where(same, stagnant[und] + (s - prev), 0)
@@ -699,6 +722,7 @@ class ErrorProfile:
         topk: int,
         budget_ms: np.ndarray | float,
         return_info: bool = False,
+        amortized: bool = False,
     ):
         """Latency-budgeted anytime search (O28,
         ``Error_sys::time_search``, profile.cpp:229-244; stop check
@@ -706,6 +730,15 @@ class ErrorProfile:
         per-stage cost model (elapsed so far + projected next-stage
         cost) retires queries whose budget would be exceeded — stop
         probing when elapsed ≥ 0.95·budget − per-probe cost estimate.
+
+        ``amortized``: compare each query's budget against the
+        PER-QUERY share of the batch wall clock (elapsed / nq) instead
+        of the raw shared clock. This is the batch analogue of the
+        reference's sequential per-query 5–50 ms budgets
+        (eval/effect_time.cpp:274-279): a batch of nq queries with
+        per-query budget b has aggregate budget nq·b. Without it,
+        millisecond-scale budgets are meaningless against a shared
+        clock that already exceeds them after one distributed stage.
         """
         qids, qmat, ranked, cdist, dtb = self._coarse(queries)
         nq = len(qids)
@@ -715,6 +748,7 @@ class ErrorProfile:
         state_i = np.full((nq, self.max_topk), -1, dtype=np.int64)
         active = np.ones(nq, dtype=bool)
         chosen = np.zeros(nq, dtype=np.int64)
+        retired_ms = np.zeros(nq)
         stages = self._stages()
         prev = 0
         t0 = _time.perf_counter()
@@ -724,17 +758,20 @@ class ErrorProfile:
             new = self._scan_delta(qids, qmat, ranked, active, prev, s)
             self._merge_state(state_d, state_i, new, qpos)
             elapsed_ms = (_time.perf_counter() - t0) * 1000.0
+            if amortized:
+                elapsed_ms /= nq
             per_list = elapsed_ms / s
             act = np.where(active)[0]
             over = elapsed_ms >= budget[act] * 0.95 - per_list
             hard = s >= stages[-1]
             done = over | hard
             chosen[act[done]] = s
+            retired_ms[act[done]] = elapsed_ms
             active[act[done]] = False
             prev = s
         result = self._state_to_df(qids, state_d, state_i, topk)
         if return_info:
-            return result, {"qid": qids, "nprobe": chosen}
+            return result, {"qid": qids, "nprobe": chosen, "retired_ms": retired_ms}
         return result
 
     def _state_to_df(

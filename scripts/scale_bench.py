@@ -1,4 +1,4 @@
-"""Scale bench: the reference's eval workload shape at 1M × d96.
+"""Scale bench: the reference's eval workload shape at 1M (and 10M) × d96.
 
 Mirrors ``/root/reference/Auncel/eval/run.sh:1-17`` + ``eval/
 bound.cpp:220,418``: index IVF1024,Flat; 5000 train / 5000 test
@@ -8,15 +8,27 @@ criterion = worst-case over queries of (#results with dist ≤ gt k-th)/k
 gaussian set (the fixtures' embeddings table is 3 orders of magnitude
 too small to exercise nlist=1024 — VERDICT r01 top item).
 
+Sections beyond the flagship grid:
+- ``ivfpq``: the compressed path, with a cached recall-vs-(M, nprobe,
+  k_factor) curve and a RECOMMENDED default meeting recall@10 ≥ 0.9
+  (VERDICT r02 Next #2).
+- ``effect_time``: per-query 5–50 ms budgets
+  (``eval/effect_time.cpp:274-279``) in the amortized batch analogue,
+  reporting budget-satisfaction rate and achieved recall (Next #7).
+- ``scale_10m`` (via bench.py): the same flagship grid at the
+  reference's actual single-node dataset scale (README.md §3), run on
+  a representative 3-config diagonal to bound per-round wall time
+  (Next #8).
+
 Build artifacts (corpus parquet, persisted IVF lists, trained traces,
 per-workload calibrated hyperparameters, exact test GT) are cached
 under ``.scale_cache/`` keyed by the generation parameters, so a
-repeated bench run times ONLY the online bounded search — matching the
+repeated bench run times ONLY the online search — matching the
 baseline's protocol, which also excludes index build and profile
 training from its per-query latencies (figures/dist/figure16.py).
 
 Run directly (``python scripts/scale_bench.py``) for one JSON line, or
-through ``bench.py`` (embedded in its output under ``scale_1m``).
+through ``bench.py`` (embedded under ``scale_1m`` / ``scale_10m``).
 """
 
 from __future__ import annotations
@@ -35,17 +47,30 @@ from auncel_spark.config import Metric
 
 # workload constants (eval/run.sh shape)
 N, D, NLIST = 1_000_000, 96, 1024
+N10 = 10_000_000
 N_TRAIN = N_TEST = 5000
 MAX_TOPK = 100
 CONFIGS = [(k, b) for k in (10, 50, 100) for b in (0.01, 0.05, 0.10)]
+# 10M runs a representative diagonal so the per-round bench stays
+# bounded (each config's batch wall is ~10× the 1M cost)
+CONFIGS_10M = [(10, 0.01), (50, 0.05), (100, 0.10)]
 N_CLUSTERS = 2048  # generator mixture components (≠ nlist, intentionally)
 
+# PQ sweep (VERDICT r02: document a default with recall@10 ≥ 0.9)
+PQ_SWEEP = [
+    (M, nprobe, kf)
+    for M in (8, 16)
+    for nprobe in (32, 128)
+    for kf in (4, 16, 32)
+]
+PQ_TARGET_RECALL = 0.9
 
-def _cache_dir() -> Path:
+
+def _cache_dir(n: int = N) -> Path:
     root = os.environ.get(
         "SPARK_GRAFT_SCALE_CACHE", str(Path(__file__).resolve().parent.parent / ".scale_cache")
     )
-    return Path(root) / f"n{N}_d{D}_nlist{NLIST}"
+    return Path(root) / f"n{n}_d{D}_nlist{NLIST}"
 
 
 def _gen_queries_pdf(seed: int, n: int, base_id: int):
@@ -65,7 +90,7 @@ def _centers() -> np.ndarray:
     return (rng.standard_normal((N_CLUSTERS, D)) * 3.0).astype(np.float32)
 
 
-def ensure_corpus(spark, cache: Path) -> str:
+def ensure_corpus(spark, cache: Path, n: int = N) -> str:
     base_path = str(cache / "base")
     if (cache / "base" / "_SUCCESS").exists():
         return base_path
@@ -84,8 +109,8 @@ def ensure_corpus(spark, cache: Path) -> str:
             yield pd.DataFrame({"id": idx, "vec": list(vec)})
 
     (
-        spark.range(N)
-        .repartition(64)
+        spark.range(n)
+        .repartition(max(64, n // 250_000))
         .mapInPandas(gen, "id bigint, vec array<float>")
         .write.mode("overwrite")
         .parquet(base_path)
@@ -93,7 +118,7 @@ def ensure_corpus(spark, cache: Path) -> str:
     return base_path
 
 
-def ensure_index(spark, cache: Path, base_path: str):
+def ensure_index(spark, cache: Path, base_path: str, n: int = N):
     from auncel_spark.index.ivf import IVFIndex
     from auncel_spark.index.kmeans import train_kmeans
 
@@ -104,7 +129,7 @@ def ensure_index(spark, cache: Path, base_path: str):
     base = spark.read.parquet(base_path)
     # coarse quantizer trained on a subsample (the reference trains on
     # a training slice, not the full corpus — Clustering.cpp practice)
-    sample = base.sample(fraction=min(1.0, 150_000 / N), seed=1).cache()
+    sample = base.sample(fraction=min(1.0, 150_000 / n), seed=1).cache()
     cents, _ = train_kmeans(sample, NLIST, max_iter=10, seed=1)
     sample.unpersist()
     idx = IVFIndex.build(base, nlist=NLIST, centroids=cents, path=ivf_path)
@@ -207,70 +232,158 @@ def bound_satisfaction(res_pdf, gt: np.ndarray, k: int) -> float:
     return float(frac.min())
 
 
-def ensure_ivfpq(spark, cache: Path, base_path: str, centroids: np.ndarray):
-    """IVF1024,PQ8 over the same corpus, reusing the Flat index's coarse
-    quantizer (so the only cold cost is PQ training on a sample + one
-    encode pass). Codes are 8 bytes/row vs 384 for raw d96 float32 —
-    the 100 TB storage argument, exercised at 1M."""
+def ensure_ivfpq(spark, cache: Path, base_path: str, centroids: np.ndarray, M: int = 8):
+    """IVF1024,PQ{M} over the same corpus, reusing the Flat index's
+    coarse quantizer (so the only cold cost is PQ training on a sample
+    + one encode pass). Codes are M bytes/row vs 384 for raw d96
+    float32 — the 100 TB storage argument, exercised at 1M."""
     from auncel_spark.index.ivfpq import IVFPQIndex
 
-    pq_path = str(cache / "ivfpq")
-    if (cache / "ivfpq" / "meta.json").exists():
+    name = "ivfpq" if M == 8 else f"ivfpq_m{M}"
+    pq_path = str(cache / name)
+    if (cache / name / "meta.json").exists():
         return IVFPQIndex.load(spark, pq_path), 0.0
     t0 = time.perf_counter()
     base = spark.read.parquet(base_path)
     idx = IVFPQIndex.build(
-        base, nlist=NLIST, M=8, centroids=centroids, path=pq_path
+        base, nlist=NLIST, M=M, centroids=centroids, path=pq_path
     )
     return idx, time.perf_counter() - t0
 
 
-def run_ivfpq(spark, cache: Path, base_path: str, flat_idx, gt: np.ndarray, test) -> dict:
-    """ADC (broadcast coded-scan kernel) + exact-refine latencies at the
-    reference workload shape; recall measured on the REFINED (exact)
-    distances against the cached GT via the dist ≤ gt_k criterion."""
-    pq, build_s = ensure_ivfpq(spark, cache, base_path, flat_idx.centroids)
-    out: dict = {"M": 8, "code_bytes": 8}
-    if build_s:
-        out["cold_build_sec"] = round(build_s, 2)
-    base = spark.read.parquet(base_path)
-    pq.data.count()  # warm footers
+def _refine_point(pq, base, test, gt, k: int, nprobe: int, kf: int) -> dict:
     import pandas as pd
 
+    t0 = time.perf_counter()
+    ref = pq.search_refine(test, base, k, nprobe, k_factor=kf)
+    pdf = ref.toPandas()
+    wall = time.perf_counter() - t0
+    qi = pdf["qid"].to_numpy(dtype=np.int64) - 20_000_000
+    ok = pdf["dist"].to_numpy() <= gt[qi, k - 1] + 1e-6
+    recall = float((pd.Series(ok).groupby(qi).sum() / float(k)).mean())
+    return {
+        "ms_per_query": round(wall / N_TEST * 1000.0, 3),
+        "recall_at_10": round(recall, 4),
+    }
+
+
+def run_ivfpq(spark, cache: Path, base_path: str, flat_idx, gt: np.ndarray, test) -> dict:
+    """The compressed path with a recall-targeted configuration curve:
+    sweep (M, nprobe, k_factor), cache the curve beside the build
+    artifacts, and pick the cheapest config whose exact-refine
+    recall@10 ≥ PQ_TARGET_RECALL as the RECOMMENDED default. Each
+    bench run re-measures only the recommended point (fresh latency +
+    recall); the full curve is recomputed only when absent.
+
+    Reference comparators: vanilla-PQ operating points
+    ``Auncel/benchs/README.md:46-56`` (R@1 0.4474 at 64-bit codes);
+    IndexIVFPQR defaults k_factor=4 — near-useless on this corpus at
+    M=8 (r02 measured 0.267), which is exactly why the default must be
+    stated."""
     k = 10
-    for nprobe in (32, 64):
-        t0 = time.perf_counter()
-        adc = pq.search(test, k, nprobe)
-        adc.toPandas()
-        adc_wall = time.perf_counter() - t0
-        row = {"adc_ms_per_query": round(adc_wall / N_TEST * 1000.0, 3)}
-        # refine recall is candidate-pool limited: k_factor spans the
-        # quality/latency trade-off (IndexIVFPQR defaults k_factor=4)
-        for kf in (4, 16):
-            t0 = time.perf_counter()
-            ref = pq.search_refine(test, base, k, nprobe, k_factor=kf)
-            pdf = ref.toPandas()
-            ref_wall = time.perf_counter() - t0
-            qi = pdf["qid"].to_numpy(dtype=np.int64) - 20_000_000
-            ok = pdf["dist"].to_numpy() <= gt[qi, k - 1] + 1e-6
-            recall = float((pd.Series(ok).groupby(qi).sum() / float(k)).mean())
-            row[f"refine_kf{kf}"] = {
-                "ms_per_query": round(ref_wall / N_TEST * 1000.0, 3),
-                "recall_at_10": round(recall, 4),
-            }
-        out[f"k{k}_np{nprobe}"] = row
+    base = spark.read.parquet(base_path)
+    curve_path = cache / "pq_curve.json"
+    out: dict = {"target_recall_at_10": PQ_TARGET_RECALL}
+
+    if curve_path.exists():
+        with open(curve_path) as f:
+            cached = json.load(f)
+        curve = cached["curve"]
+    else:
+        curve = []
+        t_adc: dict[tuple[int, int], float] = {}
+        for M, nprobe, kf in PQ_SWEEP:
+            pq, build_s = ensure_ivfpq(spark, cache, base_path, flat_idx.centroids, M)
+            pq.data.count()
+            if (M, nprobe) not in t_adc:
+                t0 = time.perf_counter()
+                pq.search(test, k, nprobe).toPandas()
+                t_adc[(M, nprobe)] = round(
+                    (time.perf_counter() - t0) / N_TEST * 1000.0, 3
+                )
+            pt = _refine_point(pq, base, test, gt, k, nprobe, kf)
+            curve.append(
+                {
+                    "M": M,
+                    "code_bytes": M,
+                    "nprobe": nprobe,
+                    "k_factor": kf,
+                    "adc_ms_per_query": t_adc[(M, nprobe)],
+                    **pt,
+                }
+            )
+            if build_s:
+                curve[-1]["cold_build_sec"] = round(build_s, 2)
+        with open(curve_path, "w") as f:
+            json.dump({"curve": curve}, f)
+    out["curve"] = curve
+
+    passing = [p for p in curve if p["recall_at_10"] >= PQ_TARGET_RECALL]
+    if passing:
+        rec = min(passing, key=lambda p: p["ms_per_query"])
+        pq, _ = ensure_ivfpq(spark, cache, base_path, flat_idx.centroids, rec["M"])
+        pq.data.count()
+        fresh = _refine_point(
+            pq, base, test, gt, k, rec["nprobe"], rec["k_factor"]
+        )
+        out["recommended"] = {
+            "M": rec["M"],
+            "nprobe": rec["nprobe"],
+            "k_factor": rec["k_factor"],
+            **fresh,
+        }
+        out["default_meets_target"] = bool(
+            fresh["recall_at_10"] >= PQ_TARGET_RECALL
+        )
+    else:
+        out["recommended"] = None
+        out["default_meets_target"] = False
     return out
 
 
-def run(spark, configs=None) -> dict:
-    cache = _cache_dir()
+def run_effect_time(spark, ep, gt, test) -> dict:
+    """Per-query latency budgets 5–50 ms
+    (``Auncel/eval/effect_time.cpp:274-279``) in the amortized batch
+    analogue (see ErrorProfile.time_search): report the fraction of
+    queries retired within their own budget and the recall they
+    achieved — the reference's required-vs-achieved latency/recall
+    pairing (effect_time.cpp:274-311)."""
+    import pandas as pd
+
+    k = 10
+    rng = np.random.default_rng(5)
+    budgets = rng.integers(1, 11, N_TEST) * 5.0  # 5,10,…,50 ms
+    t0 = time.perf_counter()
+    res, info = ep.time_search(test, k, budgets, return_info=True, amortized=True)
+    pdf = res.toPandas()
+    wall = time.perf_counter() - t0
+    # info rows follow the query collect order; budgets were assigned
+    # by qid (20M+i) — realign
+    qpos = info["qid"] - 20_000_000
+    sat = info["retired_ms"] <= budgets[qpos] + 1e-9
+    qi = pdf["qid"].to_numpy(dtype=np.int64) - 20_000_000
+    ok = pdf["dist"].to_numpy() <= gt[qi, k - 1] + 1e-6
+    recall = pd.Series(ok).groupby(qi).sum() / float(k)
+    return {
+        "k": k,
+        "budgets_ms": "per-query 5-50 (amortized batch analogue)",
+        "budget_satisfaction_rate": round(float(sat.mean()), 4),
+        "mean_recall_at_10": round(float(recall.mean()), 4),
+        "worst_recall_at_10": round(float(recall.min()), 4),
+        "mean_nprobe": round(float(info["nprobe"].mean()), 1),
+        "ms_per_query": round(wall / N_TEST * 1000.0, 3),
+    }
+
+
+def run(spark, configs=None, n: int = N) -> dict:
+    cache = _cache_dir(n)
     cache.mkdir(parents=True, exist_ok=True)
-    out: dict = {"n": N, "d": D, "nlist": NLIST, "nq": N_TEST}
+    out: dict = {"n": n, "d": D, "nlist": NLIST, "nq": N_TEST}
 
     t0 = time.perf_counter()
-    base_path = ensure_corpus(spark, cache)
+    base_path = ensure_corpus(spark, cache, n)
     gen_s = time.perf_counter() - t0
-    idx, build_s = ensure_index(spark, cache, base_path)
+    idx, build_s = ensure_index(spark, cache, base_path, n)
     ep, params, fit_s = ensure_profile(spark, cache, idx)
     gt = ensure_gt(spark, cache, idx)
     if gen_s > 1 or build_s or fit_s:
@@ -287,7 +400,7 @@ def run(spark, configs=None) -> dict:
 
     results = {}
     lat = []
-    for k, bound in configs or CONFIGS:
+    for k, bound in configs or (CONFIGS if n == N else CONFIGS_10M):
         p = params[(k, bound)]
         ep.multipler, ep.std_m = p["multipler"], p["std_m"]
         t0 = time.perf_counter()
@@ -308,11 +421,16 @@ def run(spark, configs=None) -> dict:
     out["ms_per_query_worst"] = round(float(np.max(lat)), 3)
     out["all_bounds_hold"] = all(v["holds"] for v in results.values())
     out["baseline_ms_per_query"] = "24.2-32.2 (DEEP1B, 64-128 workers, figure16)"
-    if os.environ.get("SPARK_GRAFT_SCALE_PQ", "1") != "0":
+    if n == N and os.environ.get("SPARK_GRAFT_SCALE_PQ", "1") != "0":
         try:
             out["ivfpq"] = run_ivfpq(spark, cache, base_path, idx, gt, test)
         except Exception as e:  # keep the flagship numbers even if PQ fails
             out["ivfpq"] = {"error": f"{type(e).__name__}: {e}"}
+    if n == N and os.environ.get("SPARK_GRAFT_SCALE_ET", "1") != "0":
+        try:
+            out["effect_time"] = run_effect_time(spark, ep, gt, test)
+        except Exception as e:
+            out["effect_time"] = {"error": f"{type(e).__name__}: {e}"}
     return out
 
 
@@ -320,4 +438,5 @@ if __name__ == "__main__":
     from auncel_spark.session import get_spark
 
     spark = get_spark("scale_bench")
-    print(json.dumps(run(spark)))
+    n = int(os.environ.get("SPARK_GRAFT_SCALE_N", N))
+    print(json.dumps(run(spark, n=n)))

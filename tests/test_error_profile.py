@@ -253,3 +253,14 @@ def test_merge_state_equals_scalar():
     ErrorProfile._merge_state(got_d, got_i, new, qpos)
     np.testing.assert_allclose(got_d, exp_d)
     np.testing.assert_array_equal(got_i, exp_i)
+
+
+def test_simulate_targets_pred_cache_identical(fitted):
+    """Memoized grid simulation must equal the direct per-call path."""
+    _, _, idx, ep, queries = fitted
+    sweep = ep._sweep_states(queries, ep._all_stages())
+    direct = ep._simulate_targets(sweep, TOPK, 0.8)
+    cache: dict = {}
+    memo = ep._simulate_targets(sweep, TOPK, 0.8, cache)
+    np.testing.assert_array_equal(direct, memo)
+    assert cache  # the memo was actually populated
