@@ -31,21 +31,97 @@ from auncel_spark.index.pq import ProductQuantizer
 from auncel_spark.operators.topk import topk_per_query
 
 
-def polysemous_permutation(
-    pq: ProductQuantizer, n_iter: int = 2000, seed: int = 42
+def _anneal_reproduce(
+    cdist: np.ndarray,
+    nbits: int,
+    n_iter: int,
+    rng: np.random.Generator,
+    init_temperature: float = 0.7,
+    temperature_decay: float = 0.9 ** (1.0 / 500.0),
 ) -> np.ndarray:
-    """Simulated-annealing permutation per subspace: swap two centroid
-    indices when it lowers Σ |rank-dist(codes) − rank-dist(centroids)|
-    disagreement, with temperature-decayed acceptance (the reference's
-    ``ReproduceDistancesObjective``-lite). Returns (M, ksub) int
-    permutations mapping old code → new code."""
+    """Exact ``ReproduceWithHammingObjective`` annealing
+    (``Auncel/PolysemousTraining.cpp:180-290``, optimizer :117-155):
+
+    - target td[i,j] = (d_ij − mean)/std · sqrt(nbits/4) + nbits/2 —
+      centroid distances affine-mapped onto the theoretical Hamming
+      moments of random nbits codes;
+    - weights w[i,j] = exp(−log 2 · td[i,j]) (``dis_weight_factor =
+      log(2)``, PolysemousTraining.cpp:759) — reproducing SMALL
+      distances matters most, they drive the filter;
+    - cost = Σ w·(td − popcount(perm_i ⊕ perm_j))², minimized by
+      random-swap annealing with the reference's acceptance rule
+      (delta < 0 or rand < temperature) and schedule (T₀=0.7, decay
+      0.9^(1/500)).
+
+    The swap delta is computed on the affected rows/columns only — the
+    reference's O(n) ``cost_update`` — with the Hamming and cost
+    matrices cached, so each iteration is a handful of length-n vector
+    ops instead of an n² recompute."""
+    n = cdist.shape[0]
+    std = cdist.std()
+    td = (cdist - cdist.mean()) / (std if std > 0 else 1.0) * np.sqrt(
+        nbits / 4.0
+    ) + nbits / 2.0
+    w = np.exp(-np.log(2.0) * td)
+    perm = np.arange(n)
+    pop = _POP[(perm[:, None] ^ perm[None, :]) & 0xFF]
+    C = w * (td - pop) ** 2
+    T = init_temperature
+    for _ in range(n_iter):
+        T *= temperature_decay
+        i = int(rng.integers(0, n))
+        j = int(rng.integers(0, n - 1))
+        if j == i:
+            j += 1
+        pi, pj = perm[i], perm[j]
+        rowi = _POP[(pj ^ perm) & 0xFF]
+        rowj = _POP[(pi ^ perm) & 0xFF]
+        rowi[i], rowi[j] = 0, _POP[(pj ^ pi) & 0xFF]
+        rowj[j], rowj[i] = 0, _POP[(pi ^ pj) & 0xFF]
+        newCi = w[i] * (td[i] - rowi) ** 2
+        newCj = w[j] * (td[j] - rowj) ** 2
+        # symmetry (XOR, td, w all symmetric) ⇒ columns = rows
+        s_old = (
+            C[i].sum() + C[j].sum() + C[:, i].sum() + C[:, j].sum()
+            - (C[i, i] + C[i, j] + C[j, i] + C[j, j])
+        )
+        s_new = (
+            2.0 * (newCi.sum() + newCj.sum())
+            - (newCi[i] + newCi[j] + newCj[i] + newCj[j])
+        )
+        delta = s_new - s_old
+        if delta < 0 or rng.random() < T:
+            perm[i], perm[j] = pj, pi
+            C[i], C[j] = newCi, newCj
+            C[:, i], C[:, j] = newCi, newCj
+    return perm
+
+
+def polysemous_permutation(
+    pq: ProductQuantizer,
+    n_iter: int = 50_000,
+    seed: int = 42,
+    objective: str = "reproduce",
+) -> np.ndarray:
+    """Simulated-annealing permutation per subspace so that code
+    Hamming distance tracks true centroid distance. Returns (M, ksub)
+    int permutations mapping old code → new code.
+
+    objective="reproduce" (default): the reference's exact
+    ``ReproduceWithHammingObjective`` (affine-mapped distance targets,
+    exp-decay weights — see ``_anneal_reproduce``).
+    objective="corr": the r01 correlation proxy (kept for comparison;
+    cheaper per iteration at small n_iter but weaker filters)."""
     rng = np.random.default_rng(seed)
     perms = np.empty((pq.M, pq.ksub), dtype=np.int64)
+    nbits = max(1, int(np.log2(pq.ksub)))
     for m in range(pq.M):
         cb = pq.codebooks[m]
         cdist = ((cb[:, None, :] - cb[None, :, :]) ** 2).sum(-1)
+        if objective == "reproduce":
+            perms[m] = _anneal_reproduce(cdist, nbits, n_iter, rng)
+            continue
         perm = np.arange(pq.ksub)
-        bits = max(1, int(np.log2(pq.ksub)))
 
         def cost(p):
             codes = p[:, None] ^ p[None, :]
