@@ -762,7 +762,13 @@ class ErrorProfile:
                 elapsed_ms /= nq
             per_list = elapsed_ms / s
             act = np.where(active)[0]
-            over = elapsed_ms >= budget[act] * 0.95 - per_list
+            # predictive stop (the reference subtracts the next probe's
+            # estimated cost from the budget, IndexIVF.cpp:545-549): the
+            # NEXT stage adds s more lists, so retire any query whose
+            # projected elapsed after it would bust the 0.95·budget
+            # envelope — before paying for it, not after
+            projected = elapsed_ms + per_list * s
+            over = projected >= budget[act] * 0.95
             hard = s >= stages[-1]
             done = over | hard
             chosen[act[done]] = s
