@@ -1630,6 +1630,160 @@ SELECT event_type, rk, user_id FROM ranked WHERE rk <= 3
 """
 
 
+# --- corpus curation extensions: duplicate clustering + deterministic
+# sampling (training-data-pipeline first-class ops; no reference
+# analogue — the reference's dedup surface stops at pair emission) ----
+
+SAMPLE_RATES_PPM = {"en": 500_000, "zh": 100_000, "es": 250_000}
+MIX_TARGETS_PCT = {"en": 40, "fr": 30, "de": 30}
+MIX_TOTAL = 100
+QUALITY_TOP_N = 3
+
+
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH pairs -> transitive closure -> (doc, cluster,
+    size). Large-star/small-star connected components (SoCC'14)."""
+    from auncel_spark.operators.components import dedup_clusters
+    from auncel_spark.operators.dedup import minhash_lsh_pairs
+
+    pairs = minhash_lsh_pairs(
+        load(spark, sf_dir, "documents"), n_hashes=N_MINHASH, bands=4
+    )
+    return dedup_clusters(pairs)
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-language rate sampling (LCG hash filter —
+    codegen'd, shuffle-free, reproducible across engines)."""
+    from auncel_spark.operators.sampling import stratified_sample
+
+    return stratified_sample(
+        load(spark, sf_dir, "documents"), SAMPLE_RATES_PPM
+    ).select("doc_id", "lang")
+
+
+def q_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Target-mixture sampling: en/fr/de at 40/30/30 of a 100-doc
+    output, rates derived from stratum counts in exact BIGINT math."""
+    from auncel_spark.operators.sampling import domain_mix
+
+    return domain_mix(
+        load(spark, sf_dir, "documents"), MIX_TARGETS_PCT, MIX_TOTAL
+    ).select("doc_id", "lang")
+
+
+def q_quality_topk_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Best-N-docs-per-source selection by composite quality score —
+    the 'keep the best of each crawl shard' curation step."""
+    from pyspark.sql import Window as W
+
+    from auncel_spark.functions.text import quality_score
+
+    docs = load(spark, sf_dir, "documents")
+    q = docs.select(
+        "source",
+        "doc_id",
+        F.floor(quality_score(F.col("text")) * 1e6).cast("bigint").alias("quality_u"),
+    )
+    w = W.partitionBy("source").orderBy(F.col("quality_u").desc(), F.col("doc_id").asc())
+    return (
+        q.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= QUALITY_TOP_N)
+        .select("source", F.col("rank").cast("bigint").alias("rank"), "doc_id", "quality_u")
+    )
+
+
+# oracle: same LCG bucket `((id % 2^32) * 1103515245 + 12345) % 2^32`,
+# integer thresholds — bit-exact on both engines (sampling.py)
+_LCG_SQL = "((doc_id % 4294967296) * 1103515245 + 12345) % 4294967296"
+
+
+def _strat_case() -> str:
+    from auncel_spark.operators.sampling import threshold_for_ppm
+
+    whens = " ".join(
+        f"WHEN '{s}' THEN {threshold_for_ppm(ppm)}"
+        for s, ppm in sorted(SAMPLE_RATES_PPM.items())
+    )
+    return f"CASE lang {whens} ELSE 0 END"
+
+
+_ORACLE_STRATIFIED = f"""
+SELECT doc_id, lang FROM documents
+WHERE {_LCG_SQL} < ({_strat_case()})
+"""
+
+_mix_case = "CASE lang " + " ".join(
+    f"WHEN '{s}' THEN {p}" for s, p in sorted(MIX_TARGETS_PCT.items())
+) + " END"
+_mix_langs = ", ".join(f"'{s}'" for s in sorted(MIX_TARGETS_PCT))
+_ORACLE_DOMAIN_MIX = f"""
+WITH cnt AS (
+  SELECT lang, count(*) AS c FROM documents
+  WHERE lang IN ({_mix_langs}) GROUP BY lang
+), thr AS (
+  SELECT lang,
+         least(4294967296, (4294967296 * ({_mix_case}) * {MIX_TOTAL}) // (100 * c)) AS t
+  FROM cnt
+)
+SELECT d.doc_id, lang FROM documents d JOIN thr USING (lang)
+WHERE {_LCG_SQL} < t
+"""
+
+# transitive closure of the MinHash-LSH pair graph: recursive CTE
+# propagates every reachable label; min per node = component id —
+# semantically identical to the large-star/small-star fixpoint
+_ORACLE_DEDUP_CLUSTERS = (
+    _SIG_CTE.replace("WITH tok", "WITH RECURSIVE tok", 1)
+    + f"""
+, bands AS (
+  {_band_selects}
+), edges AS (
+  SELECT DISTINCT a.id AS u, b.id AS v
+  FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key AND a.id < b.id
+), sym AS (
+  SELECT u, v FROM edges UNION SELECT v AS u, u AS v FROM edges
+), reach(node, lbl) AS (
+  SELECT u, u FROM sym
+  UNION
+  SELECT s.v, r.lbl FROM reach r JOIN sym s ON s.u = r.node
+), lab AS (
+  SELECT node, min(lbl) AS cluster_id FROM reach GROUP BY node
+), sz AS (
+  SELECT cluster_id, count(*) AS cluster_size FROM lab GROUP BY cluster_id
+)
+SELECT lab.node AS doc_id, lab.cluster_id, sz.cluster_size
+FROM lab JOIN sz USING (cluster_id)
+"""
+)
+
+_ORACLE_QUALITY_TOPK = rf"""
+WITH tokq AS (
+  SELECT doc_id, source, text,
+         regexp_split_to_array(lower(trim(text)), '\s+') AS t
+  FROM documents
+), q AS (
+  SELECT source, doc_id,
+  floor((
+    0.3 * least(len(t) / 64.0, 1.0)
+    + 0.2 * (1.0 - least(len(regexp_extract_all(text, '[.,!?;:]'))
+                         / greatest(len(text), 1) * 10.0, 1.0))
+    + 0.3 * (len(list_distinct(t)) / greatest(len(t), 1))
+    + 0.2 * least(len(list_filter(t, x -> list_contains({_EN_STOPS}, x)))
+                  / greatest(len(t), 1) * 5.0, 1.0)
+  ) * 1e6)::BIGINT AS quality_u
+  FROM tokq
+), rq AS (
+  SELECT source, doc_id, quality_u,
+         row_number() OVER (
+           PARTITION BY source ORDER BY quality_u DESC, doc_id ASC
+         ) AS rank
+  FROM q
+)
+SELECT source, rank, doc_id, quality_u FROM rq WHERE rank <= {QUALITY_TOP_N}
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "exact_knn_l2": q_exact_knn_l2,
     "exact_knn_ip": q_exact_knn_ip,
@@ -1679,6 +1833,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "remove_ids_anti_join": q_remove_ids,
     "reconstruct_vectors": q_reconstruct,
     "revenue_by_region": q_revenue_by_region,
+    "dedup_clusters": q_dedup_clusters,
+    "stratified_sample": q_stratified_sample,
+    "domain_mix": q_domain_mix,
+    "quality_topk_per_source": q_quality_topk_per_source,
 }
 
 ORACLES: dict[str, str] = {
@@ -1858,4 +2016,8 @@ JOIN nation n ON c.c_nationkey = n.n_nationkey
 JOIN region r ON n.n_regionkey = r.r_regionkey
 GROUP BY r.r_name
 """,
+    "dedup_clusters": _ORACLE_DEDUP_CLUSTERS,
+    "stratified_sample": _ORACLE_STRATIFIED,
+    "domain_mix": _ORACLE_DOMAIN_MIX,
+    "quality_topk_per_source": _ORACLE_QUALITY_TOPK,
 }

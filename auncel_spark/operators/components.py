@@ -1,0 +1,121 @@
+"""Connected components over a pair/edge DataFrame — the clustering
+step of a near-duplicate pipeline (pairs from MinHash-LSH / SimHash /
+embedding LSH -> duplicate CLUSTERS -> one canonical doc per cluster).
+
+The reference's dedup surface stops at pair emission; a real corpus
+curation job needs the transitive closure (A~B, B~C => {A,B,C} is one
+cluster even if A~C was never emitted).
+
+Algorithm: alternating large-star / small-star (Kiveris et al.,
+"Connected Components in MapReduce and Beyond", SoCC'14) — the
+published MapReduce-scalable formulation. Each half-round is one
+shuffle on node id; convergence is O(log n) rounds even for path
+graphs, vs O(diameter) for naive label propagation. Per-round
+`localCheckpoint` truncates the lineage so the plan does not grow
+unboundedly (at cluster scale with a fault-tolerance requirement,
+switch to `checkpoint()` with a checkpoint dir; the iteration shape is
+identical).
+
+At fixpoint the edge set IS the component labelling: every non-root
+node u has exactly one edge (u -> root), so no extra closure pass is
+needed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def _large_star(e: DataFrame) -> DataFrame:
+    """Connect every neighbor larger than u to min(N(u) ∪ {u})."""
+    sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    mins = sym.groupBy("u").agg(F.min("v").alias("mn"))
+    mins = mins.withColumn("m", F.least("mn", "u")).drop("mn")
+    return (
+        sym.join(mins, "u")
+        .where(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .distinct()
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """Orient edges large->small; connect all smaller neighbors (and u
+    itself) to the minimum neighbor."""
+    o = e.select(
+        F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+    ).where(F.col("u") != F.col("v"))
+    mins = o.groupBy("u").agg(F.min("v").alias("m"))
+    nbr = (
+        o.join(mins, "u")
+        .where(F.col("v") != F.col("m"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+    )
+    self_edge = mins.select(F.col("u"), F.col("m").alias("v"))
+    return nbr.union(self_edge).distinct()
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 30,
+) -> DataFrame:
+    """Return (node, cluster_id) for every node appearing in `edges`,
+    where cluster_id = min node id of the connected component.
+
+    Scale shape: each iteration is two groupBy shuffles keyed on node
+    id; edge count shrinks monotonically toward one edge per non-root
+    node. No driver-side collection of nodes or edges — the only
+    driver traffic is one 2-value aggregate per round for the
+    convergence check.
+    """
+    e = (
+        edges.select(
+            F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v")
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    prev = None
+    for _ in range(max_iter):
+        e = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        # fixpoint check: (count, order-independent hash-sum) of edges
+        # hash-sum in decimal(38,0): 19-digit terms cannot overflow it
+        # at any realistic edge count (ANSI mode makes long-sum throw)
+        chk = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h"),
+        ).collect()[0]
+        cur = (chk["n"], chk["h"])
+        if cur == prev:
+            break
+        prev = cur
+    # fixpoint edge set = (node -> root) for every non-root node
+    labels = e.select(F.col("u").alias("node"), F.col("v").alias("cluster_id"))
+    roots = e.select(F.col("v").alias("node")).distinct().withColumn(
+        "cluster_id", F.col("node")
+    )
+    return labels.union(roots).distinct()
+
+
+def dedup_clusters(
+    pairs: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+) -> DataFrame:
+    """Near-duplicate pair list -> (doc_id, cluster_id, cluster_size).
+
+    cluster_id = min doc_id of the component = the canonical document
+    to KEEP; every other member is the duplicate set to drop. Singleton
+    documents (no pair) are intentionally absent — at 100 TB the pair
+    set is tiny relative to the corpus and the final keep-filter is a
+    broadcast/left-anti join of (cluster members minus canonicals)
+    against the corpus.
+    """
+    cc = connected_components(pairs, src, dst)
+    sizes = cc.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return cc.join(sizes, "cluster_id").select(
+        F.col("node").alias("doc_id"), "cluster_id", "cluster_size"
+    )
