@@ -1757,6 +1757,78 @@ FROM lab JOIN sz USING (cluster_id)
 """
 )
 
+DECON_N = 4  # fixture docs are short; real pipelines use 13
+DECON_EVAL_SOURCE = "src0"  # held-out "benchmark" slice of the corpus
+PACK_BUDGET = 512  # tokens per packed training sequence
+
+
+def q_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval n-gram overlap (the 13-gram contamination rule):
+    eval = docs from one source, train = the rest; emit overlapping
+    pairs with exact shared-shingle counts."""
+    from auncel_spark.operators.decontaminate import ngram_overlap
+
+    docs = load(spark, sf_dir, "documents")
+    ev = docs.where(F.col("source") == DECON_EVAL_SOURCE)
+    tr = docs.where(F.col("source") != DECON_EVAL_SOURCE)
+    return ngram_overlap(tr, ev, n=DECON_N)
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contiguous-fill sequence packing into PACK_BUDGET-token
+    contexts over a deterministic LCG shuffle order; distributed
+    two-pass prefix sum (no single-task global window)."""
+    from auncel_spark.operators.packing import pack_sequences
+
+    return pack_sequences(load(spark, sf_dir, "documents"), PACK_BUDGET)
+
+
+_decon_sh = (
+    "list_distinct(list_transform(range(1, len(t) - {m}), "
+    "i -> array_to_string(t[i:i+{s}], ' ')))"
+).format(m=DECON_N - 2, s=DECON_N - 1)
+_ORACLE_DECON = rf"""
+WITH docs AS (
+  SELECT doc_id, source,
+         regexp_split_to_array(lower(trim(text)), '\s+') AS t
+  FROM documents
+), trs AS (
+  SELECT doc_id AS train_doc_id, unnest({_decon_sh}) AS w
+  FROM docs WHERE source <> '{DECON_EVAL_SOURCE}' AND len(t) >= {DECON_N}
+), evs AS (
+  SELECT doc_id AS eval_doc_id, unnest({_decon_sh}) AS w
+  FROM docs WHERE source = '{DECON_EVAL_SOURCE}' AND len(t) >= {DECON_N}
+), keep AS (
+  SELECT w FROM evs GROUP BY w HAVING count(*) < 1000
+), evf AS (
+  SELECT evs.* FROM evs JOIN keep USING (w)
+)
+SELECT train_doc_id, eval_doc_id, count(*) AS n_shared
+FROM trs JOIN evf USING (w)
+GROUP BY 1, 2
+"""
+
+# global order (bucket-major LCG) and exclusive running sum — the SQL
+# single-window equivalent of packing.py's two-pass prefix sum
+_ORACLE_PACK = rf"""
+WITH d AS (
+  SELECT doc_id,
+         len(regexp_split_to_array(trim(text), '\s+'))::BIGINT AS n_tokens,
+         ((doc_id % 4294967296) * 1103515245 + 12345) % 4294967296 AS ord
+  FROM documents
+), o AS (
+  SELECT doc_id, n_tokens,
+         coalesce(sum(n_tokens) OVER (
+           ORDER BY ord % 1024, ord, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+  FROM d
+)
+SELECT doc_id, n_tokens, off // {PACK_BUDGET} AS seq_id,
+       off % {PACK_BUDGET} AS offset_in_seq
+FROM o
+"""
+
+
 _ORACLE_QUALITY_TOPK = rf"""
 WITH tokq AS (
   SELECT doc_id, source, text,
@@ -1837,6 +1909,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stratified_sample": q_stratified_sample,
     "domain_mix": q_domain_mix,
     "quality_topk_per_source": q_quality_topk_per_source,
+    "decontamination": q_decontamination,
+    "pack_sequences": q_pack_sequences,
 }
 
 ORACLES: dict[str, str] = {
@@ -2020,4 +2094,6 @@ GROUP BY r.r_name
     "stratified_sample": _ORACLE_STRATIFIED,
     "domain_mix": _ORACLE_DOMAIN_MIX,
     "quality_topk_per_source": _ORACLE_QUALITY_TOPK,
+    "decontamination": _ORACLE_DECON,
+    "pack_sequences": _ORACLE_PACK,
 }
