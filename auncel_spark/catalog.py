@@ -1150,16 +1150,21 @@ def q_laet_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_hnsw_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """O12/B13: driver-side HNSW helper (SURVEY §7.3 decision).
-    Rows-only (stochastic level assignment is seeded but graph search
-    isn't SQL-expressible)."""
-    from auncel_spark.index.hnsw import HNSWIndex
+    """O12/B13: distributed sharded HNSW (per-shard graphs built in
+    executors via applyInPandas, broadcast-queries search kernel,
+    window top-k merge — faiss IndexShards composition). Rows-only
+    (graph search isn't SQL-expressible)."""
+    import tempfile
 
-    h = _cached(
-        sf_dir,
-        "hnsw",
-        lambda: HNSWIndex(M=8, ef_construction=40, seed=3).build(_emb_base(spark, sf_dir)),
-    )
+    from auncel_spark.index.hnsw import ShardedHNSWIndex
+
+    def _build():
+        path = tempfile.mkdtemp(prefix="auncel_hnsw_")
+        return ShardedHNSWIndex.build(
+            _emb_base(spark, sf_dir), path, n_shards=4, M=8, ef_construction=40, seed=3
+        )
+
+    h = _cached(sf_dir, "hnsw_sharded", _build)
     res = h.search(_emb_queries(spark, sf_dir), K, ef_search=64)
     return res.select("qid", F.col("pos").cast("bigint").alias("pos"), "id")
 

@@ -90,6 +90,35 @@ def test_hnsw_small_recall(base_df, query_df, tiny_vectors):
         HNSWIndex(max_rows=10).build(base_df)
 
 
+def test_sharded_hnsw_recall_and_determinism(spark, base_df, query_df, tiny_vectors, tmp_path):
+    from auncel_spark.index.hnsw import ShardedHNSWIndex
+
+    xb, xq = tiny_vectors
+    idx = ShardedHNSWIndex.build(
+        base_df, str(tmp_path / "g1"), n_shards=3, M=8, ef_construction=40, seed=2
+    )
+    res = idx.search(query_df, K, ef_search=60)
+    ids_true, _ = np_knn(xq, xb, K, "l2")
+    recs = _recalls(res, ids_true, xq.shape[0])
+    assert np.mean(recs) > 0.8
+    # deterministic: rebuild at another path gives identical results
+    idx2 = ShardedHNSWIndex.build(
+        base_df, str(tmp_path / "g2"), n_shards=3, M=8, ef_construction=40, seed=2
+    )
+    a = sorted(map(tuple, res.collect()))
+    b = sorted(map(tuple, idx2.search(query_df, K, ef_search=60).collect()))
+    assert a == b
+
+
+def test_sharded_hnsw_shard_cap(spark, base_df, tmp_path):
+    from auncel_spark.index.hnsw import ShardedHNSWIndex
+
+    with pytest.raises(Exception):
+        ShardedHNSWIndex.build(
+            base_df, str(tmp_path / "g3"), n_shards=1, max_rows_per_shard=10
+        )
+
+
 def test_knn_1d_and_base_shift(spark):
     base = spark.createDataFrame(
         [(i, float(i)) for i in range(100)], "id bigint, val double"
