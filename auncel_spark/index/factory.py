@@ -52,6 +52,7 @@ class ParsedSpec:
     nlist: int = 0
     pq_m: int = 0
     refine_m: int = 0  # IVFPQR second-level codes (PQ{M}+{M2})
+    coarse_hnsw_m: int = 0  # IVF{n}_HNSW{M} graph coarse quantizer
     sq_type: str = "8bit"  # 8bit | 6bit | 4bit | fp16
     refine: bool = False
     idmap: bool = False
@@ -70,8 +71,9 @@ def parse_spec(spec: str) -> ParsedSpec:
             out.idmap = True
         elif re.fullmatch(r"(PCAW?\d+|OPQ\d+|RR\d+|L2norm)", p):
             out.transforms.append(p)
-        elif m := re.fullmatch(r"IVF(\d+)", p):
+        elif m := re.fullmatch(r"IVF(\d+)(?:_HNSW(\d+))?", p):
             out.nlist = int(m.group(1))
+            out.coarse_hnsw_m = int(m.group(2) or 0)
             i += 1
             if i >= len(parts):
                 raise ValueError(f"IVF needs a storage clause in {spec!r}")
@@ -303,6 +305,10 @@ def build_index(
     ivf = pq = sq = coded = None
     if parsed.index_type == "ivfflat":
         ivf = IVFIndex.build(tb, nlist=nlist, metric=metric, path=path, seed=seed)
+        if parsed.coarse_hnsw_m and metric == Metric.L2:
+            # faiss IVF{n}_HNSW{M}: graph coarse quantizer over the
+            # centroid set (worthwhile when nlist ~ 1M, not at 1024)
+            ivf.use_hnsw_quantizer(M=parsed.coarse_hnsw_m)
     elif parsed.index_type == "ivfpq":
         ivf = IVFPQIndex.build(
             tb, nlist=nlist, M=parsed.pq_m, metric=metric, path=path, seed=seed

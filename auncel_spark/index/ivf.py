@@ -65,6 +65,27 @@ class IVFIndex:
         self._data_df = data_df
         # Auncel delta: inter-centroid geometry for the ELP system (B3)
         self.interdis = inter_centroid_matrix(self.centroids, metric)
+        # optional graph coarse quantizer (faiss "IVF{n}_HNSW{M}")
+        self._hnsw_q = None
+        self._hnsw_ef = None
+
+    def use_hnsw_quantizer(self, M: int = 32, ef_construction: int = 80,
+                           ef_search: int | None = None, seed: int = 7) -> "IVFIndex":
+        """Swap brute-force centroid ranking for a graph search over
+        the centroid set — the faiss ``IVF{nlist}_HNSW{M}`` coarse
+        quantizer (``faiss/index_factory.cpp`` grammar). Pointless at
+        nlist=1024 (one BLAS GEMM beats it) but the 100 TB posture has
+        nlist ~ sqrt(n) ~ 1M, where exact ranking is O(nq·nlist·d) per
+        batch and the graph is O(nq·ef·log nlist). Approximate: probe
+        lists may differ from exact ranking; use generous ef (or the
+        ELP path, which self-corrects via its recall predictor)."""
+        from auncel_spark.index.hnsw import HNSWGraph
+
+        self._hnsw_q = HNSWGraph(M, ef_construction, seed).build_arrays(
+            np.arange(self.nlist, dtype=np.int64), self.centroids
+        )
+        self._hnsw_ef = ef_search
+        return self
 
     # --- construction ----------------------------------------------------
 
@@ -134,6 +155,21 @@ class IVFIndex:
         reference touches in ``quantizer->search``).
 
         Returns (ranked_lists (nq, nprobe) int32, cdist (nq, nprobe))."""
+        if self._hnsw_q is not None and self.metric == Metric.L2:
+            nprobe = min(nprobe, self.nlist)
+            ef = max(self._hnsw_ef or 0, 2 * nprobe, 32)
+            q = np.asarray(qmat, dtype=np.float64)
+            order = np.empty((len(q), nprobe), dtype=np.int32)
+            cdist = np.empty((len(q), nprobe), dtype=np.float64)
+            for i in range(len(q)):
+                best = self._hnsw_q.search_one(q[i], nprobe, ef)
+                # graph may return < nprobe on tiny/disconnected sets;
+                # pad with the last hit (duplicate probes are harmless)
+                while len(best) < nprobe:
+                    best.append(best[-1])
+                cdist[i] = [b[0] for b in best]
+                order[i] = [b[1] for b in best]
+            return order, cdist
         q = np.asarray(qmat, dtype=np.float64)
         c = self.centroids
         dots = q @ c.T

@@ -297,3 +297,21 @@ def test_reproduce_incremental_cost_matches_full():
         return float((w * (td - ham) ** 2).sum())
 
     assert cost(perm) <= cost(np.arange(16)) + 1e-9
+
+
+def test_ivf_hnsw_coarse_quantizer(spark, base_df, query_df, tiny_vectors):
+    from auncel_spark.index.factory import parse_spec
+    from auncel_spark.index.ivf import IVFIndex
+
+    ps = parse_spec("IVF16_HNSW8,Flat")
+    assert ps.nlist == 16 and ps.coarse_hnsw_m == 8 and ps.index_type == "ivfflat"
+
+    xb, xq = tiny_vectors
+    idx = IVFIndex.build(base_df, nlist=8, seed=1)
+    brute, _ = idx.coarse_rank(None, xq, 4)
+    idx.use_hnsw_quantizer(M=8, ef_search=64)
+    graph, _ = idx.coarse_rank(None, xq, 4)
+    # generous ef on 8 centroids: graph ranking == exact ranking
+    assert (brute == graph).all()
+    res = idx.search(query_df, K, nprobe=4)
+    assert res.count() > 0
