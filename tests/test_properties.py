@@ -85,3 +85,41 @@ def test_recall_set_bounds(result_ids, gt_ids):
     rec = inter / k
     assert 0.0 <= rec <= 1.0
     assert inter <= min(len(result_ids), len(gt_ids))
+
+
+@given(
+    st.integers(min_value=0, max_value=10**12),
+    st.integers(min_value=0, max_value=1_000_000),
+    st.integers(min_value=0, max_value=1_000_000),
+)
+@settings(max_examples=200, deadline=None)
+def test_sampling_bucket_bounds_and_nesting(doc_id, ppm_a, ppm_b):
+    """LCG bucket stays in [0, 2^32); verdicts nest with rate; no
+    BIGINT overflow for any non-negative id (sampling.py contract)."""
+    from auncel_spark.operators.sampling import LCG_A, LCG_C, MOD, threshold_for_ppm
+
+    bucket = ((doc_id % MOD) * LCG_A + LCG_C) % MOD
+    assert 0 <= bucket < MOD
+    assert (doc_id % MOD) * LCG_A + LCG_C < 2**63  # engine-safe
+    lo, hi = sorted((ppm_a, ppm_b))
+    ta, tb = threshold_for_ppm(lo), threshold_for_ppm(hi)
+    assert ta <= tb  # monotone => samples nest
+    if bucket < ta:
+        assert bucket < tb
+    assert threshold_for_ppm(0) == 0 and threshold_for_ppm(1_000_000) == MOD
+
+
+@given(st.lists(st.tuples(st.integers(0, 60), st.integers(0, 60)), max_size=60))
+@settings(max_examples=100, deadline=None)
+def test_union_find_reference_partitions(edges):
+    """The pure-python union-find used as the CC test oracle is itself
+    a partition: labels are idempotent and minimal per component."""
+    from tests.test_components_sampling import _py_components
+
+    lab = _py_components(edges)
+    for u, v in edges:
+        if u in lab and v in lab:
+            assert lab[u] == lab[v]
+    for node, root in lab.items():
+        assert lab.get(root, root) == root
+        assert root <= node
