@@ -1834,6 +1834,100 @@ FROM o
 """
 
 
+SESSION_GAP_US = 12 * 3600 * 1_000_000  # 12h inactivity gap
+
+
+def _events_us(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events with integer micro timestamps. The fixtures vary by SF:
+    nano-precision parquet reads as LongType (nanosAsLong) — div 1000
+    matches DuckDB's micro truncation; micro-precision reads as
+    TIMESTAMP_NTZ — unix_micros after a value-preserving cast (UTC
+    session) matches epoch_us."""
+    ev = load(spark, sf_dir, "events")
+    if dict(ev.dtypes)["ts"] == "bigint":
+        ts_us = F.expr("ts div 1000")
+    else:
+        ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    return ev.select(
+        "event_id", "user_id", "event_type", "value", ts_us.alias("ts_us")
+    )
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (12h) -> per-session aggregates.
+    Batch equivalent of Structured Streaming's session_window; one
+    shuffle on user_id."""
+    from auncel_spark.operators.temporal import session_stats, sessionize
+
+    ev = _events_us(spark, sf_dir)
+    return session_stats(sessionize(ev, SESSION_GAP_US))
+
+
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join: each click matched to the user's latest
+    purchase at-or-before it (union-and-window plan; DuckDB's native
+    ASOF JOIN is the oracle)."""
+    from auncel_spark.operators.temporal import asof_join
+
+    ev = _events_us(spark, sf_dir)
+    clicks = ev.where("event_type = 'click'").select("event_id", "user_id", "ts_us")
+    purchases = ev.where("event_type = 'purchase'").select(
+        "event_id",
+        "user_id",
+        "ts_us",
+        F.floor(F.col("value") * 1000).cast("bigint").alias("value_m"),
+    )
+    out = asof_join(clicks, purchases, "user_id", "ts_us", ["event_id", "value_m"])
+    # no NULLs in hashed output (NaN breaks tuple equality): -1 sentinel
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts_us",
+        F.coalesce("r_event_id", F.lit(-1)).alias("r_event_id"),
+        F.coalesce("r_value_m", F.lit(-1)).alias("r_value_m"),
+    )
+
+
+_ORACLE_SESSIONIZE = f"""
+WITH e AS (
+  SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events
+), o AS (
+  SELECT user_id, ts_us,
+         CASE WHEN lag(ts_us) OVER w IS NULL
+                OR ts_us - lag(ts_us) OVER w > {SESSION_GAP_US}
+              THEN 1 ELSE 0 END AS nw
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us)
+), s AS (
+  SELECT user_id, ts_us,
+         sum(nw) OVER (PARTITION BY user_id ORDER BY ts_us
+                       ROWS UNBOUNDED PRECEDING) - 1 AS session_id
+  FROM o
+)
+SELECT user_id, session_id, count(*) AS n_events,
+       min(ts_us) AS start_ts, max(ts_us) AS end_ts,
+       max(ts_us) - min(ts_us) AS duration
+FROM s GROUP BY 1, 2
+"""
+
+_ORACLE_ASOF = """
+WITH e AS (
+  SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type, value
+  FROM events
+), l AS (
+  SELECT event_id, user_id, ts_us FROM e WHERE event_type = 'click'
+), r AS (
+  SELECT event_id AS r_event_id, user_id, ts_us,
+         floor(value * 1000)::BIGINT AS r_value_m
+  FROM e WHERE event_type = 'purchase'
+)
+SELECT l.event_id, l.user_id, l.ts_us,
+       coalesce(r.r_event_id, -1) AS r_event_id,
+       coalesce(r.r_value_m, -1) AS r_value_m
+FROM l ASOF LEFT JOIN r
+  ON l.user_id = r.user_id AND l.ts_us >= r.ts_us
+"""
+
+
 _ORACLE_QUALITY_TOPK = rf"""
 WITH tokq AS (
   SELECT doc_id, source, text,
@@ -1916,6 +2010,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quality_topk_per_source": q_quality_topk_per_source,
     "decontamination": q_decontamination,
     "pack_sequences": q_pack_sequences,
+    "sessionize": q_sessionize,
+    "asof_join": q_asof_join,
 }
 
 ORACLES: dict[str, str] = {
@@ -2101,4 +2197,6 @@ GROUP BY r.r_name
     "quality_topk_per_source": _ORACLE_QUALITY_TOPK,
     "decontamination": _ORACLE_DECON,
     "pack_sequences": _ORACLE_PACK,
+    "sessionize": _ORACLE_SESSIONIZE,
+    "asof_join": _ORACLE_ASOF,
 }
