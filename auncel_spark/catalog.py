@@ -1834,6 +1834,116 @@ FROM o
 """
 
 
+SEM_K = 32  # semantic-dedup cluster count (seeded centroids)
+VOCAB_TOP = 200  # vocab builder: top terms by document frequency
+
+
+def q_semantic_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic dedup, keep-best: cluster document embeddings (seeded
+    centroids), keep the highest-quality doc per cluster — the
+    SemDeDup-style curation composition (cluster -> representative),
+    joining the embeddings and documents tables on id."""
+    from pyspark.sql import Window as W
+
+    from auncel_spark.functions.text import quality_score
+
+    cents = _seed_centroids(spark, sf_dir, SEM_K)
+    assigned = assign_lists(_emb_base(spark, sf_dir), cents).select(
+        F.col("id").alias("doc_id"), "list_no"
+    )
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.floor(quality_score(F.col("text")) * 1e6).cast("bigint").alias("quality_u"),
+    )
+    j = assigned.join(docs, "doc_id")
+    w = W.partitionBy("list_no").orderBy(F.col("quality_u").desc(), F.col("doc_id").asc())
+    return (
+        j.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            F.col("list_no").cast("bigint").alias("cluster"), "doc_id", "quality_u"
+        )
+    )
+
+
+def q_vocab_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocab builder: top-N terms by document frequency (the
+    seed step of tokenizer/BPE training). One explode + partial-agg
+    count + global top-N."""
+    from pyspark.sql import Window as W
+
+    from auncel_spark.operators.dedup import tokens
+
+    docs = load(spark, sf_dir, "documents")
+    df_counts = (
+        docs.select(
+            "doc_id", F.explode(F.array_distinct(tokens("text"))).alias("w")
+        )
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    w = W.orderBy(F.col("df").desc(), F.col("w").asc())
+    return (
+        df_counts.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= VOCAB_TOP)
+        .select("rank", "w", "df")
+    )
+
+
+_ORACLE_SEMANTIC_KEEP_BEST = rf"""
+WITH c AS (
+  SELECT vec_id AS cid, embedding::DOUBLE[] AS cv
+  FROM embeddings WHERE vec_id < {SEM_K}
+), assign AS (
+  SELECT doc_id, list_no FROM (
+    SELECT b.vec_id AS doc_id, c.cid AS list_no,
+           row_number() OVER (
+             PARTITION BY b.vec_id
+             ORDER BY list_distance(b.embedding::DOUBLE[], c.cv), c.cid
+           ) AS rn
+    FROM embeddings b CROSS JOIN c
+  ) WHERE rn = 1
+), tokq AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t, text
+  FROM documents
+), q AS (
+  SELECT doc_id,
+  floor((
+    0.3 * least(len(t) / 64.0, 1.0)
+    + 0.2 * (1.0 - least(len(regexp_extract_all(text, '[.,!?;:]'))
+                         / greatest(len(text), 1) * 10.0, 1.0))
+    + 0.3 * (len(list_distinct(t)) / greatest(len(t), 1))
+    + 0.2 * least(len(list_filter(t, x -> list_contains({_EN_STOPS}, x)))
+                  / greatest(len(t), 1) * 5.0, 1.0)
+  ) * 1e6)::BIGINT AS quality_u
+  FROM tokq
+), ranked AS (
+  SELECT assign.list_no AS cluster, assign.doc_id, q.quality_u,
+         row_number() OVER (
+           PARTITION BY assign.list_no
+           ORDER BY q.quality_u DESC, assign.doc_id ASC
+         ) AS rn
+  FROM assign JOIN q USING (doc_id)
+)
+SELECT cluster::BIGINT AS cluster, doc_id, quality_u FROM ranked WHERE rn = 1
+"""
+
+_ORACLE_VOCAB = rf"""
+WITH tok AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t
+  FROM documents
+), ex AS (
+  SELECT doc_id, unnest(list_distinct(t)) AS w FROM tok
+), dfc AS (
+  SELECT w, count(*) AS df FROM ex GROUP BY w
+), r AS (
+  SELECT w, df, row_number() OVER (ORDER BY df DESC, w ASC) AS rank
+  FROM dfc
+)
+SELECT rank, w, df FROM r WHERE rank <= {VOCAB_TOP}
+"""
+
+
 SESSION_GAP_US = 12 * 3600 * 1_000_000  # 12h inactivity gap
 
 
@@ -2012,6 +2122,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pack_sequences": q_pack_sequences,
     "sessionize": q_sessionize,
     "asof_join": q_asof_join,
+    "semantic_keep_best": q_semantic_keep_best,
+    "vocab_top_terms": q_vocab_top_terms,
 }
 
 ORACLES: dict[str, str] = {
@@ -2199,4 +2311,6 @@ GROUP BY r.r_name
     "pack_sequences": _ORACLE_PACK,
     "sessionize": _ORACLE_SESSIONIZE,
     "asof_join": _ORACLE_ASOF,
+    "semantic_keep_best": _ORACLE_SEMANTIC_KEEP_BEST,
+    "vocab_top_terms": _ORACLE_VOCAB,
 }
