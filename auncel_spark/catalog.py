@@ -1834,6 +1834,33 @@ FROM o
 """
 
 
+def q_json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction: parse the events.props JSON column
+    (JVM-side get_json_object — no UDF) and aggregate the extracted
+    field per event type."""
+    ev = load(spark, sf_dir, "events").select(
+        "event_type",
+        F.get_json_object("props", "$.k").cast("bigint").alias("k"),
+    )
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("k").alias("sum_k"),
+        F.min("k").alias("min_k"),
+        F.max("k").alias("max_k"),
+    )
+
+
+_ORACLE_JSON_PROPS = """
+WITH e AS (
+  SELECT event_type, json_extract_string(props, '$.k')::BIGINT AS k
+  FROM events
+)
+SELECT event_type, count(*) AS n, sum(k) AS sum_k,
+       min(k) AS min_k, max(k) AS max_k
+FROM e GROUP BY event_type
+"""
+
+
 SEM_K = 32  # semantic-dedup cluster count (seeded centroids)
 VOCAB_TOP = 200  # vocab builder: top terms by document frequency
 
@@ -2124,6 +2151,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "asof_join": q_asof_join,
     "semantic_keep_best": q_semantic_keep_best,
     "vocab_top_terms": q_vocab_top_terms,
+    "json_props_stats": q_json_props_stats,
 }
 
 ORACLES: dict[str, str] = {
@@ -2313,4 +2341,5 @@ GROUP BY r.r_name
     "asof_join": _ORACLE_ASOF,
     "semantic_keep_best": _ORACLE_SEMANTIC_KEEP_BEST,
     "vocab_top_terms": _ORACLE_VOCAB,
+    "json_props_stats": _ORACLE_JSON_PROPS,
 }
