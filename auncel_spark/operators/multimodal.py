@@ -44,13 +44,121 @@ def attach_binary_payload(
 
 
 def decode_image(df: DataFrame, payload_col: str = "payload") -> DataFrame:
-    """Real image decode — STUB: the container has no PIL/cv2. The
-    plumbing (signature, schema) is what the engine contributes; swap
-    the kernel body for a real decoder in production."""
+    """Compressed image decode (JPEG/PNG/...) — STUB: the container
+    has no PIL/cv2. The plumbing (signature, schema) is what the
+    engine contributes; swap the kernel body for a real decoder in
+    production. Uncompressed formats decode for real: ``decode_bmp``
+    (24bpp BMP) and ``decode_wav`` (PCM16 WAV) below are pure-numpy."""
     raise NotImplementedError(
-        "image codecs are not available in this environment; "
-        "use extract_byte_features for the deterministic fake path"
+        "compressed-image codecs are not available in this environment; "
+        "use decode_bmp / decode_wav for uncompressed payloads or "
+        "extract_byte_features for the deterministic fake path"
     )
+
+
+def decode_bmp(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "id"
+) -> DataFrame:
+    """REAL decoder for uncompressed 24bpp BMP payloads (pure numpy —
+    no codec library): parses the BITMAPFILEHEADER/BITMAPINFOHEADER,
+    strips row padding, and emits per-image shape + per-channel means
+    (the typical cheap image statistics a curation filter uses).
+    Invalid/unsupported payloads yield ok=false rows rather than
+    failing the task — at 100 TB some payloads are always corrupt."""
+    schema = (
+        "id bigint, ok boolean, width int, height int, "
+        "mean_b double, mean_g double, mean_r double"
+    )
+
+    def work(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            rows = []
+            for i, b in zip(pdf[id_col], pdf[payload_col]):
+                raw = bytes(b)
+                try:
+                    if raw[:2] != b"BM":
+                        raise ValueError("not BMP")
+                    off = int.from_bytes(raw[10:14], "little")
+                    w = int.from_bytes(raw[18:22], "little", signed=True)
+                    h = int.from_bytes(raw[22:26], "little", signed=True)
+                    bpp = int.from_bytes(raw[28:30], "little")
+                    comp = int.from_bytes(raw[30:34], "little")
+                    if bpp != 24 or comp != 0 or w <= 0 or h == 0:
+                        raise ValueError("unsupported BMP variant")
+                    flip = h > 0  # positive height = bottom-up rows
+                    h = abs(h)
+                    stride = (w * 3 + 3) & ~3
+                    px = np.frombuffer(
+                        raw, dtype=np.uint8, count=stride * h, offset=off
+                    ).reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+                    if flip:
+                        px = px[::-1]
+                    m = px.reshape(-1, 3).mean(axis=0)
+                    rows.append((int(i), True, w, h, float(m[0]), float(m[1]), float(m[2])))
+                except Exception:
+                    rows.append((int(i), False, 0, 0, 0.0, 0.0, 0.0))
+            yield pd.DataFrame(
+                rows,
+                columns=["id", "ok", "width", "height", "mean_b", "mean_g", "mean_r"],
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(work, schema=schema)
+
+
+def decode_wav(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "id"
+) -> DataFrame:
+    """REAL decoder for PCM16 WAV payloads (pure numpy): walks the
+    RIFF chunk list for fmt/data, emits rate/channels/length plus RMS
+    amplitude — the audio analogue of decode_bmp. ok=false on
+    non-PCM16 or malformed payloads."""
+    schema = (
+        "id bigint, ok boolean, sample_rate int, n_channels int, "
+        "n_samples bigint, rms double"
+    )
+
+    def work(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            rows = []
+            for i, b in zip(pdf[id_col], pdf[payload_col]):
+                raw = bytes(b)
+                try:
+                    if raw[:4] != b"RIFF" or raw[8:12] != b"WAVE":
+                        raise ValueError("not WAV")
+                    pos, fmt, data = 12, None, None
+                    while pos + 8 <= len(raw):
+                        cid = raw[pos : pos + 4]
+                        sz = int.from_bytes(raw[pos + 4 : pos + 8], "little")
+                        body = raw[pos + 8 : pos + 8 + sz]
+                        if cid == b"fmt ":
+                            fmt = body
+                        elif cid == b"data":
+                            data = body
+                        pos += 8 + sz + (sz & 1)  # chunks are word-aligned
+                    if fmt is None or data is None:
+                        raise ValueError("missing fmt/data chunk")
+                    audio_fmt = int.from_bytes(fmt[0:2], "little")
+                    nch = int.from_bytes(fmt[2:4], "little")
+                    rate = int.from_bytes(fmt[4:8], "little")
+                    bits = int.from_bytes(fmt[14:16], "little")
+                    if audio_fmt != 1 or bits != 16 or nch < 1:
+                        raise ValueError("not PCM16")
+                    x = np.frombuffer(data, dtype="<i2")
+                    n = len(x) // nch
+                    rms = float(np.sqrt(np.mean(x.astype(np.float64) ** 2))) if n else 0.0
+                    rows.append((int(i), True, rate, nch, n, rms))
+                except Exception:
+                    rows.append((int(i), False, 0, 0, 0, 0.0))
+            yield pd.DataFrame(
+                rows,
+                columns=["id", "ok", "sample_rate", "n_channels", "n_samples", "rms"],
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(work, schema=schema)
 
 
 def extract_byte_features(
