@@ -75,6 +75,13 @@ def main() -> None:
         "queries_warm": warm,
         "derived": derived,
         "sf": sf,
+        # ADVICE r02: any ratio vs BASELINE.md's distributed numbers
+        # must be read against per-core data volume; scale sections
+        # report rows_per_core vs baseline_rows_per_core (81,380 =
+        # DEEP1B 1e9 / 128 workers x 96 vCPU). scale_10m exceeds the
+        # baseline's per-core volume (~4x), making its ratio
+        # conservative; scale_1m is below it (~0.4x), flattering.
+        "baseline_note": "compare via rows_per_core fields in scale sections",
     }
 
     # reference-workload scale bench (VERDICT r01 top item): 1M × d96,
