@@ -1,5 +1,14 @@
+from auncel_spark.operators.components import connected_components, dedup_clusters
+from auncel_spark.operators.decontaminate import decontaminate, ngram_overlap
 from auncel_spark.operators.knn import knn_by_ids, knn_exact, range_search
+from auncel_spark.operators.packing import pack_sequences, packing_stats
 from auncel_spark.operators.recall import intersection_recall, threshold_recall
+from auncel_spark.operators.sampling import (
+    domain_mix,
+    hash_sample,
+    stratified_sample,
+)
+from auncel_spark.operators.temporal import asof_join, session_stats, sessionize
 from auncel_spark.operators.topk import merge_topk, topk_per_query
 
 __all__ = [
@@ -10,4 +19,16 @@ __all__ = [
     "threshold_recall",
     "merge_topk",
     "topk_per_query",
+    "connected_components",
+    "dedup_clusters",
+    "decontaminate",
+    "ngram_overlap",
+    "pack_sequences",
+    "packing_stats",
+    "domain_mix",
+    "hash_sample",
+    "stratified_sample",
+    "asof_join",
+    "session_stats",
+    "sessionize",
 ]
