@@ -186,12 +186,16 @@ _STD_GRID = (1.0, 2.0, 4.0)
 
 
 def _apply_margin(params: dict) -> dict:
-    """Post-fit headroom. k-aware: the worst-case criterion moves in
-    1/k steps, so at k=10 a single unlucky query out of 5000 flips a
-    config from pass to fail (r03 observed exactly that — worst 0.900
-    vs target 0.990 with mean 1.0000); small k gets one extra step."""
-    for (k, _bound), p in params.items():
-        steps = MARGIN + (1 if k <= 10 else 0)
+    """Post-fit headroom, scaled to criterion fragility. Two terms on
+    top of the base MARGIN: (a) k<=10 — the worst-case criterion moves
+    in 1/k steps, so one unlucky query out of 5000 flips a small-k
+    config (r03: worst 0.900 vs target 0.990 with mean 1.0000);
+    (b) bound<=1% — the tightest bound leaves one-query slack over the
+    whole test set, the same extreme-value tail (r03's second rebuild:
+    k50_b1/k100_b1 missed by one query while every looser bound
+    held)."""
+    for (k, bound), p in params.items():
+        steps = MARGIN + (1 if k <= 10 else 0) + (1 if bound <= 0.01 else 0)
         for _ in range(steps):
             gi = _MULT_GRID.index(p["multipler"])
             if gi + 1 < len(_MULT_GRID):
@@ -404,7 +408,17 @@ def run_ivfpq_default(
     t0 = time.perf_counter()
     pq.search(test, k, nprobe).toPandas()
     adc_ms = round((time.perf_counter() - t0) / N_TEST * 1000.0, 3)
-    pt = _refine_point(pq, base, test, gt, k, nprobe, kf)
+    # recall is refine-pool-limited and the required pool grows with
+    # corpus density (r03: kf=32 gives 0.98 at 1M but 0.64 at 10M with
+    # the same codes) — escalate k_factor until the target passes and
+    # report every attempt, so the documented default is per-scale
+    attempts = []
+    while True:
+        pt = _refine_point(pq, base, test, gt, k, nprobe, kf)
+        attempts.append({"k_factor": kf, **pt})
+        if pt["recall_at_10"] >= PQ_TARGET_RECALL or kf >= 256:
+            break
+        kf *= 2
     out = {
         "M": M,
         "code_bytes": M,
@@ -412,6 +426,7 @@ def run_ivfpq_default(
         "k_factor": kf,
         "adc_ms_per_query": adc_ms,
         **pt,
+        "attempts": attempts,
         "default_meets_target": bool(pt["recall_at_10"] >= PQ_TARGET_RECALL),
     }
     if build_s:
