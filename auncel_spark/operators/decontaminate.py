@@ -38,13 +38,18 @@ def ngram_overlap(
 
     `broadcast_eval=False` falls back to a shuffle hash join for the
     rare case of an eval set too big to broadcast."""
+    # join on 64-bit shingle hashes, not strings (the ngram_jaccard
+    # pattern): narrower broadcast + cheaper probe; collisions are
+    # ~n²/2⁶⁴ and only ever over-flag
     tr = (
         with_shingles(train, n, text_col, id_col)
-        .select(F.col("id").alias("train_doc_id"), F.explode("sh").alias("w"))
+        .select(F.col("id").alias("train_doc_id"), F.explode("sh").alias("_w"))
+        .select("train_doc_id", F.xxhash64("_w").alias("w"))
     )
     ev = (
         with_shingles(eval_df, n, text_col, id_col)
-        .select(F.col("id").alias("eval_doc_id"), F.explode("sh").alias("w"))
+        .select(F.col("id").alias("eval_doc_id"), F.explode("sh").alias("_w"))
+        .select("eval_doc_id", F.xxhash64("_w").alias("w"))
     )
     if max_eval_df is not None:
         keep = ev.groupBy("w").agg(
