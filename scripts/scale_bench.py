@@ -192,10 +192,14 @@ def _apply_margin(params: dict) -> dict:
     config (r03: worst 0.900 vs target 0.990 with mean 1.0000);
     (b) bound<=1% — the tightest bound leaves one-query slack over the
     whole test set, the same extreme-value tail (r03's second rebuild:
-    k50_b1/k100_b1 missed by one query while every looser bound
-    held)."""
+    k50_b1/k100_b1 missed by one query while every looser bound held).
+    The b<=1% term is TWO steps: multiplier inflation alone plateaued
+    (satisfaction stuck at 0.98 while mean nprobe doubled) — the tail
+    query needs the std_m bump, which keeps IT probing without
+    inflating everyone else (k10_b1 with std_m=2: satisfaction 1.0 at
+    the same mean nprobe as the failing mult-only k50_b1)."""
     for (k, bound), p in params.items():
-        steps = MARGIN + (1 if k <= 10 else 0) + (1 if bound <= 0.01 else 0)
+        steps = MARGIN + (1 if k <= 10 else 0) + (2 if bound <= 0.01 else 0)
         for _ in range(steps):
             gi = _MULT_GRID.index(p["multipler"])
             if gi + 1 < len(_MULT_GRID):
@@ -412,13 +416,22 @@ def run_ivfpq_default(
     # corpus density (r03: kf=32 gives 0.98 at 1M but 0.64 at 10M with
     # the same codes) — escalate k_factor until the target passes and
     # report every attempt, so the documented default is per-scale
-    attempts = []
-    while True:
-        pt = _refine_point(pq, base, test, gt, k, nprobe, kf)
-        attempts.append({"k_factor": kf, **pt})
-        if pt["recall_at_10"] >= PQ_TARGET_RECALL or kf >= 256:
-            break
-        kf *= 2
+    esc_path = cache / "pq_default_escalation.json"
+    if esc_path.exists():
+        with open(esc_path) as f:
+            attempts = json.load(f)["attempts"]
+        kf = attempts[-1]["k_factor"]
+        pt = _refine_point(pq, base, test, gt, k, nprobe, kf)  # fresh timing
+    else:
+        attempts = []
+        while True:
+            pt = _refine_point(pq, base, test, gt, k, nprobe, kf)
+            attempts.append({"k_factor": kf, **pt})
+            if pt["recall_at_10"] >= PQ_TARGET_RECALL or kf >= 256:
+                break
+            kf *= 2
+        with open(esc_path, "w") as f:
+            json.dump({"attempts": attempts}, f)
     out = {
         "M": M,
         "code_bytes": M,
