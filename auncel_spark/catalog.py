@@ -2092,6 +2092,103 @@ SELECT source, rank, doc_id, quality_u FROM rq WHERE rank <= {QUALITY_TOP_N}
 """
 
 
+REP_N = 2  # repetition metrics n-gram order
+CHUNK_SIZE, CHUNK_STRIDE = 32, 24  # token chunker budget / overlap step
+BLOOM_M, BLOOM_K = 1 << 16, 3  # bloom sketch bits / hash count
+
+
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style intra-document repetition metrics over word
+    2-grams (duplicate-occurrence fraction, top-n-gram mass,
+    duplicate-char fraction) — the pre-training quality gate beside
+    the cross-doc dedup family."""
+    from auncel_spark.operators.repetition import ngram_repetition_stats
+
+    return ngram_repetition_stats(load(spark, sf_dir, "documents"), REP_N)
+
+
+_ORACLE_REPETITION = rf"""
+WITH tok AS (
+  SELECT doc_id AS id, regexp_split_to_array(lower(trim(text)), '\s+') AS t
+  FROM documents
+), ng AS (
+  SELECT id, unnest(list_transform(range(1, len(t)),
+                                   i -> array_to_string(t[i:i+{REP_N - 1}], ' '))) AS ng
+  FROM tok WHERE len(t) >= {REP_N}
+), per AS (
+  SELECT id, ng, count(*) AS cnt FROM ng GROUP BY id, ng
+), agg AS (
+  SELECT id, sum(cnt) AS n_ngrams, count(*) AS n_distinct, max(cnt) AS topc,
+         sum(cnt * length(ng)) AS chars,
+         sum(CASE WHEN cnt > 1 THEN cnt * length(ng) ELSE 0 END) AS dchars
+  FROM per GROUP BY id
+)
+SELECT d.doc_id AS id,
+       coalesce(a.n_ngrams, 0)::BIGINT AS n_ngrams,
+       coalesce(a.n_distinct, 0)::BIGINT AS n_distinct,
+       coalesce(floor((a.n_ngrams - a.n_distinct) * 1e6 / a.n_ngrams), 0)::BIGINT
+         AS dup_frac_u,
+       coalesce(floor(a.topc * 1e6 / a.n_ngrams), 0)::BIGINT AS top_frac_u,
+       coalesce(floor(a.dchars * 1e6 / a.chars), 0)::BIGINT AS dup_char_frac_u
+FROM documents d LEFT JOIN agg a ON a.id = d.doc_id
+"""
+
+
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget chunking with stride overlap (RAG / context-window
+    prep): 32-token chunks every 24 tokens. Pure per-row array ops —
+    zero shuffle."""
+    from auncel_spark.operators.repetition import word_chunks
+
+    return word_chunks(load(spark, sf_dir, "documents"), CHUNK_SIZE, CHUNK_STRIDE)
+
+
+_ORACLE_CHUNKS = rf"""
+WITH tok AS (
+  SELECT doc_id AS id, regexp_split_to_array(lower(trim(text)), '\s+') AS t
+  FROM documents
+), st AS (
+  SELECT id, t, unnest(range(1, len(t) + 1, {CHUNK_STRIDE})) AS s FROM tok
+)
+SELECT id, ((s - 1) // {CHUNK_STRIDE})::BIGINT AS chunk_id,
+       len(t[s:s+{CHUNK_SIZE - 1}])::BIGINT AS n_tokens,
+       array_to_string(t[s:s+{CHUNK_SIZE - 1}], ' ') AS chunk_text
+FROM st
+"""
+
+
+def q_bloom_seen_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter incremental dedup: even doc_ids are the already-
+    ingested corpus (summarized to set bit positions), odd doc_ids the
+    incoming batch; each incoming row is flagged possibly_seen iff all
+    k bits hit. Deterministic md5-derived hash family ⇒ the oracle
+    replays false positives exactly."""
+    from auncel_spark.operators.bloom import bloom_build, bloom_probe
+
+    docs = load(spark, sf_dir, "documents")
+    seen = docs.where(F.col("doc_id") % 2 == 0)
+    new = docs.where(F.col("doc_id") % 2 == 1)
+    bits = bloom_build(seen, "text", BLOOM_M, BLOOM_K)
+    return bloom_probe(new, bits, "text", "doc_id", BLOOM_M, BLOOM_K)
+
+
+_ORACLE_BLOOM = f"""
+WITH bits AS (
+  SELECT DISTINCT
+    ('0x' || substr(md5(concat(text, '#', r.s)), 1, 15))::BIGINT % {BLOOM_M} AS bit
+  FROM documents, range(0, {BLOOM_K}) r(s) WHERE doc_id % 2 = 0
+), probe AS (
+  SELECT doc_id AS id,
+    ('0x' || substr(md5(concat(text, '#', r.s)), 1, 15))::BIGINT % {BLOOM_M} AS bit
+  FROM documents, range(0, {BLOOM_K}) r(s) WHERE doc_id % 2 = 1
+)
+SELECT p.id,
+       (CASE WHEN count(b.bit) = {BLOOM_K} THEN 1 ELSE 0 END) AS possibly_seen
+FROM probe p LEFT JOIN bits b ON b.bit = p.bit
+GROUP BY p.id
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "exact_knn_l2": q_exact_knn_l2,
     "exact_knn_ip": q_exact_knn_ip,
@@ -2152,6 +2249,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "semantic_keep_best": q_semantic_keep_best,
     "vocab_top_terms": q_vocab_top_terms,
     "json_props_stats": q_json_props_stats,
+    "repetition_stats": q_repetition_stats,
+    "doc_chunks": q_doc_chunks,
+    "bloom_seen_flags": q_bloom_seen_flags,
 }
 
 ORACLES: dict[str, str] = {
@@ -2342,4 +2442,7 @@ GROUP BY r.r_name
     "semantic_keep_best": _ORACLE_SEMANTIC_KEEP_BEST,
     "vocab_top_terms": _ORACLE_VOCAB,
     "json_props_stats": _ORACLE_JSON_PROPS,
+    "repetition_stats": _ORACLE_REPETITION,
+    "doc_chunks": _ORACLE_CHUNKS,
+    "bloom_seen_flags": _ORACLE_BLOOM,
 }
