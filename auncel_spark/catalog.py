@@ -2189,6 +2189,33 @@ GROUP BY p.id
 """
 
 
+SOURCE_CAP = 40  # per-source anti-dominance cap
+
+
+def q_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document cap: keep ≤ N docs per source by a
+    deterministic pseudo-random rank (RefinedWeb-style anti-dominance
+    sampling)."""
+    from auncel_spark.operators.sampling import source_cap
+
+    docs = load(spark, sf_dir, "documents")
+    return source_cap(docs, SOURCE_CAP).select("doc_id", "source", "rk")
+
+
+_ORACLE_SOURCE_CAP = f"""
+WITH b AS (
+  SELECT doc_id, source,
+         ((doc_id % 4294967296) * 1103515245 + 12345) % 4294967296 AS bkt
+  FROM documents
+), r AS (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY source ORDER BY bkt, doc_id) AS rk
+  FROM b
+)
+SELECT doc_id, source, rk FROM r WHERE rk <= {SOURCE_CAP}
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "exact_knn_l2": q_exact_knn_l2,
     "exact_knn_ip": q_exact_knn_ip,
@@ -2252,6 +2279,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "repetition_stats": q_repetition_stats,
     "doc_chunks": q_doc_chunks,
     "bloom_seen_flags": q_bloom_seen_flags,
+    "source_cap_sample": q_source_cap,
 }
 
 ORACLES: dict[str, str] = {
@@ -2445,4 +2473,5 @@ GROUP BY r.r_name
     "repetition_stats": _ORACLE_REPETITION,
     "doc_chunks": _ORACLE_CHUNKS,
     "bloom_seen_flags": _ORACLE_BLOOM,
+    "source_cap_sample": _ORACLE_SOURCE_CAP,
 }

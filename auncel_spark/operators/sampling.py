@@ -20,7 +20,7 @@ threshold arithmetic is integer, so both engines agree bit-for-bit.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 MOD = 4_294_967_296  # 2^32
 LCG_A = 1_103_515_245
@@ -110,4 +110,31 @@ def domain_mix(
         df.join(F.broadcast(counts.select(strata_col, "__thr")), strata_col)
         .where(sample_bucket(id_col) < F.col("__thr"))
         .drop("__thr")
+    )
+
+
+def source_cap(
+    df: DataFrame,
+    cap: int,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-source document cap (RefinedWeb/CC-style anti-dominance
+    rule): keep at most ``cap`` docs per source, chosen by a
+    deterministic pseudo-random order so the survivors are an unbiased,
+    reproducible subsample of each hot source.
+
+    Order key = (LCG bucket of id, id): engine-portable integers, so
+    the oracle replays the exact survivor set. One shuffle on
+    ``source_col``; the per-source sort is bounded by the largest
+    source (for a pathological mega-source at 100 TB, pre-filter with
+    ``sample_bucket(id) < t`` for a t slightly above cap/count to
+    bound the sorted set before ranking — same survivors, since rank
+    order and threshold use the same bucket).
+
+    Returns the capped frame + ``rk`` (1-based rank within source)."""
+    w = Window.partitionBy(source_col).orderBy(sample_bucket(id_col), F.col(id_col))
+    return (
+        df.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rk") <= F.lit(int(cap)))
     )
