@@ -56,3 +56,42 @@ def test_coded_scan_prunes_partitions_no_join(base_df, query_df, tmp_path):
     assert "Join" not in plan, plan[:2000]
     # only the code and partition columns are read — never a vec column
     assert "ReadSchema" in plan and "vec" not in plan.split("ReadSchema")[1][:200]
+
+
+def test_word_chunks_shuffle_free(spark):
+    from pyspark.sql import functions as F
+
+    from auncel_spark.operators.repetition import word_chunks
+
+    df = spark.createDataFrame(
+        [(i, "a b c d e f g h") for i in range(10)], "doc_id bigint, text string"
+    )
+    plan = (
+        word_chunks(df, 4, 3)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan, plan[:2000]
+
+
+def test_bloom_probe_broadcasts_bitset(spark):
+    from auncel_spark.operators.bloom import bloom_build, bloom_probe
+
+    df = spark.createDataFrame(
+        [(i, f"t {i}") for i in range(20)], "doc_id bigint, text string"
+    )
+    res = bloom_probe(df, bloom_build(df, m=1 << 12), m=1 << 12)
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    # bit-set joins broadcast-side; the corpus is never shuffled for the join
+    assert "BroadcastHashJoin" in plan, plan[:2000]
+    assert "SortMergeJoin" not in plan
+
+
+def test_source_cap_single_exchange(spark):
+    from auncel_spark.operators.sampling import source_cap
+
+    df = spark.createDataFrame(
+        [(i, f"s{i % 3}") for i in range(30)], "doc_id bigint, source string"
+    )
+    plan = source_cap(df, 5)._jdf.queryExecution().executedPlan().toString()
+    # one hash exchange on source for the rank window; nothing global
+    assert plan.count("Exchange hashpartitioning") == 1, plan[:2000]
+    assert "Exchange SinglePartition" not in plan
