@@ -2216,6 +2216,80 @@ SELECT doc_id, source, rk FROM r WHERE rk <= {SOURCE_CAP}
 """
 
 
+PIPE_DUP_FRAC, PIPE_TOP_FRAC = 0.05, 0.06  # repetition gate (p90-ish)
+PIPE_CAP = 60  # per-source cap
+PIPE_PPM = 500_000  # final hash-sample rate
+
+
+def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus curation: exact dedup (keep-first) →
+    repetition gate → per-source cap → deterministic 50% hash sample →
+    (doc_id, source, n_tokens). Every stage is a deterministic
+    operator from the curation family, so the full four-stage pipeline
+    is SQL-replayable — the composition, not just each piece, is
+    oracle-checked. Plan shape: two keyed shuffles total (md5 dedup
+    window, source-cap window); the gate join is on doc_id and the
+    sample is a codegen'd filter."""
+    from auncel_spark.functions.text import token_count
+    from auncel_spark.operators.dedup import dedup_keep_first
+    from auncel_spark.operators.repetition import repetition_filter
+    from auncel_spark.operators.sampling import hash_sample, source_cap
+
+    docs = load(spark, sf_dir, "documents")
+    k1 = dedup_keep_first(docs)
+    gate = repetition_filter(k1, 2, PIPE_DUP_FRAC, PIPE_TOP_FRAC).where(
+        F.col("keep") == 1
+    )
+    k2 = k1.join(gate.select(F.col("id").alias("doc_id")), "doc_id")
+    k3 = source_cap(k2, PIPE_CAP).drop("rk")
+    k4 = hash_sample(k3, PIPE_PPM)
+    return k4.select(
+        "doc_id", "source", token_count("text").cast("bigint").alias("n_tokens")
+    )
+
+
+_ORACLE_PIPELINE = rf"""
+WITH k1 AS (
+  SELECT doc_id, text, source FROM (
+    SELECT doc_id, text, source,
+           row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+    FROM documents) WHERE rn = 1
+), tok AS (
+  SELECT doc_id, source, regexp_split_to_array(lower(trim(text)), '\s+') AS t
+  FROM k1
+), ng AS (
+  SELECT doc_id, unnest(list_transform(range(1, len(t)),
+                                       i -> array_to_string(t[i:i+1], ' '))) AS ng
+  FROM tok WHERE len(t) >= 2
+), per AS (
+  SELECT doc_id, ng, count(*) AS cnt FROM ng GROUP BY doc_id, ng
+), agg AS (
+  SELECT doc_id, sum(cnt) AS tot, count(*) AS dis, max(cnt) AS topc
+  FROM per GROUP BY doc_id
+), gate AS (
+  SELECT tok.doc_id, tok.source, tok.t
+  FROM tok LEFT JOIN agg ON agg.doc_id = tok.doc_id
+  WHERE coalesce(floor((agg.tot - agg.dis) * 1e6 / agg.tot), 0)
+          <= {int(PIPE_DUP_FRAC * 1e6)}
+    AND coalesce(floor(agg.topc * 1e6 / agg.tot), 0)
+          <= {int(PIPE_TOP_FRAC * 1e6)}
+), capped AS (
+  SELECT doc_id, source, t FROM (
+    SELECT doc_id, source, t,
+           row_number() OVER (
+             PARTITION BY source
+             ORDER BY ((doc_id % 4294967296) * 1103515245 + 12345) % 4294967296,
+                      doc_id
+           ) AS rk
+    FROM gate) WHERE rk <= {PIPE_CAP}
+)
+SELECT doc_id, source, len(t)::BIGINT AS n_tokens
+FROM capped
+WHERE ((doc_id % 4294967296) * 1103515245 + 12345) % 4294967296
+        < {4294967296 * PIPE_PPM // 1_000_000}
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "exact_knn_l2": q_exact_knn_l2,
     "exact_knn_ip": q_exact_knn_ip,
@@ -2280,6 +2354,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_chunks": q_doc_chunks,
     "bloom_seen_flags": q_bloom_seen_flags,
     "source_cap_sample": q_source_cap,
+    "curation_pipeline": q_curation_pipeline,
 }
 
 ORACLES: dict[str, str] = {
@@ -2474,4 +2549,5 @@ GROUP BY r.r_name
     "doc_chunks": _ORACLE_CHUNKS,
     "bloom_seen_flags": _ORACLE_BLOOM,
     "source_cap_sample": _ORACLE_SOURCE_CAP,
+    "curation_pipeline": _ORACLE_PIPELINE,
 }
