@@ -2290,6 +2290,61 @@ WHERE ((doc_id % 4294967296) * 1103515245 + 12345) % 4294967296
 """
 
 
+def q_stream_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STRUCTURED STREAMING entry, oracle-checked: watermarked native
+    session_window aggregation over the events stream (12h gap), run
+    as two availableNow micro-batch drains — the fixture, then a
+    far-future sentinel that advances the watermark past every fixture
+    session so append mode flushes them. Returns the emitted sessions;
+    the oracle replays gap-merge semantics (boundary at gap ≥ 12h) in
+    SQL over the same events. The sentinel's own session stays open in
+    state and is never emitted."""
+    import tempfile
+
+    from auncel_spark.streaming.sessionize import stream_session_stats
+
+    gap_s = 12 * 3600
+    ev = _events_us(spark, sf_dir).select("user_id", "ts_us")
+    base = tempfile.mkdtemp(prefix="auncel_stream_")
+    src, out, ck = f"{base}/src", f"{base}/out", f"{base}/ck"
+    ev.write.parquet(src)
+    q = stream_session_stats(
+        spark, src, "user_id bigint, ts_us bigint", gap_s, out, ck, watermark="1 hour"
+    )
+    q.awaitTermination(300)
+    ev.orderBy(F.desc("ts_us")).limit(1).select(
+        "user_id", (F.col("ts_us") + F.lit(int(365 * 24 * 3600 * 1e6))).alias("ts_us")
+    ).write.mode("append").parquet(src)
+    q2 = stream_session_stats(
+        spark, src, "user_id bigint, ts_us bigint", gap_s, out, ck, watermark="1 hour"
+    )
+    q2.awaitTermination(300)
+    return spark.read.schema(
+        "user_id bigint, start_ts bigint, end_ts bigint, n_events bigint"
+    ).parquet(out)
+
+
+_ORACLE_STREAM_SESSIONS = """
+WITH e AS (
+  SELECT user_id, epoch_us(ts) AS ts_us FROM events
+), o AS (
+  SELECT user_id, ts_us,
+         CASE WHEN lag(ts_us) OVER w IS NULL
+                OR ts_us - lag(ts_us) OVER w >= 43200000000
+              THEN 1 ELSE 0 END AS nw
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us)
+), s AS (
+  SELECT user_id, ts_us,
+         sum(nw) OVER (PARTITION BY user_id ORDER BY ts_us
+                       ROWS UNBOUNDED PRECEDING) AS sid
+  FROM o
+)
+SELECT user_id, min(ts_us) AS start_ts, max(ts_us) AS end_ts,
+       count(*) AS n_events
+FROM s GROUP BY user_id, sid
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "exact_knn_l2": q_exact_knn_l2,
     "exact_knn_ip": q_exact_knn_ip,
@@ -2355,6 +2410,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bloom_seen_flags": q_bloom_seen_flags,
     "source_cap_sample": q_source_cap,
     "curation_pipeline": q_curation_pipeline,
+    "events_session_stats_stream": q_stream_session_stats,
 }
 
 ORACLES: dict[str, str] = {
@@ -2550,4 +2606,5 @@ GROUP BY r.r_name
     "bloom_seen_flags": _ORACLE_BLOOM,
     "source_cap_sample": _ORACLE_SOURCE_CAP,
     "curation_pipeline": _ORACLE_PIPELINE,
+    "events_session_stats_stream": _ORACLE_STREAM_SESSIONS,
 }
