@@ -2345,6 +2345,11 @@ FROM s GROUP BY user_id, sid
 """
 
 
+# entries that drive a Structured Streaming pipeline (micro-batch
+# drains + tempdir IO): correctness-gated like everything else, but
+# excluded from bench.py's timed headline set
+STREAMING_QUERIES: set[str] = {"events_session_stats_stream"}
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "exact_knn_l2": q_exact_knn_l2,
     "exact_knn_ip": q_exact_knn_ip,

@@ -42,14 +42,20 @@ def main() -> None:
     # caches structures per process). warm pass: steady-state query
     # latency over the prebuilt structures — the figure comparable to
     # BASELINE.md, which times queries against a loaded index.
+    # streaming pipeline entries run micro-batch drains with tempdir
+    # IO — correctness-gated by the driver, but not a query-latency
+    # figure; keep them out of the timed headline set
+    from auncel_spark.catalog import STREAMING_QUERIES
+
+    timed = {n: f for n, f in QUERIES.items() if n not in STREAMING_QUERIES}
     timings: dict[str, float] = {}
-    for name, fn in QUERIES.items():
+    for name, fn in timed.items():
         t0 = time.perf_counter()
         rows = fn(spark, sf_dir).collect()
         timings[name] = round(time.perf_counter() - t0, 3)
         assert rows is not None
     warm: dict[str, float] = {}
-    for name, fn in QUERIES.items():
+    for name, fn in timed.items():
         t0 = time.perf_counter()
         fn(spark, sf_dir).collect()
         warm[name] = round(time.perf_counter() - t0, 3)
