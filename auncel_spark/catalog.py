@@ -2345,6 +2345,48 @@ FROM s GROUP BY user_id, sid
 """
 
 
+def q_source_length_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus length profile with EXACT discrete
+    percentiles (p50/p90 = smallest n_chars whose rank covers the
+    quantile — the integer-portable rule, no interpolation): the
+    curation dashboard query for spotting truncated or bloated
+    sources. One shuffle on source; percentile via a per-source rank
+    window, not a global sort."""
+    from pyspark.sql import Window as W
+
+    docs = load(spark, sf_dir, "documents").select("source", "n_chars")
+    w = W.partitionBy("source").orderBy("n_chars")
+    ranked = docs.withColumn("rk", F.row_number().over(w)).withColumn(
+        "n", F.count(F.lit(1)).over(W.partitionBy("source"))
+    )
+    pctl = lambda p: F.min(  # noqa: E731
+        F.when(F.col("rk") * 100 >= F.col("n") * p, F.col("n_chars"))
+    )
+    return ranked.groupBy("source").agg(
+        F.max("n").alias("n_docs"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+        F.sum("n_chars").alias("sum_chars"),
+        pctl(50).alias("p50_chars"),
+        pctl(90).alias("p90_chars"),
+    )
+
+
+_ORACLE_LENGTH_PROFILE = """
+WITH r AS (
+  SELECT source, n_chars,
+         row_number() OVER (PARTITION BY source ORDER BY n_chars) AS rk,
+         count(*) OVER (PARTITION BY source) AS n
+  FROM documents
+)
+SELECT source, max(n) AS n_docs, min(n_chars) AS min_chars,
+       max(n_chars) AS max_chars, sum(n_chars) AS sum_chars,
+       min(CASE WHEN rk * 100 >= n * 50 THEN n_chars END) AS p50_chars,
+       min(CASE WHEN rk * 100 >= n * 90 THEN n_chars END) AS p90_chars
+FROM r GROUP BY source
+"""
+
+
 # entries that drive a Structured Streaming pipeline (micro-batch
 # drains + tempdir IO): correctness-gated like everything else, but
 # excluded from bench.py's timed headline set
@@ -2416,6 +2458,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "source_cap_sample": q_source_cap,
     "curation_pipeline": q_curation_pipeline,
     "events_session_stats_stream": q_stream_session_stats,
+    "source_length_profile": q_source_length_profile,
 }
 
 ORACLES: dict[str, str] = {
@@ -2612,4 +2655,5 @@ GROUP BY r.r_name
     "source_cap_sample": _ORACLE_SOURCE_CAP,
     "curation_pipeline": _ORACLE_PIPELINE,
     "events_session_stats_stream": _ORACLE_STREAM_SESSIONS,
+    "source_length_profile": _ORACLE_LENGTH_PROFILE,
 }
