@@ -26,6 +26,20 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, functions as F
 
 
+def bloom_params(n: int, fpr: float = 0.01) -> tuple[int, int]:
+    """Size a filter for ``n`` expected distinct items at a target
+    false-positive rate: m = -n·ln(p)/ln(2)², k = (m/n)·ln(2) — the
+    standard optima, rounded up. E.g. 1e9 digests at 1% → ~1.2 GB of
+    bits, k=7."""
+    import math
+
+    if n <= 0 or not (0.0 < fpr < 1.0):
+        raise ValueError("need n > 0 and 0 < fpr < 1")
+    m = math.ceil(-n * math.log(fpr) / (math.log(2) ** 2))
+    k = max(1, round(m / n * math.log(2)))
+    return m, k
+
+
 def bloom_bit(col: Column, seed: int, m: int) -> Column:
     """Bit position for one hash-family member: first 15 hex chars of
     md5(value # seed) as a 60-bit int, mod m. Portable to ANSI SQL as

@@ -95,3 +95,18 @@ def test_bloom_bits_bounded(spark):
     vals = [r["bit"] for r in bits.collect()]
     assert len(vals) == len(set(vals)) <= 80
     assert all(0 <= v < (1 << 10) for v in vals)
+
+
+def test_bloom_params_formulas():
+    from auncel_spark.operators.bloom import bloom_params
+
+    m, k = bloom_params(1_000_000, 0.01)
+    assert 9_500_000 <= m <= 9_700_000 and k == 7  # ~9.59 bits/item
+    m2, k2 = bloom_params(1000, 0.001)
+    assert k2 == 10 and m2 > m2 // 2
+    import pytest
+
+    with pytest.raises(ValueError):
+        bloom_params(0, 0.01)
+    with pytest.raises(ValueError):
+        bloom_params(10, 1.5)
