@@ -545,6 +545,36 @@ def run(spark, configs=None, n: int = N) -> dict:
             out["effect_time"] = run_effect_time(spark, ep, gt, test)
         except Exception as e:
             out["effect_time"] = {"error": f"{type(e).__name__}: {e}"}
+    if n == N and os.environ.get("SPARK_GRAFT_SCALE_TPUT", "1") != "0":
+        # query-batch throughput scaling: same corpus/profile, 5x the
+        # query batch at one config (k=10, bound=10%). The driver loop
+        # and per-stage job overhead are per-BATCH costs, so ms/query
+        # must fall as nq grows — the property that makes the
+        # stage-synchronous design a throughput engine at cluster
+        # scale, not a per-query latency engine.
+        try:
+            k_t, bound_t = 10, 0.10
+            p = params[(k_t, bound_t)]
+            ep.multipler, ep.std_m = p["multipler"], p["std_m"]
+            nq_big = 5 * N_TEST
+            big = spark.createDataFrame(
+                _gen_queries_pdf(13, nq_big, 40_000_000)
+            ).cache()
+            big.count()
+            t0 = time.perf_counter()
+            ep.search(big, k_t, require_acc=1.0 - bound_t).toPandas()
+            wall = time.perf_counter() - t0
+            base_msq = results[f"k{k_t}_b{int(bound_t * 100)}"]["ms_per_query"]
+            out["throughput"] = {
+                "nq": nq_big,
+                "config": f"k{k_t}_b{int(bound_t * 100)}",
+                "ms_per_query": round(wall / nq_big * 1000.0, 3),
+                "ms_per_query_at_nq5000": base_msq,
+                "qps": round(nq_big / wall, 1),
+            }
+            big.unpersist()
+        except Exception as e:
+            out["throughput"] = {"error": f"{type(e).__name__}: {e}"}
     if n == N10 and os.environ.get("SPARK_GRAFT_SCALE_PQ_10M", "1") != "0":
         # compressed path at the reference's own dataset scale: one
         # point at the documented default (full sweep lives at 1M)
