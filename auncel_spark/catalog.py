@@ -2189,7 +2189,7 @@ GROUP BY p.id
 """
 
 
-SOURCE_CAP = 40  # per-source anti-dominance cap
+SOURCE_CAP = 15  # per-source anti-dominance cap (binds: fixtures have ~25 docs/source)
 
 
 def q_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
