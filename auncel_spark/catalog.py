@@ -2387,6 +2387,51 @@ FROM r GROUP BY source
 """
 
 
+BPE_TOP = 50  # BPE seed: top adjacent char pairs
+
+
+def q_bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-training seed: corpus-wide adjacent character-pair
+    frequencies (the statistic the first BPE merge maximizes), top-N
+    with (count desc, pair asc) tie-break. One explode over words →
+    per-row pair arrays → partial-agg count — corpus-linear, no skew
+    beyond character frequencies."""
+    from pyspark.sql import Window as W
+
+    from auncel_spark.operators.dedup import tokens
+
+    docs = load(spark, sf_dir, "documents")
+    w = docs.select(F.explode(tokens("text")).alias("w")).where(F.length("w") >= 2)
+    # substring with a column start position needs the SQL form
+    pairs = w.select(
+        F.explode(
+            F.expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")
+        ).alias("p")
+    )
+    counted = pairs.groupBy("p").agg(F.count(F.lit(1)).alias("cnt"))
+    rk = W.orderBy(F.desc("cnt"), F.asc("p"))
+    return (
+        counted.withColumn("rank", F.row_number().over(rk).cast("bigint"))
+        .where(F.col("rank") <= BPE_TOP)
+        .select("rank", "p", "cnt")
+    )
+
+
+_ORACLE_BPE = rf"""
+WITH w AS (
+  SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS w
+  FROM documents
+), p AS (
+  SELECT unnest(list_transform(range(1, length(w)), i -> w[i:i+1])) AS p
+  FROM w WHERE length(w) >= 2
+), c AS (
+  SELECT p, count(*) AS cnt FROM p GROUP BY p
+)
+SELECT row_number() OVER (ORDER BY cnt DESC, p ASC) AS rank, p, cnt
+FROM c ORDER BY cnt DESC, p ASC LIMIT {BPE_TOP}
+"""
+
+
 # entries that drive a Structured Streaming pipeline (micro-batch
 # drains + tempdir IO): correctness-gated like everything else, but
 # excluded from bench.py's timed headline set
@@ -2459,6 +2504,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "curation_pipeline": q_curation_pipeline,
     "events_session_stats_stream": q_stream_session_stats,
     "source_length_profile": q_source_length_profile,
+    "bpe_pair_stats": q_bpe_pair_stats,
 }
 
 ORACLES: dict[str, str] = {
@@ -2656,4 +2702,5 @@ GROUP BY r.r_name
     "curation_pipeline": _ORACLE_PIPELINE,
     "events_session_stats_stream": _ORACLE_STREAM_SESSIONS,
     "source_length_profile": _ORACLE_LENGTH_PROFILE,
+    "bpe_pair_stats": _ORACLE_BPE,
 }
