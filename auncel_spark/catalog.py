@@ -2432,10 +2432,60 @@ FROM c ORDER BY cnt DESC, p ASC LIMIT {BPE_TOP}
 """
 
 
+def q_stream_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STATEFUL streaming entry, oracle-checked: per-event session-id
+    tagging via applyInPandasWithState, run as TWO time-split
+    availableNow drains on one checkpoint (early half, then late half)
+    so the per-user (last_ts, session counter) state demonstrably
+    carries the recurrence across the micro-batch boundary. The oracle
+    is the batch lag/running-sum sessionization in SQL."""
+    import tempfile
+
+    from auncel_spark.streaming.sessionize import stream_sessionize_events
+
+    ev = _events_us(spark, sf_dir).select("user_id", "ts_us")
+    med = ev.approxQuantile("ts_us", [0.5], 0.0)[0]
+    base = tempfile.mkdtemp(prefix="auncel_sess_")
+    src, out, ck = f"{base}/src", f"{base}/out", f"{base}/ck"
+    ev.where(F.col("ts_us") <= med).write.parquet(src)
+    q = stream_sessionize_events(
+        spark, src, "user_id bigint, ts_us bigint", SESSION_GAP_US, out, ck
+    )
+    q.awaitTermination(300)
+    ev.where(F.col("ts_us") > med).write.mode("append").parquet(src)
+    q2 = stream_sessionize_events(
+        spark, src, "user_id bigint, ts_us bigint", SESSION_GAP_US, out, ck
+    )
+    q2.awaitTermination(300)
+    return spark.read.schema("user_id bigint, ts_us bigint, session_id bigint").parquet(
+        out
+    )
+
+
+_ORACLE_STREAM_SESSIONIZE = f"""
+WITH e AS (
+  SELECT user_id, epoch_us(ts) AS ts_us FROM events
+), o AS (
+  SELECT user_id, ts_us,
+         CASE WHEN lag(ts_us) OVER w IS NULL
+                OR ts_us - lag(ts_us) OVER w > {SESSION_GAP_US}
+              THEN 1 ELSE 0 END AS nw
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us)
+)
+SELECT user_id, ts_us,
+       sum(nw) OVER (PARTITION BY user_id ORDER BY ts_us
+                     ROWS UNBOUNDED PRECEDING) - 1 AS session_id
+FROM o
+"""
+
+
 # entries that drive a Structured Streaming pipeline (micro-batch
 # drains + tempdir IO): correctness-gated like everything else, but
 # excluded from bench.py's timed headline set
-STREAMING_QUERIES: set[str] = {"events_session_stats_stream"}
+STREAMING_QUERIES: set[str] = {
+    "events_session_stats_stream",
+    "events_sessionize_stream",
+}
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "exact_knn_l2": q_exact_knn_l2,
@@ -2505,6 +2555,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_session_stats_stream": q_stream_session_stats,
     "source_length_profile": q_source_length_profile,
     "bpe_pair_stats": q_bpe_pair_stats,
+    "events_sessionize_stream": q_stream_sessionize_events,
 }
 
 ORACLES: dict[str, str] = {
@@ -2703,4 +2754,5 @@ GROUP BY r.r_name
     "events_session_stats_stream": _ORACLE_STREAM_SESSIONS,
     "source_length_profile": _ORACLE_LENGTH_PROFILE,
     "bpe_pair_stats": _ORACLE_BPE,
+    "events_sessionize_stream": _ORACLE_STREAM_SESSIONIZE,
 }
