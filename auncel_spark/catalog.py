@@ -2387,6 +2387,66 @@ FROM r GROUP BY source
 """
 
 
+def _ts_us_col(df: DataFrame, col: str):
+    """Fixture timestamps as integer epoch micros (same engine-
+    portable convention as ``_events_us``: nano-long parquet → div
+    1000; TIMESTAMP_NTZ → unix_micros after a UTC-safe cast)."""
+    if dict(df.dtypes)[col] == "bigint":
+        return F.expr(f"{col} div 1000")
+    return F.unix_micros(F.col(col).cast("timestamp"))
+
+
+Q3_SEGMENT = "BUILDING"
+Q3_CUTOFF_US = 883_612_800_000_000  # 1998-01-01 UTC
+
+
+def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape (§2.4 relational depth): segment-filtered
+    customers ⋈ pre-cutoff orders ⋈ post-cutoff lineitems, top-10
+    open-order revenue. Integer-cent revenue (order-independent sums),
+    broadcast customer filter; the top-10 is a partial-agg + single
+    small ordered limit, never a global row sort of lineitem."""
+    customer = load(spark, sf_dir, "customer").where(
+        F.col("c_mktsegment") == Q3_SEGMENT
+    )
+    orders = load(spark, sf_dir, "orders")
+    orders = orders.where(_ts_us_col(orders, "o_orderdate") < Q3_CUTOFF_US).select(
+        "o_orderkey", "o_custkey", _ts_us_col(orders, "o_orderdate").alias("odate_us")
+    )
+    li = load(spark, sf_dir, "lineitem")
+    li = li.where(_ts_us_col(li, "l_shipdate") > Q3_CUTOFF_US)
+    ep_c = F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("bigint")
+    disc_pct = F.floor(F.col("l_discount") * 100 + 0.5).cast("bigint")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .groupBy("o_orderkey", "odate_us")
+        .agg(F.sum(ep_c * (100 - disc_pct)).alias("revenue_u"))
+        .orderBy(F.desc("revenue_u"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+_ORACLE_Q3 = f"""
+WITH c AS (
+  SELECT c_custkey FROM customer WHERE c_mktsegment = '{Q3_SEGMENT}'
+), o AS (
+  SELECT o_orderkey, o_custkey, epoch_us(o_orderdate) AS odate_us
+  FROM orders WHERE epoch_us(o_orderdate) < {Q3_CUTOFF_US}
+), l AS (
+  SELECT l_orderkey,
+         floor(l_extendedprice * 100 + 0.5)::BIGINT
+           * (100 - floor(l_discount * 100 + 0.5)::BIGINT) AS rev_u
+  FROM lineitem WHERE epoch_us(l_shipdate) > {Q3_CUTOFF_US}
+)
+SELECT o.o_orderkey, o.odate_us, sum(l.rev_u) AS revenue_u
+FROM l JOIN o ON l.l_orderkey = o.o_orderkey
+JOIN c ON o.o_custkey = c.c_custkey
+GROUP BY o.o_orderkey, o.odate_us
+ORDER BY revenue_u DESC, o.o_orderkey ASC LIMIT 10
+"""
+
+
 BPE_TOP = 50  # BPE seed: top adjacent char pairs
 
 
@@ -2556,6 +2616,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "source_length_profile": q_source_length_profile,
     "bpe_pair_stats": q_bpe_pair_stats,
     "events_sessionize_stream": q_stream_sessionize_events,
+    "shipping_priority": q_shipping_priority,
 }
 
 ORACLES: dict[str, str] = {
@@ -2755,4 +2816,5 @@ GROUP BY r.r_name
     "source_length_profile": _ORACLE_LENGTH_PROFILE,
     "bpe_pair_stats": _ORACLE_BPE,
     "events_sessionize_stream": _ORACLE_STREAM_SESSIONIZE,
+    "shipping_priority": _ORACLE_Q3,
 }
