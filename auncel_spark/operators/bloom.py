@@ -79,8 +79,14 @@ def bloom_probe(
             "bit"
         ),
     )
+    # the bit-set MUST be distinct before the join: duplicate bit rows
+    # (e.g. the same position appended by two ingest shards) would fan
+    # out the join and push sum(_set) past k, turning a truly-seen row
+    # into a false NEGATIVE — the one error Bloom semantics forbid.
+    # distinct() here is a shuffle on the small (broadcast) side only.
+    bit_set = bits.select("bit").distinct()
     hit = probe.join(
-        F.broadcast(bits.withColumn("_set", F.lit(1))), "bit", "left"
+        F.broadcast(bit_set.withColumn("_set", F.lit(1))), "bit", "left"
     ).select("id", F.coalesce(F.col("_set"), F.lit(0)).alias("_set"))
     return hit.groupBy("id").agg(
         (F.sum("_set") == F.lit(k)).cast("int").alias("possibly_seen")

@@ -21,10 +21,13 @@ Determinism: the hash family is the portable md5 one, so acceptance
 decisions are replayable; false positives (novel doc sharing all k
 bits with history) drop a bounded, deterministic set of rows — size
 the sketch with ``bloom_params``. Exactly-once: Spark retries a
-failed micro-batch with the same batch_id; the output append is
-idempotent only per-run here (documented limitation — production
-would key the sink files by batch_id, e.g. Delta's txn versioning;
-plain parquet appends re-add rows on a MID-batch retry)."""
+failed micro-batch with the same batch_id, and both sinks are keyed
+by that id — each batch writes ``batch_id={id}`` subdirectories with
+mode("overwrite"), and a batch whose output AND state subdirs both
+carry a ``_SUCCESS`` marker is skipped entirely on replay. A
+mid-batch retry therefore overwrites its own partial files instead of
+appending duplicates (the parquet-native analogue of Delta's txn
+versioning)."""
 
 from __future__ import annotations
 
@@ -78,22 +81,46 @@ def stream_curate(
 ):
     """Start the incremental curation stream (availableNow drain;
     re-run on the same checkpoint/state dirs to continue ingestion)."""
-    import os
+
+    def _fs_exists(s: SparkSession, path: str) -> bool:
+        # Hadoop FileSystem probe — works for hdfs://, s3a://, file://
+        # alike, unlike os.path.isdir which silently reports "absent"
+        # for any non-local scheme (disabling cross-batch dedup).
+        jvm = s._jvm
+        p = jvm.org.apache.hadoop.fs.Path(path)
+        fs = p.getFileSystem(s._jsc.hadoopConfiguration())
+        return bool(fs.exists(p))
 
     def _fn(batch: DataFrame, batch_id: int) -> None:
         s = batch.sparkSession
-        bits = (
-            s.read.schema("bit bigint").parquet(state_dir)
-            if os.path.isdir(state_dir)
-            else None
-        )
+        out_b = f"{out_dir}/batch_id={batch_id}"
+        state_b = f"{state_dir}/batch_id={batch_id}"
+        if _fs_exists(s, f"{out_b}/_SUCCESS") and _fs_exists(s, f"{state_b}/_SUCCESS"):
+            return  # batch fully committed on a previous attempt
+        bits = None
+        if _fs_exists(s, state_dir):
+            try:
+                # subdirs are batch_id=N partitions; exclude THIS
+                # batch's own subdir (a crashed prior attempt may have
+                # committed it — its bits must not make the batch flag
+                # itself seen), and keep only the bit column
+                # (bloom_probe re-distincts across batches anyway)
+                bits = (
+                    s.read.parquet(state_dir)
+                    .where(F.col("batch_id") != batch_id)
+                    .select("bit")
+                )
+            except Exception:
+                # dir exists but holds no readable committed data
+                # (e.g. only _temporary from a crashed first batch)
+                bits = None
         accepted = curate_batch(
             batch, bits, m, k, rep_n, max_dup_frac, max_top_frac, text_col, id_col
         ).persist()
-        accepted.write.mode("append").parquet(out_dir)
-        # append this batch's bits; bloom_probe tolerates duplicates,
-        # so no rewrite/compaction is required for correctness
-        bloom_build(accepted, text_col, m, k).write.mode("append").parquet(state_dir)
+        # overwrite INTO the batch-keyed subdir: a mid-batch retry
+        # replaces its own partial files instead of appending dupes
+        accepted.write.mode("overwrite").parquet(out_b)
+        bloom_build(accepted, text_col, m, k).write.mode("overwrite").parquet(state_b)
         accepted.unpersist()
 
     stream = spark.readStream.schema(schema).parquet(source_dir)

@@ -97,13 +97,36 @@ def test_bloom_bits_bounded(spark):
     assert all(0 <= v < (1 << 10) for v in vals)
 
 
+def test_bloom_probe_tolerates_duplicate_bits(spark):
+    """Duplicate rows in the bit-set (the shape an append-only state
+    accumulates when two batches set the same position) must NOT fan
+    out the probe join into a false negative — seen rows stay seen."""
+    from pyspark.sql import functions as F
+
+    from auncel_spark.operators.bloom import bloom_build, bloom_probe
+
+    seen = _docs(spark, [f"document number {i}" for i in range(40)])
+    m, k = 1 << 14, 3
+    bits = bloom_build(seen, "text", m, k)
+    # triplicate every set bit — worst-case duplication
+    dup_bits = bits.union(bits).union(bits)
+    assert dup_bits.count() == 3 * bits.count()
+    probe = spark.createDataFrame(
+        [(1000 + i, f"document number {i}") for i in range(40)],
+        "doc_id bigint, text string",
+    )
+    flags = bloom_probe(probe, dup_bits, "text", "doc_id", m, k)
+    assert flags.where(F.col("possibly_seen") == 0).count() == 0
+
+
 def test_bloom_params_formulas():
     from auncel_spark.operators.bloom import bloom_params
 
     m, k = bloom_params(1_000_000, 0.01)
     assert 9_500_000 <= m <= 9_700_000 and k == 7  # ~9.59 bits/item
     m2, k2 = bloom_params(1000, 0.001)
-    assert k2 == 10 and m2 > m2 // 2
+    # ~14.38 bits/item for fpr=1e-3: m = ceil(1000*ln(1000)/ln(2)^2)
+    assert k2 == 10 and 14_300 <= m2 <= 14_450
     import pytest
 
     with pytest.raises(ValueError):
