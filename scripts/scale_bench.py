@@ -48,6 +48,13 @@ from auncel_spark.config import Metric
 # workload constants (eval/run.sh shape)
 N, D, NLIST = 1_000_000, 96, 1024
 N10 = 10_000_000
+N100 = 100_000_000
+# above this row count the raw corpus is never materialized: the
+# corpus is a pure function of row id (_id_gauss), so the index build
+# regenerates vectors on both sides of a light (id, list_no) shuffle —
+# peak disk = the partitioned index copy alone (~40 GB at 100M), not
+# corpus + copy (~80 GB, which exceeds this container's free space)
+BIG_N = 50_000_000
 N_TRAIN = N_TEST = 5000
 MAX_TOPK = 100
 CONFIGS = [(k, b) for k in (10, 50, 100) for b in (0.01, 0.05, 0.10)]
@@ -125,6 +132,93 @@ def _id_gauss(ids: np.ndarray, d: int) -> np.ndarray:
     u1 = np.clip(f[:, :d], 1e-12, None)
     u2 = f[:, d:]
     return np.sqrt(-2.0 * np.log(u1)) * np.cos(2.0 * np.pi * u2)
+
+
+def _lazy_base_df(spark, n: int):
+    """The corpus as a LAZY DataFrame — regenerable at will because
+    every vector is a pure function of its row id. Used above BIG_N
+    where materializing the raw base would double peak disk."""
+    import pandas as pd
+
+    bc = spark.sparkContext.broadcast(_centers())
+
+    def gen(batches):
+        cents = bc.value
+        for pdf in batches:
+            idx = pdf["id"].to_numpy()
+            vec = (cents[idx % N_CLUSTERS] + _id_gauss(idx, D)).astype(np.float32)
+            yield pd.DataFrame({"id": idx, "vec": list(vec)})
+
+    return spark.range(0, n, 1, max(64, n // 250_000)).mapInPandas(
+        gen, "id bigint, vec array<float>"
+    )
+
+
+def ensure_index_big(spark, cache: Path, n: int):
+    """Index build for BIG_N+ corpora with NO raw-base materialization
+    and a light shuffle: the exchange moves only (id bigint, list_no
+    int) — ~1.2 GB at 100M instead of the ~40 GB vector payload — and
+    vectors are regenerated from ids on the reduce side before the
+    partitionBy(list_no) write. Same persisted layout as
+    IVFIndex.build, so load/search/profile paths are unchanged."""
+    from auncel_spark.index.ivf import IVFIndex
+    from auncel_spark.index.kmeans import train_kmeans
+
+    ivf_path = str(cache / "ivf")
+    if (cache / "ivf" / "meta.json").exists():
+        return IVFIndex.load(spark, ivf_path), 0.0
+    t0 = time.perf_counter()
+    import pandas as pd
+
+    sample = (
+        _lazy_base_df(spark, n)
+        .sample(fraction=min(1.0, 150_000 / n), seed=1)
+        .cache()
+    )
+    cents, _ = train_kmeans(sample, NLIST, max_iter=10, seed=1)
+    sample.unpersist()
+    bc_gen = spark.sparkContext.broadcast(_centers())
+    # float64 centroids — the exact assign_lists arithmetic
+    bc_c = spark.sparkContext.broadcast(np.asarray(cents, dtype=np.float64))
+
+    def assign_light(batches):
+        gcents = bc_gen.value
+        c = bc_c.value
+        c_norms = (c * c).sum(axis=1)[None, :]
+        for pdf in batches:
+            ids = pdf["id"].to_numpy()
+            mat = (gcents[ids % N_CLUSTERS] + _id_gauss(ids, D)).astype(
+                np.float32
+            ).astype(np.float64)
+            dist = -2.0 * (mat @ c.T) + c_norms  # argmin-equivalent L2
+            yield pd.DataFrame(
+                {"id": ids, "list_no": dist.argmin(axis=1).astype(np.int32)}
+            )
+
+    def regen(batches):
+        gcents = bc_gen.value
+        for pdf in batches:
+            ids = pdf["id"].to_numpy()
+            vec = (gcents[ids % N_CLUSTERS] + _id_gauss(ids, D)).astype(np.float32)
+            yield pd.DataFrame(
+                {"id": ids, "vec": list(vec), "list_no": pdf["list_no"].to_numpy()}
+            )
+
+    light = spark.range(0, n, 1, max(64, n // 250_000)).mapInPandas(
+        assign_light, "id bigint, list_no int"
+    )
+    (
+        light.repartition("list_no")
+        .mapInPandas(regen, "id bigint, vec array<float>, list_no int")
+        .write.mode("overwrite")
+        .partitionBy("list_no")
+        .parquet(os.path.join(ivf_path, "lists"))
+    )
+    idx = IVFIndex(spark, cents, ivf_path, Metric.L2)
+    with open(os.path.join(ivf_path, "meta.json"), "w") as f:
+        json.dump({"nlist": idx.nlist, "d": idx.d, "metric": Metric.L2.value}, f)
+    np.save(os.path.join(ivf_path, "centroids.npy"), idx.centroids)
+    return idx, time.perf_counter() - t0
 
 
 def ensure_corpus(spark, cache: Path, n: int = N) -> str:
@@ -210,9 +304,10 @@ def _apply_margin(params: dict) -> dict:
     return params
 
 
-def ensure_profile(spark, cache: Path, idx):
+def ensure_profile(spark, cache: Path, idx, configs=None):
     from auncel_spark.profile.error_profile import ErrorProfile
 
+    configs = configs or CONFIGS
     prof_path = str(cache / "profile")
     params_path = cache / "params.json"
     ep = ErrorProfile(idx, max_topk=MAX_TOPK)
@@ -237,7 +332,7 @@ def ensure_profile(spark, cache: Path, idx):
 
     raw_params = ep.fit_and_calibrate_many(
         train,
-        CONFIGS,
+        configs,
         multipler_grid=_MULT_GRID,
         std_m_grid=_STD_GRID,
         safety=SAFETY,
@@ -487,10 +582,19 @@ def run(spark, configs=None, n: int = N) -> dict:
     out: dict = {"n": n, "d": D, "nlist": NLIST, "nq": N_TEST}
 
     t0 = time.perf_counter()
-    base_path = ensure_corpus(spark, cache, n)
-    gen_s = time.perf_counter() - t0
-    idx, build_s = ensure_index(spark, cache, base_path, n)
-    ep, params, fit_s = ensure_profile(spark, cache, idx)
+    if n > BIG_N:
+        base_path = None  # never materialized — see ensure_index_big
+        gen_s = 0.0
+        idx, build_s = ensure_index_big(spark, cache, n)
+    else:
+        base_path = ensure_corpus(spark, cache, n)
+        gen_s = time.perf_counter() - t0
+        idx, build_s = ensure_index(spark, cache, base_path, n)
+    # above N10, calibrate only the searched diagonal — the 9-config
+    # table's extra calibrations would triple an already hours-long fit
+    ep, params, fit_s = ensure_profile(
+        spark, cache, idx, configs=CONFIGS if n <= N10 else CONFIGS_10M
+    )
     gt = ensure_gt(spark, cache, idx)
     if gen_s > 1 or build_s or fit_s:
         out["cold_build"] = {
