@@ -63,6 +63,9 @@ class IVFIndex:
         self.metric = metric
         self.data_path = data_path
         self._data_df = data_df
+        # optional orthonormal pre-rotation (OPQ): queries are rotated
+        # into code space before coarse-rank/scan; subclasses set it
+        self.rotation: np.ndarray | None = None
         # Auncel delta: inter-centroid geometry for the ELP system (B3)
         self.interdis = inter_centroid_matrix(self.centroids, metric)
         # optional graph coarse quantizer (faiss "IVF{n}_HNSW{M}")
@@ -187,6 +190,8 @@ class IVFIndex:
         qpdf = queries.select("qid", "vec").toPandas()
         qids = qpdf["qid"].to_numpy(dtype=np.int64)
         qmat = np.array(list(qpdf["vec"]), dtype=np.float64)
+        if self.rotation is not None:
+            qmat = qmat @ self.rotation.T
         lists, _ = self.coarse_rank(qids, qmat, nprobe)
         nq, npb = lists.shape
         # Arrow-path createDataFrame: at nq=100k, nprobe=128 a Python

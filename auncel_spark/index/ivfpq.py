@@ -42,12 +42,21 @@ class IVFPQIndex(IVFIndex):
         by_residual: bool = True,
         data_df: DataFrame | None = None,
         use_precomputed_table: bool = True,
+        rotation: np.ndarray | None = None,
     ):
         super().__init__(spark, centroids, data_path, metric, data_df)
         self.pq = pq
         self.by_residual = by_residual
         self.use_precomputed_table = use_precomputed_table
         self._term2: np.ndarray | None = None
+        # OPQ pre-rotation (faiss "OPQ{M},IVF{n},PQ{M}" idiom,
+        # Auncel/AutoTune.cpp:741-949 factory strings): centroids here
+        # are stored ROTATED, codes encode rotated residuals, and
+        # queries rotate on entry. Exact refine stays rotation-free —
+        # the rotation is orthonormal, so |Rq − Rx| = |q − x|.
+        self.rotation = (
+            np.asarray(rotation, dtype=np.float64) if rotation is not None else None
+        )
 
     def precomputed_term2(self) -> np.ndarray:
         """``use_precomputed_table`` (IndexIVFPQ.h:48-59): for residual
@@ -83,10 +92,18 @@ class IVFPQIndex(IVFIndex):
         id_col: str = "id",
         vec_col: str = "vec",
         pq: ProductQuantizer | None = None,
+        opq: bool = False,
     ) -> "IVFPQIndex":
         """``pq``: pre-built codebooks skip sampled-k-means training —
         used for seeded deterministic codebooks that a SQL oracle can
-        replay (the seed-IVF trick applied to PQ)."""
+        replay (the seed-IVF trick applied to PQ).
+
+        ``opq``: train an OPQ rotation on the RESIDUALS and encode
+        rotated residuals (requires by_residual + L2). Assignment is
+        rotation-invariant — R(x−c) = Rx − Rc — so the inverted lists
+        are identical to the unrotated build; only code quality
+        changes. The stored centroids are rotated so every query-side
+        term (coarse rank, term1/term2, LUTs) lives in code space."""
         spark = base.sparkSession
         b = base.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
         if centroids is None:
@@ -97,19 +114,34 @@ class IVFPQIndex(IVFIndex):
         centroids = np.asarray(centroids, dtype=np.float64)
         assigned = assign_lists(b, centroids, metric)
 
-        # train PQ on (residual) vectors, then encode distributed
-        if pq is None:
-            if by_residual:
-                train_src = _residual_df(assigned, centroids)
-            else:
-                train_src = assigned
-            pq = ProductQuantizer.train(train_src, M=M, nbits=nbits, vec_col="vec" if not by_residual else "rvec", seed=seed)
+        rotation = None
+        if opq:
+            if not by_residual or metric != Metric.L2:
+                raise ValueError("opq=True requires by_residual L2")
+            from auncel_spark.index.transforms import OPQTransform
 
-        idx = cls(spark, centroids, pq, path, metric, by_residual)
-        if by_residual:
-            coded = pq.encode(_residual_df(assigned, centroids), vec_col="rvec")
+            res = _residual_df(assigned, centroids)
+            rot = OPQTransform.train(res, M=M, vec_col="rvec", seed=seed)
+            rotation = rot.A
+            res = rot.apply(res, vec_col="rvec")
+            if pq is None:
+                pq = ProductQuantizer.train(res, M=M, nbits=nbits, vec_col="rvec", seed=seed)
+            coded = pq.encode(res, vec_col="rvec")
+            centroids = centroids @ rotation.T
         else:
-            coded = pq.encode(assigned)
+            # train PQ on (residual) vectors, then encode distributed
+            if pq is None:
+                if by_residual:
+                    train_src = _residual_df(assigned, centroids)
+                else:
+                    train_src = assigned
+                pq = ProductQuantizer.train(train_src, M=M, nbits=nbits, vec_col="vec" if not by_residual else "rvec", seed=seed)
+            if by_residual:
+                coded = pq.encode(_residual_df(assigned, centroids), vec_col="rvec")
+            else:
+                coded = pq.encode(assigned)
+
+        idx = cls(spark, centroids, pq, path, metric, by_residual, rotation=rotation)
         coded = coded.select("id", "code", "list_no")
         if path is not None:
             (
@@ -131,6 +163,8 @@ class IVFPQIndex(IVFIndex):
                     f,
                 )
             np.save(os.path.join(path, "centroids.npy"), centroids)
+            if rotation is not None:
+                np.save(os.path.join(path, "rotation.npy"), rotation)
         else:
             idx._data_df = coded.cache()
             idx._data_df.count()
@@ -141,6 +175,8 @@ class IVFPQIndex(IVFIndex):
         with open(os.path.join(path, "meta.json")) as f:
             meta = json.load(f)
         centroids = np.load(os.path.join(path, "centroids.npy"))
+        rot_path = os.path.join(path, "rotation.npy")
+        rotation = np.load(rot_path) if os.path.exists(rot_path) else None
         return cls(
             spark,
             centroids,
@@ -148,6 +184,7 @@ class IVFPQIndex(IVFIndex):
             path,
             Metric(meta["metric"]),
             meta["by_residual"],
+            rotation=rotation,
         )
 
     def search(
@@ -178,6 +215,8 @@ class IVFPQIndex(IVFIndex):
         qpdf = q.toPandas()
         qids = qpdf["qid"].to_numpy(dtype=np.int64)
         qmat = np.array(list(qpdf["vec"]), dtype=np.float64)
+        if self.rotation is not None:
+            qmat = qmat @ self.rotation.T  # into code space (see __init__)
         ranked, _ = self.coarse_rank(qids, qmat, nprobe)
         use_t2 = (
             self.use_precomputed_table

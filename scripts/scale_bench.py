@@ -382,21 +382,26 @@ def bound_satisfaction(res_pdf, gt: np.ndarray, k: int) -> float:
     return float(frac.min())
 
 
-def ensure_ivfpq(spark, cache: Path, base_path: str, centroids: np.ndarray, M: int = 8):
+def ensure_ivfpq(
+    spark, cache: Path, base_path: str, centroids: np.ndarray, M: int = 8,
+    opq: bool = False,
+):
     """IVF1024,PQ{M} over the same corpus, reusing the Flat index's
     coarse quantizer (so the only cold cost is PQ training on a sample
     + one encode pass). Codes are M bytes/row vs 384 for raw d96
-    float32 — the 100 TB storage argument, exercised at 1M."""
+    float32 — the 100 TB storage argument, exercised at 1M. ``opq``
+    adds the OPQ pre-rotation (faiss "OPQ{M},IVF,PQ{M}") — same lists,
+    better codes, one extra sample-train + the same encode pass."""
     from auncel_spark.index.ivfpq import IVFPQIndex
 
-    name = "ivfpq" if M == 8 else f"ivfpq_m{M}"
+    name = ("ivfpq" if M == 8 else f"ivfpq_m{M}") + ("_opq" if opq else "")
     pq_path = str(cache / name)
     if (cache / name / "meta.json").exists():
         return IVFPQIndex.load(spark, pq_path), 0.0
     t0 = time.perf_counter()
     base = spark.read.parquet(base_path)
     idx = IVFPQIndex.build(
-        base, nlist=NLIST, M=M, centroids=centroids, path=pq_path
+        base, nlist=NLIST, M=M, centroids=centroids, path=pq_path, opq=opq
     )
     return idx, time.perf_counter() - t0
 
@@ -491,47 +496,74 @@ def run_ivfpq(spark, cache: Path, base_path: str, flat_idx, gt: np.ndarray, test
     return out
 
 
+# candidate ladder for the 10M default, CHEAPEST FIRST. r03's default
+# (plain M16, np32) needed k_factor=128 to hold recall 0.9 → 44.7
+# ms/query, dominated by a 23 ms ADC pass + a 1280-candidate refine.
+# OPQ buys code quality (same lists, same bytes), letting both nprobe
+# and k_factor shrink — the reference's own factory idiom is
+# "OPQ64,IVF1024,PQ64" (Auncel/AutoTune.cpp:741-949). The plain
+# kf-escalation config stays last as the known-good fallback.
+PQ_LADDER_10M = [
+    {"M": 16, "opq": True, "nprobe": 16, "k_factor": 32},
+    {"M": 16, "opq": True, "nprobe": 16, "k_factor": 64},
+    {"M": 16, "opq": True, "nprobe": 32, "k_factor": 32},
+    {"M": 16, "opq": True, "nprobe": 32, "k_factor": 64},
+    {"M": 16, "opq": False, "nprobe": 32, "k_factor": 128},
+]
+
+
 def run_ivfpq_default(
     spark, cache: Path, base_path: str, flat_idx, gt: np.ndarray, test
 ) -> dict:
-    """One measured point at the DOCUMENTED default (PQ_DEFAULT, chosen
-    from the 1M recall curve) — used for the 10M section, where the
-    full 12-point sweep would dominate the bench budget. Reports the
-    compressed path's ADC latency and the exact-refine recall/latency
-    at the reference's own dataset scale (README.md §3)."""
-    M, nprobe, kf = PQ_DEFAULT["M"], PQ_DEFAULT["nprobe"], PQ_DEFAULT["k_factor"]
+    """The 10M compressed-path default: walk PQ_LADDER_10M cheapest
+    first, stop at the first config with exact-refine recall@10 ≥
+    target, cache the choice, and re-measure only the chosen point on
+    warm reruns. Reports every attempt so the documented default is
+    per-scale and evidence-backed (reference comparator README.md §3)."""
     k = 10
     base = spark.read.parquet(base_path)
-    pq, build_s = ensure_ivfpq(spark, cache, base_path, flat_idx.centroids, M)
-    pq.data.count()
-    t0 = time.perf_counter()
-    pq.search(test, k, nprobe).toPandas()
-    adc_ms = round((time.perf_counter() - t0) / N_TEST * 1000.0, 3)
-    # recall is refine-pool-limited and the required pool grows with
-    # corpus density (r03: kf=32 gives 0.98 at 1M but 0.64 at 10M with
-    # the same codes) — escalate k_factor until the target passes and
-    # report every attempt, so the documented default is per-scale
-    esc_path = cache / "pq_default_escalation.json"
+    esc_path = cache / "pq_default_ladder.json"
     if esc_path.exists():
         with open(esc_path) as f:
-            attempts = json.load(f)["attempts"]
-        kf = attempts[-1]["k_factor"]
-        pt = _refine_point(pq, base, test, gt, k, nprobe, kf)  # fresh timing
+            saved = json.load(f)
+        attempts, chosen = saved["attempts"], saved["chosen"]
     else:
-        attempts = []
-        while True:
-            pt = _refine_point(pq, base, test, gt, k, nprobe, kf)
-            attempts.append({"k_factor": kf, **pt})
-            if pt["recall_at_10"] >= PQ_TARGET_RECALL or kf >= 256:
+        attempts, chosen = [], None
+        for cand in PQ_LADDER_10M:
+            pq, build_s = ensure_ivfpq(
+                spark, cache, base_path, flat_idx.centroids, cand["M"],
+                opq=cand["opq"],
+            )
+            pq.data.count()
+            pt = _refine_point(
+                pq, base, test, gt, k, cand["nprobe"], cand["k_factor"]
+            )
+            rec = {**cand, **pt}
+            if build_s:
+                rec["cold_build_sec"] = round(build_s, 2)
+            attempts.append(rec)
+            if pt["recall_at_10"] >= PQ_TARGET_RECALL:
+                chosen = cand
                 break
-            kf *= 2
+        if chosen is None:
+            chosen = PQ_LADDER_10M[-1]
         with open(esc_path, "w") as f:
-            json.dump({"attempts": attempts}, f)
+            json.dump({"attempts": attempts, "chosen": chosen}, f)
+
+    pq, build_s = ensure_ivfpq(
+        spark, cache, base_path, flat_idx.centroids, chosen["M"],
+        opq=chosen["opq"],
+    )
+    pq.data.count()
+    t0 = time.perf_counter()
+    pq.search(test, k, chosen["nprobe"]).toPandas()
+    adc_ms = round((time.perf_counter() - t0) / N_TEST * 1000.0, 3)
+    pt = _refine_point(
+        pq, base, test, gt, k, chosen["nprobe"], chosen["k_factor"]
+    )  # fresh timing each bench run
     out = {
-        "M": M,
-        "code_bytes": M,
-        "nprobe": nprobe,
-        "k_factor": kf,
+        **chosen,
+        "code_bytes": chosen["M"],
         "adc_ms_per_query": adc_ms,
         **pt,
         "attempts": attempts,

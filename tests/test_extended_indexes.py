@@ -315,3 +315,36 @@ def test_ivf_hnsw_coarse_quantizer(spark, base_df, query_df, tiny_vectors):
     assert (brute == graph).all()
     res = idx.search(query_df, K, nprobe=4)
     assert res.count() > 0
+
+
+def test_ivfpq_opq_build_search_saveload(spark, base_df, query_df, tiny_vectors, tmp_path):
+    """OPQ-rotated IVFPQ: full-probe + exact refine must be exact
+    (rotation is orthonormal, refine reads raw vectors); persisted
+    rotation must round-trip; inverted lists must be IDENTICAL to the
+    unrotated build (assignment is rotation-invariant)."""
+    from auncel_spark.index.ivfpq import IVFPQIndex
+
+    xb, xq = tiny_vectors
+    path = str(tmp_path / "opq")
+    idx = IVFPQIndex.build(
+        base_df, nlist=8, M=4, path=path, kmeans_iter=5, seed=1, opq=True
+    )
+    assert idx.rotation is not None
+    R = idx.rotation
+    assert np.allclose(R @ R.T, np.eye(R.shape[0]), atol=1e-8)  # orthonormal
+
+    plain = IVFPQIndex.build(base_df, nlist=8, M=4, kmeans_iter=5, seed=1)
+    lists_opq = {r["id"]: r["list_no"] for r in idx.data.select("id", "list_no").collect()}
+    lists_pln = {r["id"]: r["list_no"] for r in plain.data.select("id", "list_no").collect()}
+    assert lists_opq == lists_pln
+
+    ids_true, _ = np_knn(xq, xb, K, "l2")
+    idx2 = IVFPQIndex.load(spark, path)
+    assert idx2.rotation is not None and np.allclose(idx2.rotation, R)
+    res = idx2.search_refine(query_df, base_df, K, nprobe=8, k_factor=40)
+    recs = _recalls(res, ids_true, xq.shape[0])
+    assert np.mean(recs) == 1.0  # full probes + exhaustive refine = exact
+
+    # ADC-only path returns k rows per query and is code-consistent
+    adc = idx2.search(query_df, K, nprobe=8)
+    assert adc.count() == xq.shape[0] * K
