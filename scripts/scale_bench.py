@@ -207,8 +207,11 @@ def ensure_index_big(spark, cache: Path, n: int):
     light = spark.range(0, n, 1, max(64, n // 250_000)).mapInPandas(
         assign_light, "id bigint, list_no int"
     )
+    # 256 write partitions (not the session's 32): bounds each task's
+    # regen+sort+write volume to ~400 MB at 100M — long-tail stragglers
+    # shrink 8x and a lost task costs minutes, not the whole stage
     (
-        light.repartition("list_no")
+        light.repartition(256, "list_no")
         .mapInPandas(regen, "id bigint, vec array<float>, list_no int")
         .write.mode("overwrite")
         .partitionBy("list_no")
@@ -726,6 +729,16 @@ def run(spark, configs=None, n: int = N) -> dict:
 if __name__ == "__main__":
     from auncel_spark.session import get_spark
 
-    spark = get_spark("scale_bench")
+    # speculation: a wedged python-runner task (observed once at 100M —
+    # both socket ends blocked in recv with the feed thread gone) gets
+    # a second attempt instead of stalling the whole build
+    spark = get_spark(
+        "scale_bench",
+        extra_conf={
+            "spark.speculation": "true",
+            "spark.speculation.multiplier": "4",
+            "spark.speculation.quantile": "0.75",
+        },
+    )
     n = int(os.environ.get("SPARK_GRAFT_SCALE_N", N))
     print(json.dumps(run(spark, n=n)))
