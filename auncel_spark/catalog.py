@@ -2558,6 +2558,41 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer ENCODE (operators/bpe.bpe_segment): apply the learned
+    K-merge list to the whole corpus and report the resulting token
+    vocabulary with corpus frequencies — the statistic that tells you
+    what a tokenizer trained on this corpus actually produces. The
+    segmentation runs as chained narrow replaces (no shuffle until the
+    final count); the oracle replays the merges on the word-TYPE table
+    and weights symbols by word frequency (identical by construction:
+    segmentation is per-word)."""
+    from auncel_spark.operators.bpe import bpe_segment, bpe_train, word_freq
+
+    docs = load(spark, sf_dir, "documents")
+    merges = bpe_train(word_freq(docs), N_BPE_MERGES)
+    seg = bpe_segment(docs, merges)
+    return seg.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def _oracle_bpe_vocab(k: int = N_BPE_MERGES) -> str:
+    sep2 = "chr(30)||chr(30)"
+    chain = _oracle_bpe_merges(k)
+    # reuse the merge chain's CTEs; replace its final SELECT with the
+    # weighted symbol histogram of the final segmentation w{k}
+    chain = chain[: chain.rindex("\nSELECT * FROM (")]
+    return (
+        chain
+        + f"""
+SELECT sym AS token, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+  SELECT unnest(list_filter(string_split(s, {sep2}), x -> x <> '')) AS sym,
+         freq
+  FROM w{k}
+) GROUP BY sym
+"""
+    )
+
+
 def _oracle_bpe_merges(k: int = N_BPE_MERGES) -> str:
     """Unrolled K-step BPE merge replay (see operators/bpe.py for the
     double-separator greedy-replace encoding both engines share)."""
@@ -2677,6 +2712,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # -- new this round --
     "png_decode_stats": q_png_decode_stats,
     "bpe_merges": q_bpe_merges,
+    "bpe_vocab": q_bpe_vocab,
     # -- added in r03; first driver window was r04 --
     "domain_mix": q_domain_mix,
     "quality_topk_per_source": q_quality_topk_per_source,
@@ -2729,9 +2765,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_cosine_ivf": q_ann_cosine_ivf,
     "hamming_knn_sign": q_hamming_knn,
     "corpus_curation_report": q_corpus_curation_report,
-    "remove_ids_anti_join": q_remove_ids,
     # ---- 50-entry driver window ends here; everything below was
     #      driver-green in both r02 and r03 ----
+    "remove_ids_anti_join": q_remove_ids,
     "exact_knn_l2": q_exact_knn_l2,
     "exact_knn_ip": q_exact_knn_ip,
     "range_search_l2": q_range_search_l2,
@@ -2758,6 +2794,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 ORACLES: dict[str, str] = {
     "png_decode_stats": _ORACLE_PNG_DECODE,
     "bpe_merges": _oracle_bpe_merges(),
+    "bpe_vocab": _oracle_bpe_vocab(),
     "exact_knn_l2": _ORACLE_KNN_L2,
     "exact_knn_ip": _ORACLE_KNN_IP,
     "range_search_l2": _ORACLE_RANGE,
