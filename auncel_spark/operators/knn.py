@@ -181,6 +181,7 @@ def knn_by_ids(
     q_vec_col: str = "vec",
     id_col: str = "id",
     vec_col: str = "vec",
+    broadcast_candidates: bool = False,
 ) -> DataFrame:
     """Re-rank: exact distances only against given (qid, id) candidate
     pairs (``knn_L2sqr_by_idx``, Auncel/utils.h:224-235; the refine
@@ -188,10 +189,18 @@ def knn_by_ids(
 
     ``candidates`` must have columns (qid, id). The join on id prunes
     the base scan to candidate rows before any distance is computed.
+
+    ``broadcast_candidates``: hash the candidate pairs to every task
+    so the base is ONE streamed scan with no shuffle — the right plan
+    whenever nq·k·k_factor is driver-bounded (pairs are 16 bytes; even
+    6.4M pairs ≈ 100 MB). The default shuffle join remains for
+    unbounded candidate sets (e.g. a pair table bigger than memory).
     """
     q = _prep_queries(queries, qid_col, q_vec_col)
     b = _prep_base(base, id_col, vec_col)
     cand = candidates.select(F.col(qid_col).alias("qid"), F.col(id_col).alias("id"))
+    if broadcast_candidates:
+        cand = F.broadcast(cand)
     picked = b.join(cand, "id")  # row-pruning join first
     scored = picked.join(F.broadcast(q), "qid").select(
         "qid", "id", dist_expr("_qvec", "_bvec", metric).alias("dist")

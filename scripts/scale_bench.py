@@ -63,22 +63,26 @@ CONFIGS = [(k, b) for k in (10, 50, 100) for b in (0.01, 0.05, 0.10)]
 CONFIGS_10M = [(10, 0.01), (50, 0.05), (100, 0.10)]
 N_CLUSTERS = 2048  # generator mixture components (≠ nlist, intentionally)
 
-# PQ sweep (VERDICT r02: document a default with recall@10 ≥ 0.9)
+# PQ sweep (VERDICT r02: document a default with recall@10 ≥ 0.9).
+# OPQ variants were measured at 10M (r04) and excluded: this corpus's
+# residuals are isotropic gaussians, so PQ distortion is
+# rotation-invariant — OPQ kf32 scored recall 0.6396 vs plain 0.642,
+# identical to 4 digits across nprobe 16/32 (the refine pool, not the
+# probe set, binds). The operator exists (IVFPQIndex.build(opq=True))
+# for real-world anisotropic data.
 PQ_SWEEP = [
-    (M, nprobe, kf)
+    (M, False, nprobe, kf)
     for M in (8, 16)
     for nprobe in (32, 128)
     for kf in (4, 16, 32)
 ]
 PQ_TARGET_RECALL = 0.9
-# documented default from the 1M curve: cheapest config with
-# exact-refine recall@10 >= 0.9 at BOTH tested scales. r03 learning:
-# M=8 (8-byte codes) passes 0.9 at 1M but collapses to ~0.32 at 10M —
-# the code distortion is scale-independent while neighborhoods get 10x
-# denser, so the refine pool fills with code-space false positives;
-# M=16 holds (0.98 at 1M) with 2x the code bytes, still 24x under raw
-# vectors. Documented default: M16,nprobe32,kf32.
-PQ_DEFAULT = {"M": 16, "nprobe": 32, "k_factor": 32}
+# per-scale defaults: the 1M sweep picks its own recommended point;
+# the 10M default walks PQ_LADDER_10M (below). r03 learning that still
+# holds: M=8 codes pass 0.9 at 1M but collapse to ~0.32 at 10M — code
+# distortion is scale-independent while neighborhoods get 10x denser,
+# so the refine pool fills with code-space false positives; M=16 holds
+# with 2x the code bytes, still 24x under raw vectors.
 # DEEP1B 1e9 rows over 128 workers x 96 vCPU (figure16 baseline) —
 # the per-core data volume behind the 24.2-32.2 ms/query numbers
 BASELINE_ROWS_PER_CORE = 81_380
@@ -440,7 +444,7 @@ def run_ivfpq(spark, cache: Path, base_path: str, flat_idx, gt: np.ndarray, test
     stated."""
     k = 10
     base = spark.read.parquet(base_path)
-    curve_path = cache / "pq_curve.json"
+    curve_path = cache / "pq_curve_v2.json"  # v2: adds the OPQ columns
     out: dict = {"target_recall_at_10": PQ_TARGET_RECALL}
 
     if curve_path.exists():
@@ -449,24 +453,27 @@ def run_ivfpq(spark, cache: Path, base_path: str, flat_idx, gt: np.ndarray, test
         curve = cached["curve"]
     else:
         curve = []
-        t_adc: dict[tuple[int, int], float] = {}
-        for M, nprobe, kf in PQ_SWEEP:
-            pq, build_s = ensure_ivfpq(spark, cache, base_path, flat_idx.centroids, M)
+        t_adc: dict[tuple[int, bool, int], float] = {}
+        for M, opq, nprobe, kf in PQ_SWEEP:
+            pq, build_s = ensure_ivfpq(
+                spark, cache, base_path, flat_idx.centroids, M, opq=opq
+            )
             pq.data.count()
-            if (M, nprobe) not in t_adc:
+            if (M, opq, nprobe) not in t_adc:
                 t0 = time.perf_counter()
                 pq.search(test, k, nprobe).toPandas()
-                t_adc[(M, nprobe)] = round(
+                t_adc[(M, opq, nprobe)] = round(
                     (time.perf_counter() - t0) / N_TEST * 1000.0, 3
                 )
             pt = _refine_point(pq, base, test, gt, k, nprobe, kf)
             curve.append(
                 {
                     "M": M,
+                    "opq": opq,
                     "code_bytes": M,
                     "nprobe": nprobe,
                     "k_factor": kf,
-                    "adc_ms_per_query": t_adc[(M, nprobe)],
+                    "adc_ms_per_query": t_adc[(M, opq, nprobe)],
                     **pt,
                 }
             )
@@ -479,13 +486,17 @@ def run_ivfpq(spark, cache: Path, base_path: str, flat_idx, gt: np.ndarray, test
     passing = [p for p in curve if p["recall_at_10"] >= PQ_TARGET_RECALL]
     if passing:
         rec = min(passing, key=lambda p: p["ms_per_query"])
-        pq, _ = ensure_ivfpq(spark, cache, base_path, flat_idx.centroids, rec["M"])
+        pq, _ = ensure_ivfpq(
+            spark, cache, base_path, flat_idx.centroids, rec["M"],
+            opq=rec.get("opq", False),
+        )
         pq.data.count()
         fresh = _refine_point(
             pq, base, test, gt, k, rec["nprobe"], rec["k_factor"]
         )
         out["recommended"] = {
             "M": rec["M"],
+            "opq": rec.get("opq", False),
             "nprobe": rec["nprobe"],
             "k_factor": rec["k_factor"],
             **fresh,
@@ -500,18 +511,19 @@ def run_ivfpq(spark, cache: Path, base_path: str, flat_idx, gt: np.ndarray, test
 
 
 # candidate ladder for the 10M default, CHEAPEST FIRST. r03's default
-# (plain M16, np32) needed k_factor=128 to hold recall 0.9 → 44.7
-# ms/query, dominated by a 23 ms ADC pass + a 1280-candidate refine.
-# OPQ buys code quality (same lists, same bytes), letting both nprobe
-# and k_factor shrink — the reference's own factory idiom is
-# "OPQ64,IVF1024,PQ64" (Auncel/AutoTune.cpp:741-949). The plain
-# kf-escalation config stays last as the known-good fallback.
+# (plain M16, np32, kf128) held recall 0.914 at 44.7 ms/query — 23 ms
+# of ADC + ~21 ms of refine paid to a SHUFFLE join of the 10M base.
+# r04 findings: (a) OPQ cannot help THIS corpus (isotropic gaussian
+# residuals — measured 0.6396 vs plain 0.642 at kf32, see PQ_SWEEP
+# note), so the ladder keeps code bytes fixed and attacks the two real
+# costs instead; (b) the refine now broadcasts its ≤6.4M candidate
+# pairs (one streamed base scan, no shuffle), and (c) nprobe=16 is
+# tried first — at 10M the extra lists of np32 almost never crack the
+# ADC top-k·kf (recall was nprobe-invariant in the OPQ runs).
 PQ_LADDER_10M = [
-    {"M": 16, "opq": True, "nprobe": 16, "k_factor": 32},
-    {"M": 16, "opq": True, "nprobe": 16, "k_factor": 64},
-    {"M": 16, "opq": True, "nprobe": 32, "k_factor": 32},
-    {"M": 16, "opq": True, "nprobe": 32, "k_factor": 64},
+    {"M": 16, "opq": False, "nprobe": 16, "k_factor": 128},
     {"M": 16, "opq": False, "nprobe": 32, "k_factor": 128},
+    {"M": 16, "opq": False, "nprobe": 32, "k_factor": 256},
 ]
 
 
@@ -729,16 +741,17 @@ def run(spark, configs=None, n: int = N) -> dict:
 if __name__ == "__main__":
     from auncel_spark.session import get_spark
 
-    # speculation: a wedged python-runner task (observed once at 100M —
-    # both socket ends blocked in recv with the feed thread gone) gets
-    # a second attempt instead of stalling the whole build
+    # worker reuse OFF: two 100M builds each wedged exactly one
+    # write-stage task — JVM reader and python worker BOTH blocked in
+    # recv with the input feed gone, the signature of the pooled-worker
+    # handoff racing the idle-worker reaper. A fresh worker per task
+    # costs ~100 ms of fork each (negligible against multi-minute
+    # tasks) and removes the pool from the equation. (Speculation was
+    # tried first and cannot help: local mode has a single executor,
+    # and speculative copies only schedule on a different one.)
     spark = get_spark(
         "scale_bench",
-        extra_conf={
-            "spark.speculation": "true",
-            "spark.speculation.multiplier": "4",
-            "spark.speculation.quantile": "0.75",
-        },
+        extra_conf={"spark.python.worker.reuse": "false"},
     )
     n = int(os.environ.get("SPARK_GRAFT_SCALE_N", N))
     print(json.dumps(run(spark, n=n)))
