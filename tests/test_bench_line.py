@@ -1,0 +1,76 @@
+"""The bench stdout line must ALWAYS fit the driver's 2000-char tail
+capture (BENCH_r02/r03 were truncated and failed its JSON parse)."""
+
+from __future__ import annotations
+
+import json
+
+
+def _fake_out(n_queries: int) -> dict:
+    return {
+        "metric": "headline_query_wall_time",
+        "value": 114.63,
+        "unit": "sec",
+        "sf": 0.1,
+        "derived": {
+            "n_queries": 250,
+            "bounded_search_ms_per_query": 21.12,
+            "exact_knn_qps": 169.5,
+        },
+        "queries": {
+            f"some_rather_long_query_name_{i}": 0.31 + i * 0.27
+            for i in range(n_queries)
+        },
+        "scale_1m": {
+            "configs": {},
+            "ms_per_query_mean": 4.4,
+            "ms_per_query_worst": 4.66,
+            "all_bounds_hold": True,
+            "rows_per_core": 31250,
+        },
+        "scale_10m": {
+            "configs": {},
+            "ms_per_query_mean": 14.0,
+            "ms_per_query_worst": 25.2,
+            "all_bounds_hold": True,
+            "rows_per_core": 312500,
+        },
+        "scale_100m": {
+            "configs": {},
+            "ms_per_query_mean": 20.0,
+            "ms_per_query_worst": 30.0,
+            "all_bounds_hold": True,
+            "rows_per_core": 3125000,
+        },
+    }
+
+
+def test_compact_line_fits_and_parses():
+    from bench import _compact_line
+
+    for n in (5, 50, 80, 200):
+        line = _compact_line(_fake_out(n))
+        assert len(line) < 1950
+        parsed = json.loads(line)
+        assert parsed["value"] == 114.63
+        assert parsed["scale_100m"]["holds"] is True
+        # total time is recoverable: listed entries + _rest_sum ≈ value
+        q = parsed["queries"]
+        listed = sum(v for k, v in q.items())
+        want = sum(_fake_out(n)["queries"].values())
+        assert abs(listed - want) < 0.01 * max(n, 1)
+
+
+def test_compact_line_keeps_heaviest_queries():
+    from bench import _compact_line
+
+    out = _fake_out(150)
+    parsed = json.loads(_compact_line(out))
+    kept = [k for k in parsed["queries"] if k != "_rest_sum"]
+    # the heaviest query must always be listed individually
+    heaviest = max(out["queries"], key=out["queries"].get)
+    assert heaviest in kept
+    # skip/error scale sections pass through untouched
+    out["scale_100m"] = {"skipped": "no build cache"}
+    parsed2 = json.loads(_compact_line(out))
+    assert parsed2["scale_100m"] == {"skipped": "no build cache"}
