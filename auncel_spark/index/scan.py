@@ -119,14 +119,46 @@ def _merge_rows(
     state_i[rows] = np.take_along_axis(i, o2, axis=1)
 
 
+# boundary-tie margin for the argpartition fast path: the partial
+# selection is by dist alone, so up to _TIE_MARGIN extra rows are kept
+# before the exact (dist, id) lexsort — exact unless > _TIE_MARGIN
+# elements tie EXACTLY with the kk-th distance inside one list-batch
+# (planted-clone fixtures produce pairs, never 17-way ties)
+_TIE_MARGIN = 16
+
+
 def _group_topk(
     dist: np.ndarray, ids: np.ndarray, k: int
 ) -> tuple[np.ndarray, np.ndarray]:
     """Per-row top-k of a (ns × nL) distance block with global (dist,
-    id) tie-break — the per-list partial heap."""
-    kk = min(k, dist.shape[1])
+    id) tie-break — the per-list partial heap. Wide blocks use
+    argpartition + a small exact lexsort (a full-width lexsort was the
+    dominant fit cost at 100M: O(nL log nL) per row for k ≪ nL)."""
+    nL = dist.shape[1]
+    kk = min(k, nL)
+    if nL > 4 * (kk + _TIE_MARGIN):
+        kk2 = kk + _TIE_MARGIN
+        part = np.argpartition(dist, kk2 - 1, axis=1)[:, :kk2]
+        pd = np.take_along_axis(dist, part, axis=1)
+        pi = ids[part]
+        sub = np.lexsort((pi, pd), axis=1)[:, :kk]
+        return np.take_along_axis(pd, sub, axis=1), np.take_along_axis(pi, sub, axis=1)
     sel = np.lexsort((np.broadcast_to(ids, dist.shape), dist), axis=1)[:, :kk]
     return np.take_along_axis(dist, sel, axis=1), ids[sel]
+
+
+# query-tile size for distance blocks: keep each (tile × nL) float64
+# block ~16 MB so it is produced, top-k'ed and discarded while still
+# L3-resident — at 100M the untiled 5000-query block was 160 MB per
+# batch and the fit became DRAM-bandwidth-bound (measured ~0.4 GFLOPs
+# vs ~8 for cache-resident work on the same box)
+_TILE_ELEMS = 2_000_000
+
+
+def _query_tiles(sel: np.ndarray, n_rows: int):
+    t = max(64, _TILE_ELEMS // max(n_rows, 1))
+    for i in range(0, len(sel), t):
+        yield sel[i : i + t]
 
 
 def _dist_block(
@@ -191,9 +223,11 @@ def scan_window(
                 if len(sel) == 0:
                     continue
                 m = lns == ln
-                dist = _dist_block(bq[sel], qn[sel], mat[m], metric)
-                nd, ni = _group_topk(dist, ids[m], k)
-                _merge_rows(state_d, state_i, sel, nd, ni)
+                mat_m, ids_m = mat[m], ids[m]
+                for ss in _query_tiles(sel, mat_m.shape[0]):
+                    dist = _dist_block(bq[ss], qn[ss], mat_m, metric)
+                    nd, ni = _group_topk(dist, ids_m, k)
+                    _merge_rows(state_d, state_i, ss, nd, ni)
                 touched[sel] = True
         if state_d is None or not touched.any():
             return
@@ -266,16 +300,21 @@ def scan_bucketed(
                 if len(sel) == 0:
                     continue
                 m = lns == ln
-                dist = _dist_block(bq[sel], qn[sel], mat[m], metric)
-                nd, ni = _group_topk(dist, ids[m], k)
-                si = brank2b[r[sel]]
-                for b in np.unique(si):
-                    rows = sel[si == b]
-                    pick = si == b
-                    _merge_rows(
-                        state_d[:, b, :], state_i[:, b, :], rows, nd[pick], ni[pick]
-                    )
-                    touched[rows, b] = True
+                mat_m, ids_m = mat[m], ids[m]
+                si_all = brank2b[r[sel]]
+                pos = 0
+                for ss in _query_tiles(sel, mat_m.shape[0]):
+                    dist = _dist_block(bq[ss], qn[ss], mat_m, metric)
+                    nd, ni = _group_topk(dist, ids_m, k)
+                    si = si_all[pos : pos + len(ss)]
+                    pos += len(ss)
+                    for b in np.unique(si):
+                        pick = si == b
+                        rows = ss[pick]
+                        _merge_rows(
+                            state_d[:, b, :], state_i[:, b, :], rows, nd[pick], ni[pick]
+                        )
+                        touched[rows, b] = True
         if state_d is None or not touched.any():
             return
         tq, tb = np.where(touched)
