@@ -136,7 +136,10 @@ def _group_topk(
     dominant fit cost at 100M: O(nL log nL) per row for k ≪ nL)."""
     nL = dist.shape[1]
     kk = min(k, nL)
-    if nL > 4 * (kk + _TIE_MARGIN):
+    if nL > kk + _TIE_MARGIN:
+        # worthwhile whenever partition can drop ANY rows: lexsort is
+        # O(nL log nL) per row, so even kk=1280 of nL=4096 (the
+        # refine-pool k·k_factor shape) wins ~3x by sorting kk2 wide
         kk2 = kk + _TIE_MARGIN
         part = np.argpartition(dist, kk2 - 1, axis=1)[:, :kk2]
         pd = np.take_along_axis(dist, part, axis=1)
