@@ -1869,9 +1869,10 @@ WITH d AS (
   FROM documents
 ), o AS (
   SELECT doc_id, n_tokens,
-         coalesce(sum(n_tokens) OVER (
+         CAST(coalesce(sum(n_tokens) OVER (
            ORDER BY ord % 1024, ord, doc_id
-           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS BIGINT) AS off
   FROM d
 )
 SELECT doc_id, n_tokens, off // {PACK_BUDGET} AS seq_id,
@@ -1901,7 +1902,7 @@ WITH e AS (
   SELECT event_type, json_extract_string(props, '$.k')::BIGINT AS k
   FROM events
 )
-SELECT event_type, count(*) AS n, sum(k) AS sum_k,
+SELECT event_type, count(*) AS n, CAST(sum(k) AS BIGINT) AS sum_k,
        min(k) AS min_k, max(k) AS max_k
 FROM e GROUP BY event_type
 """
@@ -2082,8 +2083,9 @@ WITH e AS (
   FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us)
 ), s AS (
   SELECT user_id, ts_us,
-         sum(nw) OVER (PARTITION BY user_id ORDER BY ts_us
-                       ROWS UNBOUNDED PRECEDING) - 1 AS session_id
+         CAST(sum(nw) OVER (PARTITION BY user_id ORDER BY ts_us
+                            ROWS UNBOUNDED PRECEDING) - 1
+              AS BIGINT) AS session_id
   FROM o
 )
 SELECT user_id, session_id, count(*) AS n_events,
@@ -2426,7 +2428,7 @@ WITH r AS (
   FROM documents
 )
 SELECT source, max(n) AS n_docs, min(n_chars) AS min_chars,
-       max(n_chars) AS max_chars, sum(n_chars) AS sum_chars,
+       max(n_chars) AS max_chars, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
        min(CASE WHEN rk * 100 >= n * 50 THEN n_chars END) AS p50_chars,
        min(CASE WHEN rk * 100 >= n * 90 THEN n_chars END) AS p90_chars
 FROM r GROUP BY source
@@ -2485,7 +2487,7 @@ WITH c AS (
            * (100 - floor(l_discount * 100 + 0.5)::BIGINT) AS rev_u
   FROM lineitem WHERE epoch_us(l_shipdate) > {Q3_CUTOFF_US}
 )
-SELECT o.o_orderkey, o.odate_us, sum(l.rev_u) AS revenue_u
+SELECT o.o_orderkey, o.odate_us, CAST(sum(l.rev_u) AS BIGINT) AS revenue_u
 FROM l JOIN o ON l.l_orderkey = o.o_orderkey
 JOIN c ON o.o_custkey = c.c_custkey
 GROUP BY o.o_orderkey, o.odate_us
@@ -2687,8 +2689,9 @@ WITH e AS (
   FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us)
 )
 SELECT user_id, ts_us,
-       sum(nw) OVER (PARTITION BY user_id ORDER BY ts_us
-                     ROWS UNBOUNDED PRECEDING) - 1 AS session_id
+       CAST(sum(nw) OVER (PARTITION BY user_id ORDER BY ts_us
+                          ROWS UNBOUNDED PRECEDING) - 1
+            AS BIGINT) AS session_id
 FROM o
 """
 

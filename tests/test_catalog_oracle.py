@@ -47,6 +47,19 @@ def test_query_matches_oracle(spark, name):
         f"{name}: columns {sorted(spark_pdf.columns)} vs {sorted(duck_pdf.columns)}"
     )
     assert len(spark_pdf) == len(duck_pdf), f"{name}: row counts differ"
+    # driver-gate parity (VERDICT r04 Wrong #2): the driver's value-hash
+    # distinguishes 12345 from 12345.0, so a DuckDB oracle whose sum()
+    # comes back HUGEINT->float64 must fail HERE, not at the driver.
+    # Compare dtype KIND per column (int width / unsigned vs signed are
+    # fine; int-vs-float is not).
+    _KIND = {"i": "i", "u": "i"}  # int width / signedness don't affect the hash
+    for c in sorted(spark_pdf.columns):
+        sk = _KIND.get(spark_pdf[c].dtype.kind, spark_pdf[c].dtype.kind)
+        dk = _KIND.get(duck_pdf[c].dtype.kind, duck_pdf[c].dtype.kind)
+        assert sk == dk, (
+            f"{name}.{c}: dtype kind {spark_pdf[c].dtype} (spark) vs "
+            f"{duck_pdf[c].dtype} (duckdb oracle) — driver hash_match would fail"
+        )
     assert _normalize(spark_pdf) == _normalize(duck_pdf), f"{name}: values differ"
 
 
