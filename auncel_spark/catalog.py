@@ -2696,145 +2696,107 @@ FROM o
 """
 
 
-# entries that drive a Structured Streaming pipeline (micro-batch
-# drains + tempdir IO): correctness-gated like everything else, but
-# excluded from bench.py's timed headline set
-STREAMING_QUERIES: set[str] = {
-    "events_session_stats_stream",
-    "events_sessionize_stream",
-}
+# --- named oracle constants for the consolidated entries (these were
+# inline strings in the pre-r05 ORACLES dict; unchanged SQL) ---
 
-# ORDERING POLICY (VERDICT r03 Next #1): the driver's CORRECTNESS gate
-# verifies the FIRST 50 entries of this dict, so entries are ordered by
-# soak time ascending — newest/least-soaked first, the long-green
-# basics last. Every entry past slot 50 has driver-green rows in BOTH
-# CORRECTNESS_r02.json and CORRECTNESS_r03.json (plus the per-round
-# pytest oracle replay in tests/test_catalog_oracle.py, which always
-# covers all entries).
-QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # -- new this round --
-    "png_decode_stats": q_png_decode_stats,
-    "bpe_merges": q_bpe_merges,
-    "bpe_vocab": q_bpe_vocab,
-    # -- added in r03; first driver window was r04 --
-    "domain_mix": q_domain_mix,
-    "quality_topk_per_source": q_quality_topk_per_source,
-    "decontamination": q_decontamination,
-    "pack_sequences": q_pack_sequences,
-    "sessionize": q_sessionize,
-    "asof_join": q_asof_join,
-    "semantic_keep_best": q_semantic_keep_best,
-    "vocab_top_terms": q_vocab_top_terms,
-    "json_props_stats": q_json_props_stats,
-    "repetition_stats": q_repetition_stats,
-    "doc_chunks": q_doc_chunks,
-    "bloom_seen_flags": q_bloom_seen_flags,
-    "source_cap_sample": q_source_cap,
-    "curation_pipeline": q_curation_pipeline,
-    "events_session_stats_stream": q_stream_session_stats,
-    "source_length_profile": q_source_length_profile,
-    "bpe_pair_stats": q_bpe_pair_stats,
-    "events_sessionize_stream": q_stream_sessionize_events,
-    "shipping_priority": q_shipping_priority,
-    # -- first driver-green in r03 --
-    "dedup_clusters": q_dedup_clusters,
-    "stratified_sample": q_stratified_sample,
-    "ivfpq_refine_knn": q_ivfpq_refine_knn,
-    "ivfpqr_knn": q_ivfpqr_knn,
-    # -- rows-only family + their green companion checks: keep
-    #    driver-visible every round --
-    "bounded_knn": q_bounded_knn,
-    "bounded_knn_bound_check": q_bounded_bound_check,
-    "bounded_knn_mixed_acc": q_bounded_knn_mixed_acc,
-    "time_bounded_knn": q_time_bounded_knn,
-    "laet_knn": q_laet_knn,
-    "hnsw_knn": q_hnsw_knn,
-    "ivf_recall_worst_case": q_ivf_recall_worst_case,
-    "imi_knn": q_imi_knn,
-    "multimodal_byte_features": q_multimodal_features,
-    # -- dedup / text / ANN family --
-    "exact_dedup": q_exact_dedup,
-    "minhash_signatures": q_minhash_signatures,
-    "minhash_lsh_pairs": q_minhash_lsh_pairs,
-    "ngram_jaccard_pairs": q_ngram_jaccard,
-    "simhash_fingerprint": q_simhash,
-    "simhash_near_pairs": q_simhash_near_pairs,
-    "embedding_near_dup": q_embedding_near_dup,
-    "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
-    "text_stats": q_text_stats,
-    "langid": q_langid,
-    "doc_fingerprint": q_doc_fingerprint,
-    "ann_cosine_topk": q_ann_cosine_topk,
-    "ann_cosine_ivf": q_ann_cosine_ivf,
-    "hamming_knn_sign": q_hamming_knn,
-    "corpus_curation_report": q_corpus_curation_report,
-    # ---- 50-entry driver window ends here; everything below was
-    #      driver-green in both r02 and r03 ----
-    "remove_ids_anti_join": q_remove_ids,
-    "exact_knn_l2": q_exact_knn_l2,
-    "exact_knn_ip": q_exact_knn_ip,
-    "range_search_l2": q_range_search_l2,
-    "knn_rerank_subset": q_knn_rerank_subset,
-    "shard_merge_topk": q_shard_merge_topk,
-    "split_vectors_knn": q_split_vectors_knn,
-    "recall_eval": q_recall_eval,
-    "kmeans_assign": q_kmeans_assign,
-    "kmeans_update": q_kmeans_update,
-    "ivf_search_nprobe": q_ivf_search,
-    "ivfsq4_knn": q_ivfsq4_knn,
-    "ivf_list_sizes": q_ivf_list_sizes,
-    "events_window_stats": q_events_window_stats,
-    "events_top_users": q_events_top_users,
-    "matrix_stats": q_matrix_stats,
-    "knn_base_shift": q_knn_base_shift,
-    "knn_1d": q_knn_1d,
-    "pricing_summary": q_pricing_summary,
-    "top_parts_by_brand": q_top_parts_by_brand,
-    "reconstruct_vectors": q_reconstruct,
-    "revenue_by_region": q_revenue_by_region,
-}
+_ORACLE_BASE_SHIFT = (
+    _Q_CTE
+    + f"""
+, d AS (
+  SELECT q.qid, b.vec_id AS id,
+         list_distance(q.qv, b.embedding::DOUBLE[]) ** 2 - b.label / 10.0 AS dist
+  FROM q CROSS JOIN embeddings b
+), r AS (
+  SELECT qid, id, row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS rn
+  FROM d
+)
+SELECT qid, rn - 1 AS pos, id FROM r WHERE rn <= {K}
+"""
+)
 
-ORACLES: dict[str, str] = {
-    "png_decode_stats": _ORACLE_PNG_DECODE,
-    "bpe_merges": _oracle_bpe_merges(),
-    "bpe_vocab": _oracle_bpe_vocab(),
-    "exact_knn_l2": _ORACLE_KNN_L2,
-    "exact_knn_ip": _ORACLE_KNN_IP,
-    "range_search_l2": _ORACLE_RANGE,
-    "knn_rerank_subset": _ORACLE_RERANK,
-    "shard_merge_topk": _ORACLE_KNN_L2,  # merge of complete shards == global top-k
-    "split_vectors_knn": _ORACLE_KNN_L2,  # Σ of dim-shard sub-distances == full L2
-    "recall_eval": _ORACLE_RECALL,
-    "kmeans_assign": _ORACLE_ASSIGN,
-    "kmeans_update": _ORACLE_KMEANS_UPDATE,
-    "ivf_search_nprobe": _ORACLE_IVF_SEARCH,
-    "ivfsq4_knn": _ORACLE_IVFSQ4,
-    "ivf_list_sizes": _ORACLE_LIST_SIZES,
-    # "bounded_knn": rows-only (iterative learned-trace search; SURVEY §7.3)
-    "bounded_knn_bound_check": (
-        _Q_CTE + "\nSELECT count(*) AS n_queries, true AS bound_holds FROM q"
-    ),
-    "exact_dedup": _ORACLE_EXACT_DEDUP,
-    "minhash_signatures": _ORACLE_MINHASH_SIG,
-    "minhash_lsh_pairs": _ORACLE_MINHASH_LSH,
-    "ngram_jaccard_pairs": _ORACLE_NGRAM_JACCARD,
-    "simhash_fingerprint": _ORACLE_SIMHASH,
-    "simhash_near_pairs": _ORACLE_SIMHASH_PAIRS,
-    "embedding_near_dup": _ORACLE_EMB_NEAR_DUP,
-    # planted-clone protocol (see q_embedding_near_dup_lsh): the
-    # approximate operator's output is exactly the clone pairs
-    "embedding_near_dup_lsh": (
-        "SELECT vec_id AS id_a, vec_id + 1000000 AS id_b, 1.0 AS cos"
-        " FROM embeddings"
-    ),
-    "text_stats": _ORACLE_TEXT_STATS,
-    "langid": _ORACLE_LANGID,
-    "doc_fingerprint": _ORACLE_FINGERPRINT,
-    "ann_cosine_topk": _ORACLE_ANN_COSINE,
-    "ann_cosine_ivf": _ORACLE_ANN_COSINE_IVF,
-    # byte histogram replayed via ascii(); count reconstruction makes
-    # the float32 feature column integer-hashable (see the query doc)
-    "multimodal_byte_features": """
+_ORACLE_KNN_1D = """
+WITH q(qid, val) AS (VALUES (0, 1000.0), (1, 50000.0), (2, 150000.0)),
+d AS (
+  SELECT q.qid, o.o_orderkey AS id, abs(q.val - o.o_totalprice) AS dist
+  FROM q CROSS JOIN orders o
+), r AS (
+  SELECT qid, id, row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS rn
+  FROM d
+)
+SELECT qid::BIGINT AS qid, rn - 1 AS pos, id FROM r WHERE rn <= 5
+"""
+
+_ORACLE_MATRIX_STATS = """
+SELECT (r.i - 1)::BIGINT AS dim,
+       count(*) AS n,
+       floor(min(embedding[r.i]) * 1e6)::BIGINT AS min_u,
+       floor(max(embedding[r.i]) * 1e6)::BIGINT AS max_u,
+       floor(avg(embedding[r.i]::DOUBLE) * 1e6)::BIGINT AS mean_u,
+       sum(CASE WHEN embedding[r.i] = 0 THEN 1 ELSE 0 END)::BIGINT AS n_zero
+FROM embeddings, range(1, 65) r(i)
+GROUP BY r.i
+"""
+
+_ORACLE_PRICING = """
+SELECT l_returnflag, l_linestatus,
+       count(*) AS n_rows,
+       sum(floor(l_quantity * 100 + 0.5)::BIGINT)::BIGINT AS sum_qty_c,
+       sum(floor(l_extendedprice * 100 + 0.5)::BIGINT
+           * (100 - floor(l_discount * 100 + 0.5)::BIGINT))::BIGINT AS revenue_u,
+       count(DISTINCT l_orderkey) AS n_orders
+FROM lineitem GROUP BY 1, 2
+"""
+
+_ORACLE_REVENUE_BY_REGION = """
+SELECT r.r_name,
+       count(*) AS n_items,
+       sum(floor(l.l_extendedprice * 100 + 0.5)::BIGINT
+           * (100 - floor(l.l_discount * 100 + 0.5)::BIGINT))::BIGINT AS revenue_u,
+       count(DISTINCT c.c_custkey) AS n_customers
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY r.r_name
+"""
+
+_ORACLE_TOP_PARTS = """
+WITH rev AS (
+  SELECT l_partkey,
+         sum(floor(l_extendedprice * 100 + 0.5)::BIGINT
+             * (100 - floor(l_discount * 100 + 0.5)::BIGINT)) AS rev
+  FROM lineitem GROUP BY 1
+), ranked AS (
+  SELECT p.p_brand, p.p_partkey,
+         row_number() OVER (
+           PARTITION BY p.p_brand ORDER BY rev.rev DESC, p.p_partkey ASC
+         ) AS rk
+  FROM rev JOIN part p ON rev.l_partkey = p.p_partkey
+)
+SELECT p_brand, rk, p_partkey AS partkey FROM ranked WHERE rk <= 3
+"""
+
+_ORACLE_REMOVE_IDS = (
+    _Q_CTE
+    + _CENT_CTE
+    + """
+SELECT a.id, a.list_no::BIGINT AS list_no
+FROM assign a
+WHERE a.id NOT IN (SELECT vec_id FROM embeddings WHERE vec_id % 7 = 0)
+"""
+)
+
+_ORACLE_RECONSTRUCT = """
+SELECT e.vec_id AS id, r.i::BIGINT AS dim,
+       floor(e.embedding[r.i]::DOUBLE * 1e6)::BIGINT AS val_u
+FROM embeddings e, range(1, 65) r(i)
+WHERE e.vec_id % 50 = 0
+"""
+
+# byte histogram replayed via ascii(); count reconstruction makes the
+# float32 feature column integer-hashable (see q_multimodal_features)
+_ORACLE_MULTIMODAL = """
 WITH bl AS (
   SELECT doc_id AS id,
          unnest(list_transform(range(1, length(text) + 1),
@@ -2847,53 +2809,11 @@ WITH bl AS (
 )
 SELECT g.id, g.dim::BIGINT AS dim, COALESCE(c.cnt, 0)::BIGINT AS cnt
 FROM grid g LEFT JOIN cnts c ON c.id = g.id AND c.bkt = g.dim
-""",
-    "imi_knn": _ORACLE_IMI,
-    "ivfpq_refine_knn": _ORACLE_IVFPQ_REFINE,
-    "ivfpqr_knn": _ORACLE_IVFPQR,
-    "hamming_knn_sign": _ORACLE_HAMMING,
-    "ivf_recall_worst_case": _ORACLE_IVF_WORST_CASE,
-    "events_window_stats": _ORACLE_EVENTS_WINDOW,
-    "events_top_users": _ORACLE_EVENTS_TOP_USERS,
-    "matrix_stats": """
-SELECT (r.i - 1)::BIGINT AS dim,
-       count(*) AS n,
-       floor(min(embedding[r.i]) * 1e6)::BIGINT AS min_u,
-       floor(max(embedding[r.i]) * 1e6)::BIGINT AS max_u,
-       floor(avg(embedding[r.i]::DOUBLE) * 1e6)::BIGINT AS mean_u,
-       sum(CASE WHEN embedding[r.i] = 0 THEN 1 ELSE 0 END)::BIGINT AS n_zero
-FROM embeddings, range(1, 65) r(i)
-GROUP BY r.i
-""",
-    "knn_base_shift": (
-        _Q_CTE
-        + f"""
-, d AS (
-  SELECT q.qid, b.vec_id AS id,
-         list_distance(q.qv, b.embedding::DOUBLE[]) ** 2 - b.label / 10.0 AS dist
-  FROM q CROSS JOIN embeddings b
-), r AS (
-  SELECT qid, id, row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS rn
-  FROM d
-)
-SELECT qid, rn - 1 AS pos, id FROM r WHERE rn <= {K}
 """
-    ),
-    "knn_1d": """
-WITH q(qid, val) AS (VALUES (0, 1000.0), (1, 50000.0), (2, 150000.0)),
-d AS (
-  SELECT q.qid, o.o_orderkey AS id, abs(q.val - o.o_totalprice) AS dist
-  FROM q CROSS JOIN orders o
-), r AS (
-  SELECT qid, id, row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS rn
-  FROM d
-)
-SELECT qid::BIGINT AS qid, rn - 1 AS pos, id FROM r WHERE rn <= 5
-""",
-    # "bounded_knn_mixed_acc": rows-only (adaptive iterative search)
-    "corpus_curation_report": (
-        _TOK_CTE
-        + rf"""
+
+_ORACLE_CURATION_REPORT = (
+    _TOK_CTE
+    + rf"""
 , sh5 AS (
   SELECT id, lang, text, t, CASE WHEN len(t) >= 5
     THEN list_distinct(list_transform(range(1, len(t) - 3),
@@ -2921,62 +2841,541 @@ SELECT lang, count(*) AS n_docs,
        count(DISTINCT fp) AS n_fingerprints
 FROM per_doc GROUP BY lang
 """
-    ),
-    "pricing_summary": """
-SELECT l_returnflag, l_linestatus,
-       count(*) AS n_rows,
-       sum(floor(l_quantity * 100 + 0.5)::BIGINT)::BIGINT AS sum_qty_c,
-       sum(floor(l_extendedprice * 100 + 0.5)::BIGINT
-           * (100 - floor(l_discount * 100 + 0.5)::BIGINT))::BIGINT AS revenue_u,
-       count(DISTINCT l_orderkey) AS n_orders
-FROM lineitem GROUP BY 1, 2
-""",
-    "top_parts_by_brand": """
-WITH rev AS (
-  SELECT l_partkey,
-         sum(floor(l_extendedprice * 100 + 0.5)::BIGINT
-             * (100 - floor(l_discount * 100 + 0.5)::BIGINT)) AS rev
-  FROM lineitem GROUP BY 1
-), ranked AS (
-  SELECT p.p_brand, p.p_partkey,
-         row_number() OVER (
-           PARTITION BY p.p_brand ORDER BY rev.rev DESC, p.p_partkey ASC
-         ) AS rk
-  FROM rev JOIN part p ON rev.l_partkey = p.p_partkey
 )
-SELECT p_brand, rk, p_partkey AS partkey FROM ranked WHERE rk <= 3
-""",
-    "remove_ids_anti_join": (
-        _Q_CTE
-        + _CENT_CTE
-        + """
-SELECT a.id, a.list_no::BIGINT AS list_no
-FROM assign a
-WHERE a.id NOT IN (SELECT vec_id FROM embeddings WHERE vec_id % 7 = 0)
-"""
+
+
+# =====================================================================
+# Consolidated catalog entries (VERDICT r04 Next #3): the driver's
+# correctness gate verifies the FIRST 50 entries of QUERIES, and the
+# pre-r05 catalog had 72 — so ~22 entries per round were always
+# self-certified. Entries with identical output schemas are merged
+# into one driver row via a discriminator column ("tag-union"); per-doc
+# families are merged via an id join. Every underlying operator keeps
+# its oracle: the merged SQL wraps the ORIGINAL oracle SELECTs as
+# tagged subqueries, so no capability loses hash-exact verification —
+# each now simply shares a driver row with its schema twins.
+# =====================================================================
+
+
+def _tag_union(colname: str, parts) -> DataFrame:
+    """UNION ALL of schema-aligned DataFrames, each tagged with a
+    discriminator literal so rows from different variants can never
+    hash-collide."""
+    dfs = [df.select(F.lit(tag).alias(colname), "*") for tag, df in parts]
+    out = dfs[0]
+    for d in dfs[1:]:
+        out = out.unionByName(d)
+    return out
+
+
+def _parts_oracle(colname: str, *parts) -> str:
+    """SQL twin of _tag_union: each part is (tag, projection, sql);
+    the original oracle SELECT runs unchanged inside a subquery."""
+    return "\nUNION ALL\n".join(
+        f"SELECT '{tag}' AS {colname}, {proj} FROM ({sql.strip()}) _p{i}"
+        for i, (tag, proj, sql) in enumerate(parts)
+    )
+
+
+def q_exact_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O1+O2 merged: exact kNN under L2 and IP metrics (tag-union)."""
+    return _tag_union("metric", [
+        ("l2", q_exact_knn_l2(spark, sf_dir)),
+        ("ip", q_exact_knn_ip(spark, sf_dir)),
+    ])
+
+
+_ORACLE_EXACT_KNN = _parts_oracle(
+    "metric",
+    ("l2", "qid, pos, id", _ORACLE_KNN_L2),
+    ("ip", "qid, pos, id", _ORACLE_KNN_IP),
+)
+
+
+def q_sharded_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O16+O20 merged: id-sharded search+merge and dimension-split
+    search — both provably equal to the global exact top-k."""
+    return _tag_union("variant", [
+        ("id_shard", q_shard_merge_topk(spark, sf_dir)),
+        ("dim_split", q_split_vectors_knn(spark, sf_dir)),
+    ])
+
+
+_ORACLE_SHARDED_KNN = _parts_oracle(
+    "variant",
+    ("id_shard", "qid, pos, id", _ORACLE_KNN_L2),
+    ("dim_split", "qid, pos, id", _ORACLE_KNN_L2),
+)
+
+
+def q_flat_variants_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O5 merged: BaseShift (shifted-distance) and Flat1D scalar kNN."""
+    return _tag_union("variant", [
+        ("base_shift", q_knn_base_shift(spark, sf_dir)),
+        ("one_d", q_knn_1d(spark, sf_dir)),
+    ])
+
+
+def q_ann_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN merged: brute-force cosine top-k baseline and the IVF scale
+    path (normalize + IP probes) — identical output contract."""
+    return _tag_union("variant", [
+        ("brute", q_ann_cosine_topk(spark, sf_dir)),
+        ("ivf", q_ann_cosine_ivf(spark, sf_dir)),
+    ])
+
+
+def q_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O6/O7+B8 merged: IVF-Flat probe scan and IVF-SQ4 (packed 4-bit
+    scalar-quantized lists) through the same search contract."""
+    return _tag_union("variant", [
+        ("flat", q_ivf_search(spark, sf_dir)),
+        ("sq4", q_ivfsq4_knn(spark, sf_dir)),
+    ])
+
+
+def q_bounded_knn_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O24 merged (rows-only): uniform-bound and per-query mixed-acc
+    ELP bounded search (the reference's distributed workload shape)."""
+    return _tag_union("variant", [
+        ("fixed", q_bounded_knn(spark, sf_dir)),
+        ("mixed", q_bounded_knn_mixed_acc(spark, sf_dir)),
+    ])
+
+
+def q_embedding_near_dup_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup merged: brute-force all-pairs cosine and the
+    sign-LSH bucketed scale path (planted-clone protocol)."""
+    return _tag_union("variant", [
+        ("brute", q_embedding_near_dup(spark, sf_dir)),
+        ("lsh", q_embedding_near_dup_lsh(spark, sf_dir)),
+    ])
+
+
+def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text-analysis merged (id join): per-doc stats + quality,
+    language-ID, and min-shingle fingerprint in one wide frame."""
+    return (
+        q_text_stats(spark, sf_dir)
+        .join(q_langid(spark, sf_dir), "id")
+        .join(q_doc_fingerprint(spark, sf_dir), "id")
+    )
+
+
+def q_doc_chunks_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunking + repetition merged (id join): stride chunks annotated
+    with the doc-level Gopher repetition metrics."""
+    return q_doc_chunks(spark, sf_dir).join(q_repetition_stats(spark, sf_dir), "id")
+
+
+def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash merged: per-doc signatures (melted to rows) and the
+    banded LSH candidate pairs in one tagged frame."""
+    sig = q_minhash_signatures(spark, sf_dir)
+    melted = sig.select(
+        "id",
+        F.posexplode(F.array(*[F.col(f"mh{i}") for i in range(N_MINHASH)])).alias(
+            "b", "v"
+        ),
+    ).select(
+        F.lit("sig").alias("part"),
+        F.col("id").alias("a"),
+        F.col("b").cast("bigint").alias("b"),
+        "v",
+    )
+    pairs = q_minhash_lsh_pairs(spark, sf_dir).select(
+        F.lit("pair").alias("part"),
+        F.col("id_a").alias("a"),
+        F.col("id_b").alias("b"),
+        F.lit(0).cast("bigint").alias("v"),
+    )
+    return melted.unionByName(pairs)
+
+
+_MH_LIST = "[" + ", ".join(f"mh{i}" for i in range(N_MINHASH)) + "]"
+_ORACLE_MINHASH_DEDUP = _parts_oracle(
+    "part",
+    (
+        "sig",
+        f"id AS a, j AS b, {_MH_LIST}[j + 1] AS v",
+        _ORACLE_MINHASH_SIG + f", range(0, {N_MINHASH}) j(j)",
     ),
-    "reconstruct_vectors": """
-SELECT e.vec_id AS id, r.i::BIGINT AS dim,
-       floor(e.embedding[r.i]::DOUBLE * 1e6)::BIGINT AS val_u
-FROM embeddings e, range(1, 65) r(i)
-WHERE e.vec_id % 50 = 0
-""",
-    "revenue_by_region": """
-SELECT r.r_name,
-       count(*) AS n_items,
-       sum(floor(l.l_extendedprice * 100 + 0.5)::BIGINT
-           * (100 - floor(l.l_discount * 100 + 0.5)::BIGINT))::BIGINT AS revenue_u,
-       count(DISTINCT c.c_custkey) AS n_customers
-FROM lineitem l
-JOIN orders o ON l.l_orderkey = o.o_orderkey
-JOIN customer c ON o.o_custkey = c.c_custkey
-JOIN nation n ON c.c_nationkey = n.n_nationkey
-JOIN region r ON n.n_regionkey = r.r_regionkey
-GROUP BY r.r_name
-""",
-    "dedup_clusters": _ORACLE_DEDUP_CLUSTERS,
-    "stratified_sample": _ORACLE_STRATIFIED,
-    "domain_mix": _ORACLE_DOMAIN_MIX,
+    ("pair", "id_a AS a, id_b AS b, 0::BIGINT AS v", _ORACLE_MINHASH_LSH),
+)
+
+
+def q_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash merged: per-doc fingerprints and pigeonhole-segment
+    near-pairs (Hamming <= 3) in one tagged frame."""
+    fp = q_simhash(spark, sf_dir).select(
+        F.lit("fp").alias("part"),
+        F.col("id").alias("a"),
+        F.lit(0).cast("bigint").alias("b"),
+        F.col("simhash").alias("v"),
+    )
+    pairs = q_simhash_near_pairs(spark, sf_dir).select(
+        F.lit("pair").alias("part"),
+        F.col("id_a").alias("a"),
+        F.col("id_b").alias("b"),
+        F.col("hamming").alias("v"),
+    )
+    return fp.unionByName(pairs)
+
+
+_ORACLE_SIMHASH_DEDUP = _parts_oracle(
+    "part",
+    ("fp", "id AS a, 0::BIGINT AS b, simhash AS v", _ORACLE_SIMHASH),
+    ("pair", "id_a AS a, id_b AS b, hamming AS v", _ORACLE_SIMHASH_PAIRS),
+)
+
+
+def q_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B1+B4 merged: nearest-centroid assignment and the Lloyd's
+    half-step per-cluster/dim centroid update."""
+    assign = q_kmeans_assign(spark, sf_dir).select(
+        F.lit("assign").alias("part"),
+        F.col("id").alias("a"),
+        F.col("list_no").alias("b"),
+        F.lit(0.0).cast("double").alias("val"),
+    )
+    update = q_kmeans_update(spark, sf_dir).select(
+        F.lit("update").alias("part"),
+        F.col("list_no").alias("a"),
+        F.col("dim").alias("b"),
+        F.col("val"),
+    )
+    return assign.unionByName(update)
+
+
+_ORACLE_KMEANS_STEP = _parts_oracle(
+    "part",
+    ("assign", "id AS a, list_no AS b, 0.0 AS val", _ORACLE_ASSIGN),
+    ("update", "list_no AS a, dim AS b, val", _ORACLE_KMEANS_UPDATE),
+)
+
+
+def q_index_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O18+O19 merged: IDSelector deletion survivors and
+    reconstruct_n decode rows."""
+    kept = q_remove_ids(spark, sf_dir).select(
+        F.lit("kept").alias("part"),
+        F.col("id").alias("a"),
+        F.col("list_no").alias("b"),
+        F.lit(0).cast("bigint").alias("v"),
+    )
+    rec = q_reconstruct(spark, sf_dir).select(
+        F.lit("reconstruct").alias("part"),
+        F.col("id").alias("a"),
+        F.col("dim").alias("b"),
+        F.col("val_u").alias("v"),
+    )
+    return kept.unionByName(rec)
+
+
+def q_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O31 merged: per-dimension MatrixStats profile and the IVF
+    posting-list size histogram."""
+    mat = q_matrix_stats(spark, sf_dir).select(
+        F.lit("matrix").alias("part"),
+        F.col("dim").alias("k"),
+        F.col("n").alias("a"),
+        F.col("min_u").alias("b"),
+        F.col("max_u").alias("c"),
+        F.col("mean_u").alias("d"),
+        F.col("n_zero").alias("e"),
+    )
+    z = F.lit(0).cast("bigint")
+    ls = q_ivf_list_sizes(spark, sf_dir).select(
+        F.lit("list_sizes").alias("part"),
+        F.col("list_no").alias("k"),
+        F.col("cnt").alias("a"),
+        z.alias("b"), z.alias("c"), z.alias("d"), z.alias("e"),
+    )
+    return mat.unionByName(ls)
+
+
+def q_events_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events merged: tumbling-window stats (the streaming plan's
+    batch expression) and the per-type top-3 users window query."""
+    win = q_events_window_stats(spark, sf_dir).select(
+        F.lit("window").alias("part"),
+        "event_type",
+        F.col("window_epoch").alias("a"),
+        F.col("n_events").alias("b"),
+        F.col("sum_value_m").alias("c"),
+    )
+    top = q_events_top_users(spark, sf_dir).select(
+        F.lit("top_users").alias("part"),
+        "event_type",
+        F.col("rk").alias("a"),
+        F.col("user_id").alias("b"),
+        F.lit(0).cast("bigint").alias("c"),
+    )
+    return win.unionByName(top)
+
+
+def q_relational_reports(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational core merged: TPC-H Q1-shaped pricing summary, the
+    Q5-shaped region revenue join chain, and the brand top-parts
+    window query, melted to one tagged frame."""
+    z = F.lit(0).cast("bigint")
+    pricing = q_pricing_summary(spark, sf_dir).select(
+        F.lit("pricing").alias("part"),
+        F.col("l_returnflag").alias("k1"),
+        F.col("l_linestatus").alias("k2"),
+        F.col("n_rows").alias("a"),
+        F.col("sum_qty_c").alias("b"),
+        F.col("revenue_u").alias("c"),
+        F.col("n_orders").alias("d"),
+    )
+    region = q_revenue_by_region(spark, sf_dir).select(
+        F.lit("region_revenue").alias("part"),
+        F.col("r_name").alias("k1"),
+        F.lit("").alias("k2"),
+        F.col("n_items").alias("a"),
+        F.col("revenue_u").alias("b"),
+        F.col("n_customers").alias("c"),
+        z.alias("d"),
+    )
+    brand = q_top_parts_by_brand(spark, sf_dir).select(
+        F.lit("brand_top").alias("part"),
+        F.col("p_brand").alias("k1"),
+        F.lit("").alias("k2"),
+        F.col("rk").alias("a"),
+        F.col("partkey").alias("b"),
+        z.alias("c"),
+        z.alias("d"),
+    )
+    return pricing.unionByName(region).unionByName(brand)
+
+
+def q_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O17+O29 merged: per-query IP-vs-L2 intersection hits (exact
+    integer, recall*K) and the worst-case intersection criterion of
+    the fixed-nprobe config."""
+    per_q = q_recall_eval(spark, sf_dir).select(
+        F.lit("per_query").alias("part"),
+        F.col("qid").alias("k"),
+        F.round(F.col("recall") * K).cast("bigint").alias("v"),
+    )
+    worst = q_ivf_recall_worst_case(spark, sf_dir).select(
+        F.lit("worst_case").alias("part"),
+        F.col("nprobe").alias("k"),
+        F.col("minf_u").alias("v"),
+    )
+    return per_q.unionByName(worst)
+
+
+def q_sampling_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic sampling merged: per-language stratified rates,
+    target domain mixture, and the per-source anti-dominance cap."""
+    z = F.lit(0).cast("bigint")
+    strat = q_stratified_sample(spark, sf_dir).select(
+        F.lit("stratified").alias("strategy"), "doc_id",
+        F.col("lang").alias("stratum"), z.alias("rk"),
+    )
+    mix = q_domain_mix(spark, sf_dir).select(
+        F.lit("domain_mix").alias("strategy"), "doc_id",
+        F.col("lang").alias("stratum"), z.alias("rk"),
+    )
+    cap = q_source_cap(spark, sf_dir).select(
+        F.lit("source_cap").alias("strategy"), "doc_id",
+        F.col("source").alias("stratum"), F.col("rk").cast("bigint").alias("rk"),
+    )
+    return strat.unionByName(mix).unionByName(cap)
+
+
+def q_events_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STRUCTURED STREAMING merged: the raw flatMapGroupsWithState-style
+    sessionize twin and the watermarked session_window stats twin —
+    both full micro-batch pipelines — melted to one tagged frame."""
+    z = F.lit(0).cast("bigint")
+    raw = q_stream_sessionize_events(spark, sf_dir).select(
+        F.lit("sessionize").alias("part"), "user_id",
+        F.col("ts_us").alias("a"), F.col("session_id").alias("b"), z.alias("c"),
+    )
+    stats = q_stream_session_stats(spark, sf_dir).select(
+        F.lit("session_stats").alias("part"), "user_id",
+        F.col("start_ts").alias("a"), F.col("end_ts").alias("b"),
+        F.col("n_events").alias("c"),
+    )
+    return raw.unionByName(stats)
+
+
+_ORACLE_EVENTS_STREAMING = _parts_oracle(
+    "part",
+    ("sessionize", "user_id, ts_us AS a, session_id AS b, 0::BIGINT AS c",
+     _ORACLE_STREAM_SESSIONIZE),
+    ("session_stats", "user_id, start_ts AS a, end_ts AS b, n_events AS c",
+     _ORACLE_STREAM_SESSIONS),
+)
+
+
+# entries that drive a Structured Streaming pipeline (micro-batch
+# drains + tempdir IO): correctness-gated like everything else, but
+# excluded from bench.py's timed headline set
+STREAMING_QUERIES: set[str] = {
+    "events_streaming",
+}
+
+# ORDERING POLICY: the driver's CORRECTNESS gate verifies the FIRST 50
+# entries of this dict. As of r05 the catalog is consolidated to
+# exactly 50 entries (VERDICT r04 Next #3), so EVERY entry gets a
+# driver row EVERY round; ordering is merely newest-shape-first.
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    # -- consolidated entries (new r05 shapes: tag-unions / id joins
+    #    of previously separate driver rows) --
+    "exact_knn": q_exact_knn,
+    "sharded_knn": q_sharded_knn,
+    "flat_variants_knn": q_flat_variants_knn,
+    "ann_cosine": q_ann_cosine,
+    "ivf_knn": q_ivf_knn,
+    "bounded_knn": q_bounded_knn_suite,
+    "embedding_near_dup": q_embedding_near_dup_suite,
+    "text_profile": q_text_profile,
+    "doc_chunks": q_doc_chunks_profile,
+    "minhash_dedup": q_minhash_dedup,
+    "simhash_dedup": q_simhash_dedup,
+    "kmeans_step": q_kmeans_step,
+    "index_maintenance": q_index_maintenance,
+    "index_stats": q_index_stats,
+    "events_analytics": q_events_analytics,
+    "relational_reports": q_relational_reports,
+    "recall_report": q_recall_report,
+    "sampling_suite": q_sampling_suite,
+    "events_streaming": q_events_streaming,
+    # -- unchanged entries --
+    "png_decode_stats": q_png_decode_stats,
+    "bpe_merges": q_bpe_merges,
+    "bpe_vocab": q_bpe_vocab,
+    "quality_topk_per_source": q_quality_topk_per_source,
+    "decontamination": q_decontamination,
+    "pack_sequences": q_pack_sequences,
+    "sessionize": q_sessionize,
+    "asof_join": q_asof_join,
+    "semantic_keep_best": q_semantic_keep_best,
+    "vocab_top_terms": q_vocab_top_terms,
+    "json_props_stats": q_json_props_stats,
+    "bloom_seen_flags": q_bloom_seen_flags,
+    "source_length_profile": q_source_length_profile,
+    "bpe_pair_stats": q_bpe_pair_stats,
+    "shipping_priority": q_shipping_priority,
+    "curation_pipeline": q_curation_pipeline,
+    "corpus_curation_report": q_corpus_curation_report,
+    "dedup_clusters": q_dedup_clusters,
+    "exact_dedup": q_exact_dedup,
+    "ngram_jaccard_pairs": q_ngram_jaccard,
+    "ivfpq_refine_knn": q_ivfpq_refine_knn,
+    "ivfpqr_knn": q_ivfpqr_knn,
+    "bounded_knn_bound_check": q_bounded_bound_check,
+    "time_bounded_knn": q_time_bounded_knn,
+    "laet_knn": q_laet_knn,
+    "hnsw_knn": q_hnsw_knn,
+    "imi_knn": q_imi_knn,
+    "multimodal_byte_features": q_multimodal_features,
+    "hamming_knn_sign": q_hamming_knn,
+    "knn_rerank_subset": q_knn_rerank_subset,
+    "range_search_l2": q_range_search_l2,
+}
+
+ORACLES: dict[str, str] = {
+    # -- consolidated entries --
+    "exact_knn": _ORACLE_EXACT_KNN,
+    "sharded_knn": _ORACLE_SHARDED_KNN,
+    "flat_variants_knn": _parts_oracle(
+        "variant",
+        ("base_shift", "qid, pos, id", _ORACLE_BASE_SHIFT),
+        ("one_d", "qid, pos, id", _ORACLE_KNN_1D),
+    ),
+    "ann_cosine": _parts_oracle(
+        "variant",
+        ("brute", "qid, pos, id", _ORACLE_ANN_COSINE),
+        ("ivf", "qid, pos, id", _ORACLE_ANN_COSINE_IVF),
+    ),
+    "ivf_knn": _parts_oracle(
+        "variant",
+        ("flat", "qid, pos, id", _ORACLE_IVF_SEARCH),
+        ("sq4", "qid, pos, id", _ORACLE_IVFSQ4),
+    ),
+    # "bounded_knn": rows-only (iterative learned-trace search)
+    "embedding_near_dup": _parts_oracle(
+        "variant",
+        ("brute", "id_a, id_b, cos", _ORACLE_EMB_NEAR_DUP),
+        ("lsh", "id_a, id_b, cos",
+         "SELECT vec_id AS id_a, vec_id + 1000000 AS id_b, 1.0 AS cos"
+         " FROM embeddings"),
+    ),
+    "text_profile": (
+        f"SELECT s.*, l.lang_pred, f.fp FROM ({_ORACLE_TEXT_STATS.strip()}) s"
+        f" JOIN ({_ORACLE_LANGID.strip()}) l ON l.id = s.id"
+        f" JOIN ({_ORACLE_FINGERPRINT.strip()}) f ON f.id = s.id"
+    ),
+    "doc_chunks": (
+        f"SELECT c.*, r.n_ngrams, r.n_distinct, r.dup_frac_u, r.top_frac_u,"
+        f" r.dup_char_frac_u FROM ({_ORACLE_CHUNKS.strip()}) c"
+        f" JOIN ({_ORACLE_REPETITION.strip()}) r ON r.id = c.id"
+    ),
+    "minhash_dedup": _ORACLE_MINHASH_DEDUP,
+    "simhash_dedup": _ORACLE_SIMHASH_DEDUP,
+    "kmeans_step": _ORACLE_KMEANS_STEP,
+    "index_maintenance": _parts_oracle(
+        "part",
+        ("kept", "id AS a, list_no AS b, 0::BIGINT AS v", _ORACLE_REMOVE_IDS),
+        ("reconstruct", "id AS a, dim AS b, val_u AS v", _ORACLE_RECONSTRUCT),
+    ),
+    "index_stats": _parts_oracle(
+        "part",
+        ("matrix",
+         "dim AS k, n AS a, min_u AS b, max_u AS c, mean_u AS d, n_zero AS e",
+         _ORACLE_MATRIX_STATS),
+        ("list_sizes",
+         "list_no AS k, cnt AS a, 0::BIGINT AS b, 0::BIGINT AS c,"
+         " 0::BIGINT AS d, 0::BIGINT AS e",
+         _ORACLE_LIST_SIZES),
+    ),
+    "events_analytics": _parts_oracle(
+        "part",
+        ("window",
+         "event_type, window_epoch AS a, n_events AS b, sum_value_m AS c",
+         _ORACLE_EVENTS_WINDOW),
+        ("top_users", "event_type, rk AS a, user_id AS b, 0::BIGINT AS c",
+         _ORACLE_EVENTS_TOP_USERS),
+    ),
+    "relational_reports": _parts_oracle(
+        "part",
+        ("pricing",
+         "l_returnflag AS k1, l_linestatus AS k2, n_rows AS a, sum_qty_c AS b,"
+         " revenue_u AS c, n_orders AS d",
+         _ORACLE_PRICING),
+        ("region_revenue",
+         "r_name AS k1, '' AS k2, n_items AS a, revenue_u AS b,"
+         " n_customers AS c, 0::BIGINT AS d",
+         _ORACLE_REVENUE_BY_REGION),
+        ("brand_top",
+         "p_brand AS k1, '' AS k2, rk AS a, partkey AS b, 0::BIGINT AS c,"
+         " 0::BIGINT AS d",
+         _ORACLE_TOP_PARTS),
+    ),
+    "recall_report": _parts_oracle(
+        "part",
+        ("per_query", f"qid AS k, CAST(round(recall * {K}) AS BIGINT) AS v",
+         _ORACLE_RECALL),
+        ("worst_case", "nprobe AS k, minf_u AS v", _ORACLE_IVF_WORST_CASE),
+    ),
+    "sampling_suite": _parts_oracle(
+        "strategy",
+        ("stratified", "doc_id, lang AS stratum, 0::BIGINT AS rk",
+         _ORACLE_STRATIFIED),
+        ("domain_mix", "doc_id, lang AS stratum, 0::BIGINT AS rk",
+         _ORACLE_DOMAIN_MIX),
+        ("source_cap", "doc_id, source AS stratum, rk::BIGINT AS rk",
+         _ORACLE_SOURCE_CAP),
+    ),
+    "events_streaming": _ORACLE_EVENTS_STREAMING,
+    # -- unchanged entries --
+    "png_decode_stats": _ORACLE_PNG_DECODE,
+    "bpe_merges": _oracle_bpe_merges(),
+    "bpe_vocab": _oracle_bpe_vocab(),
     "quality_topk_per_source": _ORACLE_QUALITY_TOPK,
     "decontamination": _ORACLE_DECON,
     "pack_sequences": _ORACLE_PACK,
@@ -2985,14 +3384,24 @@ GROUP BY r.r_name
     "semantic_keep_best": _ORACLE_SEMANTIC_KEEP_BEST,
     "vocab_top_terms": _ORACLE_VOCAB,
     "json_props_stats": _ORACLE_JSON_PROPS,
-    "repetition_stats": _ORACLE_REPETITION,
-    "doc_chunks": _ORACLE_CHUNKS,
     "bloom_seen_flags": _ORACLE_BLOOM,
-    "source_cap_sample": _ORACLE_SOURCE_CAP,
-    "curation_pipeline": _ORACLE_PIPELINE,
-    "events_session_stats_stream": _ORACLE_STREAM_SESSIONS,
     "source_length_profile": _ORACLE_LENGTH_PROFILE,
     "bpe_pair_stats": _ORACLE_BPE,
-    "events_sessionize_stream": _ORACLE_STREAM_SESSIONIZE,
     "shipping_priority": _ORACLE_Q3,
+    "curation_pipeline": _ORACLE_PIPELINE,
+    "corpus_curation_report": _ORACLE_CURATION_REPORT,
+    "dedup_clusters": _ORACLE_DEDUP_CLUSTERS,
+    "exact_dedup": _ORACLE_EXACT_DEDUP,
+    "ngram_jaccard_pairs": _ORACLE_NGRAM_JACCARD,
+    "ivfpq_refine_knn": _ORACLE_IVFPQ_REFINE,
+    "ivfpqr_knn": _ORACLE_IVFPQR,
+    "bounded_knn_bound_check": (
+        _Q_CTE + "\nSELECT count(*) AS n_queries, true AS bound_holds FROM q"
+    ),
+    # "time_bounded_knn", "laet_knn", "hnsw_knn": rows-only
+    "imi_knn": _ORACLE_IMI,
+    "multimodal_byte_features": _ORACLE_MULTIMODAL,
+    "hamming_knn_sign": _ORACLE_HAMMING,
+    "knn_rerank_subset": _ORACLE_RERANK,
+    "range_search_l2": _ORACLE_RANGE,
 }
