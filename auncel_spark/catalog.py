@@ -2543,6 +2543,18 @@ FROM c ORDER BY cnt DESC, p ASC LIMIT {BPE_TOP}
 N_BPE_MERGES = 8  # merge iterations replayed by the unrolled oracle
 
 
+def _bpe_merges_cached(spark: SparkSession, sf_dir: str):
+    """Memoized BPE merge list per sf_dir (like _laet_model): bpe_merges
+    and bpe_vocab train on the identical corpus, so the ~4 s iterative
+    merge loop runs once per scale instead of once per entry."""
+    from auncel_spark.operators.bpe import bpe_train, word_freq
+
+    def _build():
+        return bpe_train(word_freq(load(spark, sf_dir, "documents")), N_BPE_MERGES)
+
+    return _cached(sf_dir, "bpe_merges", _build)
+
+
 def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenizer TRAINING (operators/bpe.py): the iterative BPE merge
     loop — per round, one pair-count shuffle over the word-TYPE table
@@ -2550,10 +2562,7 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     like Lloyd's holds centroids. Deterministic (cnt desc, lhs, rhs)
     tie-break; the oracle unrolls the same K rounds as a CTE chain
     using the shared double-separator greedy-replace encoding."""
-    from auncel_spark.operators.bpe import bpe_train, word_freq
-
-    docs = load(spark, sf_dir, "documents")
-    merges = bpe_train(word_freq(docs), N_BPE_MERGES)
+    merges = _bpe_merges_cached(spark, sf_dir)
     rows = [(i + 1, a, b, cnt) for i, (a, b, cnt) in enumerate(merges)]
     return spark.createDataFrame(
         rows, "merge_rank bigint, lhs string, rhs string, cnt bigint"
@@ -2569,10 +2578,10 @@ def q_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     final count); the oracle replays the merges on the word-TYPE table
     and weights symbols by word frequency (identical by construction:
     segmentation is per-word)."""
-    from auncel_spark.operators.bpe import bpe_segment, bpe_train, word_freq
+    from auncel_spark.operators.bpe import bpe_segment
 
     docs = load(spark, sf_dir, "documents")
-    merges = bpe_train(word_freq(docs), N_BPE_MERGES)
+    merges = _bpe_merges_cached(spark, sf_dir)
     seg = bpe_segment(docs, merges)
     return seg.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
 
@@ -2636,14 +2645,25 @@ w{i} AS (
     return "".join(parts)
 
 
+# ASCII-ONLY ASSUMPTION (enforced, not silent): the engine encodes the
+# first 64 UTF-8 BYTES of each doc, while this SQL sums ascii() over
+# the first 64 CHARACTERS — identical only when byte == code point.
+# DuckDB (this build) has no per-octet BLOB access to replay UTF-8
+# byte-exactly, so instead any non-ASCII row is poisoned to px_sum=-1
+# (the engine returns the real pixel sum → a loud, attributable gate
+# red instead of a silently-wrong oracle). tests/test_multimodal.py
+# asserts the documents fixture is pure ASCII, so a corpus change
+# fails locally first.
 _ORACLE_PNG_DECODE = """
 SELECT doc_id AS id,
        CAST(1 AS BOOLEAN) AS ok,
        16 AS width, 4 AS height, 1 AS n_channels,
-       CAST(COALESCE(list_sum(list_transform(
-                range(1, least(length(text), 64) + 1),
-                i -> ascii(text[i]))), 0)
-            + 32 * (64 - least(length(text), 64)) AS BIGINT) AS px_sum
+       CASE WHEN octet_length(encode(text)) <> length(text) THEN CAST(-1 AS BIGINT)
+            ELSE CAST(COALESCE(list_sum(list_transform(
+                     range(1, least(length(text), 64) + 1),
+                     i -> ascii(text[i]))), 0)
+                 + 32 * (64 - least(length(text), 64)) AS BIGINT)
+       END AS px_sum
 FROM documents
 """
 

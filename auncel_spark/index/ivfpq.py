@@ -367,6 +367,13 @@ class IVFPQIndex(IVFIndex):
         qids = qpdf["qid"].to_numpy(dtype=np.int64)
         qmat = np.array(list(qpdf["vec"]), dtype=np.float64)
         cand = self.search(queries, k * k_factor, nprobe).select("qid", "id").toPandas()
+        if len(cand) == 0:
+            # empty candidate set (e.g. empty query frame or all-empty
+            # probed lists): skip the scan entirely — the kernel below
+            # assumes a non-empty broadcast id table
+            return self.spark.createDataFrame(
+                [], "qid bigint, pos int, id bigint, dist double"
+            )
         cid = cand["id"].to_numpy(dtype=np.int64)
         qpos = {int(x): i for i, x in enumerate(qids)}
         cqp = cand["qid"].map(qpos).to_numpy(dtype=np.int32)
@@ -382,6 +389,11 @@ class IVFPQIndex(IVFIndex):
 
         def refine(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
             bqids, bq, buids, bst, bct, bqp = bc.value
+            if len(buids) == 0:
+                # defense in depth (the driver-side empty-cand early
+                # return above should make this unreachable): indexing
+                # an empty buids with clipped positions would raise
+                return
             for batch in batches:
                 if batch.num_rows == 0:
                     continue
@@ -389,8 +401,8 @@ class IVFPQIndex(IVFIndex):
                     np.int64, copy=False
                 )
                 pos = np.searchsorted(buids, ids)
-                pos_cl = np.clip(pos, 0, max(len(buids) - 1, 0))
-                hit = (len(buids) > 0) & (buids[pos_cl] == ids)
+                pos_cl = np.clip(pos, 0, len(buids) - 1)
+                hit = buids[pos_cl] == ids
                 rows = np.where(hit)[0]
                 if len(rows) == 0:
                     continue

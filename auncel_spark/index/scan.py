@@ -121,9 +121,11 @@ def _merge_rows(
 
 # boundary-tie margin for the argpartition fast path: the partial
 # selection is by dist alone, so up to _TIE_MARGIN extra rows are kept
-# before the exact (dist, id) lexsort — exact unless > _TIE_MARGIN
-# elements tie EXACTLY with the kk-th distance inside one list-batch
-# (planted-clone fixtures produce pairs, never 17-way ties)
+# before the exact (dist, id) lexsort. Rows whose ties spill past the
+# margin (kk-th distance still equal to the kk2-th — routine for
+# integral Hamming or duplicate-PQ-code distances once lists grow) are
+# detected and redone with the full-width exact lexsort, so the result
+# is ALWAYS the deterministic (dist, id) order, not fixture-size luck.
 _TIE_MARGIN = 16
 
 
@@ -133,7 +135,8 @@ def _group_topk(
     """Per-row top-k of a (ns × nL) distance block with global (dist,
     id) tie-break — the per-list partial heap. Wide blocks use
     argpartition + a small exact lexsort (a full-width lexsort was the
-    dominant fit cost at 100M: O(nL log nL) per row for k ≪ nL)."""
+    dominant fit cost at 100M: O(nL log nL) per row for k ≪ nL), with
+    a per-row exact fallback when boundary ties exceed the margin."""
     nL = dist.shape[1]
     kk = min(k, nL)
     if nL > kk + _TIE_MARGIN:
@@ -144,8 +147,26 @@ def _group_topk(
         part = np.argpartition(dist, kk2 - 1, axis=1)[:, :kk2]
         pd = np.take_along_axis(dist, part, axis=1)
         pi = ids[part]
-        sub = np.lexsort((pi, pd), axis=1)[:, :kk]
-        return np.take_along_axis(pd, sub, axis=1), np.take_along_axis(pi, sub, axis=1)
+        sub = np.lexsort((pi, pd), axis=1)
+        pd_s = np.take_along_axis(pd, sub, axis=1)
+        pi_s = np.take_along_axis(pi, sub, axis=1)
+        out_d, out_i = pd_s[:, :kk], pi_s[:, :kk]
+        # exactness guard: if a row's kept kk-th distance equals the
+        # kk2-th (the window max), equal-distance elements may exist
+        # OUTSIDE the partition window and the id tie-break could be
+        # wrong — redo exactly those rows with the full lexsort. When
+        # the window max is strictly larger, every element tied at the
+        # boundary is provably inside the window and the result is
+        # already exact.
+        spill = out_d[:, kk - 1] == pd_s[:, kk2 - 1]
+        if spill.any():
+            rows = np.nonzero(spill)[0]
+            sel = np.lexsort(
+                (np.broadcast_to(ids, (len(rows), nL)), dist[rows]), axis=1
+            )[:, :kk]
+            out_d[rows] = np.take_along_axis(dist[rows], sel, axis=1)
+            out_i[rows] = ids[sel]
+        return out_d, out_i
     sel = np.lexsort((np.broadcast_to(ids, dist.shape), dist), axis=1)[:, :kk]
     return np.take_along_axis(dist, sel, axis=1), ids[sel]
 
@@ -162,6 +183,33 @@ def _query_tiles(sel: np.ndarray, n_rows: int):
     t = max(64, _TILE_ELEMS // max(n_rows, 1))
     for i in range(0, len(sel), t):
         yield sel[i : i + t]
+
+
+def _tiled_topk(
+    bq: np.ndarray,
+    qn: np.ndarray,
+    sel: np.ndarray,
+    mat_m: np.ndarray,
+    ids_m: np.ndarray,
+    metric: Metric,
+    k: int,
+):
+    """Partial top-k tiles over BOTH dimensions of the (sel × list)
+    distance computation. Query tiles keep blocks ~_TILE_ELEMS; the
+    list-dimension chunk bounds the block even when one skewed list
+    holds millions of rows (the 64-query floor alone would allow a
+    ~5 GB block at nL=10M). Yields (q0, ss, nd, ni) partial top-k per
+    chunk — exact after downstream (dist, id) lexsort merging."""
+    lchunk = max(4096, _TILE_ELEMS // 64)
+    nL = mat_m.shape[0]
+    for ls in range(0, nL, lchunk):
+        mat_c, ids_c = mat_m[ls : ls + lchunk], ids_m[ls : ls + lchunk]
+        q0 = 0
+        for ss in _query_tiles(sel, mat_c.shape[0]):
+            dist = _dist_block(bq[ss], qn[ss], mat_c, metric)
+            nd, ni = _group_topk(dist, ids_c, k)
+            yield q0, ss, nd, ni
+            q0 += len(ss)
 
 
 def _dist_block(
@@ -227,9 +275,7 @@ def scan_window(
                     continue
                 m = lns == ln
                 mat_m, ids_m = mat[m], ids[m]
-                for ss in _query_tiles(sel, mat_m.shape[0]):
-                    dist = _dist_block(bq[ss], qn[ss], mat_m, metric)
-                    nd, ni = _group_topk(dist, ids_m, k)
+                for _, ss, nd, ni in _tiled_topk(bq, qn, sel, mat_m, ids_m, metric, k):
                     _merge_rows(state_d, state_i, ss, nd, ni)
                 touched[sel] = True
         if state_d is None or not touched.any():
@@ -305,12 +351,8 @@ def scan_bucketed(
                 m = lns == ln
                 mat_m, ids_m = mat[m], ids[m]
                 si_all = brank2b[r[sel]]
-                pos = 0
-                for ss in _query_tiles(sel, mat_m.shape[0]):
-                    dist = _dist_block(bq[ss], qn[ss], mat_m, metric)
-                    nd, ni = _group_topk(dist, ids_m, k)
-                    si = si_all[pos : pos + len(ss)]
-                    pos += len(ss)
+                for q0, ss, nd, ni in _tiled_topk(bq, qn, sel, mat_m, ids_m, metric, k):
+                    si = si_all[q0 : q0 + len(ss)]
                     for b in np.unique(si):
                         pick = si == b
                         rows = ss[pick]

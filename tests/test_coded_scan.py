@@ -83,3 +83,74 @@ def test_ivfpqr_search_uses_bcast_candidates(base_df, query_df, tiny_vectors):
         got.setdefault(int(r["qid"]), set()).add(int(r["id"]))
     hits = sum(len(got.get(q, set()) & set(gt[q])) for q in range(len(xq)))
     assert hits / (len(xq) * K) > 0.5
+
+
+def test_group_topk_exact_under_massive_ties():
+    """ADVICE r04: the argpartition fast path keeps k+16 rows before
+    the exact lexsort — when >16 elements tie exactly at the k-th
+    distance (routine for integral Hamming / duplicate-PQ-code
+    distances) the result must STILL be the deterministic (dist, id)
+    order. The guard detects tie spill past the margin and redoes
+    those rows with the full lexsort."""
+    import numpy as np
+
+    from auncel_spark.index.scan import _group_topk
+
+    rng = np.random.default_rng(7)
+    nL, k = 500, 10
+    ids = rng.permutation(nL).astype(np.int64)
+
+    # worst case: ALL distances identical -> top-k must be the k
+    # smallest ids at that distance
+    dist = np.full((3, nL), 5.0)
+    d, i = _group_topk(dist, ids, k)
+    assert (i == np.sort(ids)[:k]).all() and (d == 5.0).all()
+
+    # Hamming-like integral distances with ~60-way ties at the k-th
+    dist = rng.integers(0, 8, (16, nL)).astype(np.float64)
+    d, i = _group_topk(dist, ids, k)
+    ref_sel = np.lexsort((np.broadcast_to(ids, dist.shape), dist), axis=1)[:, :k]
+    ref_d = np.take_along_axis(dist, ref_sel, axis=1)
+    ref_i = ids[ref_sel]
+    assert (d == ref_d).all() and (i == ref_i).all()
+
+    # no-tie case still exact
+    dist = rng.standard_normal((8, nL))
+    d, i = _group_topk(dist, ids, k)
+    ref_sel = np.lexsort((np.broadcast_to(ids, dist.shape), dist), axis=1)[:, :k]
+    assert (i == ids[ref_sel]).all()
+
+
+def test_tiled_topk_list_dimension_chunking():
+    """ADVICE r04: a single huge list must be chunked along the list
+    dimension too (the 64-query floor alone would allow a multi-GB
+    distance block); chunked partial top-k merged via _merge_rows must
+    equal the unchunked exact answer."""
+    import numpy as np
+
+    import auncel_spark.index.scan as scan_mod
+    from auncel_spark.index.scan import _merge_rows, _tiled_topk
+    from auncel_spark.operators.knn import Metric
+
+    rng = np.random.default_rng(11)
+    nq, nL, d, k = 7, 10000, 8, 5  # nL > the 4096 chunk floor -> 3 list chunks
+    bq = rng.standard_normal((nq, d))
+    qn = (bq * bq).sum(axis=1)
+    mat = rng.standard_normal((nL, d))
+    ids = rng.permutation(nL).astype(np.int64)
+    sel = np.arange(nq)
+
+    old = scan_mod._TILE_ELEMS
+    scan_mod._TILE_ELEMS = 4096  # force both query AND list chunking
+    try:
+        state_d = np.full((nq, k), np.inf)
+        state_i = np.full((nq, k), -1, dtype=np.int64)
+        for _, ss, nd, ni in _tiled_topk(bq, qn, sel, mat, ids, Metric.L2, k):
+            _merge_rows(state_d, state_i, ss, nd, ni)
+    finally:
+        scan_mod._TILE_ELEMS = old
+
+    dist = ((bq[:, None, :] - mat[None, :, :]) ** 2).sum(axis=2)
+    ref_sel = np.lexsort((np.broadcast_to(ids, dist.shape), dist), axis=1)[:, :k]
+    assert (state_i == ids[ref_sel]).all()
+    assert np.allclose(state_d, np.take_along_axis(dist, ref_sel, axis=1))

@@ -156,3 +156,25 @@ def test_decode_png_dataframe_corrupt_semantics(spark):
     assert got[1]["ok"] and got[1]["n_channels"] == 1
     assert got[1]["px_sum"] == int(px1.astype(np.int64).sum())
     assert not got[2]["ok"] and got[2]["px_sum"] == 0
+
+
+def test_documents_fixture_is_pure_ascii():
+    """The png_decode_stats and multimodal_byte_features oracles replay
+    the engine's BYTE arithmetic via ascii() over CHARACTERS — valid
+    only while byte == code point. If the documents fixture ever grows
+    non-ASCII text, this fails here with a clear message instead of a
+    confusing driver hash mismatch (the oracle also poisons such rows
+    to px_sum=-1 as defense in depth)."""
+    import duckdb
+
+    for sf in ("sf0.001", "sf0.01"):
+        n = duckdb.sql(
+            "SELECT count(*) FROM read_parquet("
+            f"'/root/testdata/{sf}/documents.parquet')"
+            " WHERE octet_length(encode(text)) <> length(text)"
+        ).fetchone()[0]
+        assert n == 0, (
+            f"{sf}: {n} non-ASCII documents — the ascii()-based oracles "
+            "(png_decode_stats, multimodal_byte_features) no longer match "
+            "the engine's UTF-8 byte arithmetic; make them byte-based"
+        )
