@@ -228,6 +228,12 @@ class IVFPQIndex(IVFIndex):
             "books": self.pq.codebooks,
             "cents": self.centroids if self.by_residual else None,
             "term2": self.precomputed_term2() if use_t2 else None,
+            # float32 ADC arithmetic (the reference engine's dtype —
+            # Faiss computes ADC in float32): ~2x scan throughput.
+            # Default False so hash-exact SQL-oracle replays (float64
+            # in DuckDB) keep bit-matched boundary ordering; the scale
+            # bench enables it via `idx.adc_fp32 = True`.
+            "fp32": getattr(self, "adc_fp32", False),
         }
         partial = scan_window_coded(
             self.data, qids, qmat, ranked, 0, nprobe, k, self.metric,

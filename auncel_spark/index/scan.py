@@ -455,6 +455,12 @@ def scan_window_coded(
             t2 = cdc.get("term2")
             znorm = (books * books).sum(-1)  # (M, ksub)
             M, ksub, dsub = books.shape
+            # ADC arithmetic dtype: float32 matches the reference
+            # engine (Faiss computes ADC in float32 throughout) and
+            # doubles gather/sort throughput; float64 (default) keeps
+            # boundary ordering bit-matched to the SQL oracles'
+            # float64 replay for the hash-exact correctness gate.
+            dt = np.float32 if cdc.get("fp32") else np.float64
             # lazily-filled per-task term3 LUTs; np.empty commits pages
             # only for rows actually touched (queries probing this
             # task's lists)
@@ -494,10 +500,19 @@ def scan_window_coded(
             else:
                 lut = t3[sel]
                 term1 = -(bq[sel] @ cents[ln]) if cents is not None else 0.0
-            acc = np.zeros((len(sel), codes.shape[0]))
+            # ROW-major gather: numpy's column fancy-index
+            # (lut[:, m, :][:, codes_m]) measured 60 M gathers/s;
+            # transposing the LUT so code values index ROWS of a
+            # contiguous (ksub, ns) block runs 340 M/s (float64) /
+            # 766 M/s (float32) on the same shapes — the per-task ADC
+            # cost is this gather, so the layout IS the kernel.
+            lutT = np.ascontiguousarray(lut.transpose(1, 2, 0), dtype=dt)
+            acc = np.zeros((codes.shape[0], len(sel)), dtype=dt)
             for m in range(M):
-                acc += lut[:, m, :][:, codes[:, m]]
-            return acc + (term1[:, None] if np.ndim(term1) else term1)
+                acc += lutT[m][codes[:, m]]
+            dist = np.ascontiguousarray(acc.T)
+            t1 = term1[:, None] if np.ndim(term1) else term1
+            return dist + np.asarray(t1, dtype=dt)
 
         for batch in batches:
             if batch.num_rows == 0:
@@ -563,11 +578,18 @@ def scan_window_coded(
         # (a task holds whole (list, salt) groups, so per-list LUT
         # state is built O(groups/task) times, not O(nlist) times).
         # Shuffle volume = the pruned CODES — M bytes/row, cheap.
+        # sortWithinPartitions: the repartition interleaves a task's
+        # ~(nlist·_SALT/tasks) groups row-by-row, so every Arrow batch
+        # fragmented EVERY group into ~40-row slivers — and the scan
+        # pays one k-wide state merge per (group, batch) fragment
+        # (measured: ~8000 merges/task at 10M with k·kf=1280 states =
+        # the dominant ADC cost). Sorting makes lists contiguous: one
+        # fragment per group per batch boundary, ~30x fewer merges.
         pruned = pruned.repartition(
             rebalance,
             F.col("list_no"),
             F.pmod(F.col("id"), F.lit(_SALT)),
-        )
+        ).sortWithinPartitions("list_no")
     return pruned.mapInArrow(scan, schema=WINDOW_SCHEMA)
 
 

@@ -47,6 +47,11 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # wider Arrow batches for the mapInArrow scan kernels: the
+        # default 10k rows fragments per-list work (each fragment pays
+        # a k-wide top-k state merge) and quadruples Python round-trip
+        # overhead; 64k keeps batches ~25-50 MB for (id, vec d96) rows
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
         .config("spark.sql.session.timeZone", "UTC")
         # driver fixtures carry TIMESTAMP(NANOS) parquet columns, which
         # Spark's vectorized reader rejects as a timestamp type; read
