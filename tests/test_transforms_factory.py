@@ -183,3 +183,61 @@ def test_transform_plus_rflat_refines_in_transformed_space(base_df, query_df, ti
     got = {(r["qid"], r["pos"]): r["id"] for r in res.collect()}
     exp = {(r["qid"], r["pos"]): r["id"] for r in want.collect()}
     assert got == exp
+
+
+def test_opq_beats_plain_pq_on_anisotropic_data(spark):
+    """VERDICT r04 Next #5: the r04 measurement that OPQ cannot help
+    ISOTROPIC gaussian residuals is correct science — but the
+    reference's "OPQ64,IVF1024,PQ64" factory idiom
+    (Auncel/AutoTune.cpp:741-949, VectorTransform.h:188-207) exists
+    because real embeddings are anisotropic. Validate the win where it
+    can exist: correlated dims (condition number >= 100, principal
+    axes mixed across the PQ subspace boundaries by a random
+    rotation), equal code budget (same M, nbits), recall@10 of
+    ADC-ranked top-k vs exact. OPQ must realign the axes and win."""
+    import pandas as pd
+
+    from auncel_spark.index.pq import ProductQuantizer
+    from auncel_spark.index.transforms import OPQTransform
+
+    rng = np.random.default_rng(3)
+    n, nq, d, M, k = 4000, 64, 32, 4, 10
+    # eigenvalue spectrum 1 .. 1e-2 (condition number 1e4 in variance,
+    # 100 in scale), eigenvectors a random orthogonal mix so the
+    # natural [m*dsub:(m+1)*dsub] splits straddle principal axes
+    lam = np.logspace(0, -2, d)
+    q_mix, _ = np.linalg.qr(rng.standard_normal((d, d)))
+    L = q_mix @ np.diag(lam)
+    assert lam[0] / lam[-1] >= 100
+    xb = rng.standard_normal((n, d)) @ L.T
+    xq = rng.standard_normal((nq, d)) @ L.T
+
+    bdf = spark.createDataFrame(
+        pd.DataFrame({"id": np.arange(n), "vec": list(xb.astype(np.float32))})
+    )
+
+    # exact GT in the original space (orthonormal rotation preserves it)
+    d2 = ((xq[:, None, :] - xb[None, :, :]) ** 2).sum(-1)
+    gt = np.argsort(d2, axis=1)[:, :k]
+
+    def adc_recall(pq, xb_s, xq_s):
+        dec = pq.decode_np(pq.encode_np(xb_s))
+        dd = ((xq_s[:, None, :] - dec[None, :, :]) ** 2).sum(-1)
+        top = np.argsort(dd, axis=1)[:, :k]
+        return np.mean(
+            [len(set(top[i]) & set(gt[i])) / k for i in range(len(xq_s))]
+        )
+
+    pq_plain = ProductQuantizer.train(bdf, M=M, n_iter=15, sample_size=n, seed=5)
+    r_plain = adc_recall(pq_plain, xb, xq)
+
+    opq = OPQTransform.train(bdf, M=M, n_iter=10, sample_size=n, seed=5)
+    xb_r, xq_r = opq.apply_np(xb), opq.apply_np(xq)
+    rdf = spark.createDataFrame(
+        pd.DataFrame({"id": np.arange(n), "vec": list(xb_r.astype(np.float32))})
+    )
+    pq_rot = ProductQuantizer.train(rdf, M=M, n_iter=15, sample_size=n, seed=5)
+    r_opq = adc_recall(pq_rot, xb_r, xq_r)
+
+    # the win must be real, not noise: >= 5 recall points
+    assert r_opq >= r_plain + 0.05, f"OPQ {r_opq:.3f} vs plain {r_plain:.3f}"
