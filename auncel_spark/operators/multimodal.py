@@ -3,10 +3,12 @@
 North-star surface (BASELINE.json): treat image/audio/video as opaque
 ``BINARY`` columns with typed metadata; decode / feature-extract /
 resize / frame-sample run as Arrow-batched kernels over
-``mapInPandas``. The image/audio codec libraries are not in this
-container, so the *decode* step is stubbed (``NotImplementedError`` or
-a clearly-marked deterministic fake); the Spark-side plumbing —
-schema, partitioning, UDF signature, batch shape — is real and tested.
+``mapInPandas``. No codec library exists in this container, so every
+decoder here is dependency-free and real: PNG (zlib inflate + numpy
+un-filtering), baseline sequential-DCT JPEG (operators/jpeg.py — pure
+numpy Huffman/dequant/IDCT, both directions), 24bpp BMP, and PCM16
+WAV. ``decode_image`` dispatches on magic bytes; corrupt payloads
+become ok=false rows, never task failures.
 
 Scale: payloads never leave executors; feature extraction is one
 narrow map (no shuffle); downstream similarity/dedup reuse the
@@ -43,19 +45,55 @@ def attach_binary_payload(
     )
 
 
-def decode_image(df: DataFrame, payload_col: str = "payload") -> DataFrame:
-    """Compressed image decode dispatcher. PNG decodes for REAL
-    (``decode_png`` below — stdlib zlib inflate + numpy per-scanline
-    un-filtering, no codec library). JPEG remains a documented STUB:
-    its DCT/Huffman pipeline legitimately needs a codec library absent
-    from this container. Uncompressed formats: ``decode_bmp`` (24bpp
-    BMP) and ``decode_wav`` (PCM16 WAV) are pure-numpy too."""
-    raise NotImplementedError(
-        "JPEG codecs are not available in this environment; use "
-        "decode_png for PNG payloads, decode_bmp / decode_wav for "
-        "uncompressed ones, or extract_byte_features for the "
-        "deterministic fake path"
+def decode_image(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "id"
+) -> DataFrame:
+    """Compressed-image decode dispatcher — REAL for every format this
+    engine claims: payloads route by magic bytes to the PNG decoder
+    (stdlib zlib inflate + numpy un-filtering), the baseline
+    sequential-DCT JPEG decoder (operators/jpeg.py — pure numpy
+    Huffman/dequant/IDCT, 4:4:4 / 4:2:2 / 4:2:0), or the 24bpp BMP
+    reader. Unknown magics and corrupt streams yield ok=false rows
+    (at 100 TB some payloads are always corrupt; a raising task would
+    poison the whole stage). Emits the same per-image schema as
+    ``decode_png``: shape, channels, exact integer pixel sum."""
+    from auncel_spark.operators.jpeg import decode_jpeg_bytes
+
+    schema = (
+        "id bigint, ok boolean, width int, height int, "
+        "n_channels int, px_sum bigint"
     )
+
+    def _decode(raw: bytes) -> np.ndarray:
+        if raw[:8] == b"\x89PNG\r\n\x1a\n":
+            return decode_png_bytes(raw)
+        if raw[:2] == b"\xff\xd8":
+            px = decode_jpeg_bytes(raw)
+            return px[:, :, None] if px.ndim == 2 else px
+        if raw[:2] == b"BM":
+            return _bmp_pixels(raw)
+        raise ValueError("unknown image magic")
+
+    def work(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            rows = []
+            for i, b in zip(pdf[id_col], pdf[payload_col]):
+                try:
+                    px = _decode(bytes(b))
+                    rows.append(
+                        (int(i), True, px.shape[1], px.shape[0], px.shape[2],
+                         int(px.astype(np.int64).sum()))
+                    )
+                except Exception:
+                    rows.append((int(i), False, 0, 0, 0, 0))
+            yield pd.DataFrame(
+                rows,
+                columns=["id", "ok", "width", "height", "n_channels", "px_sum"],
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(work, schema=schema)
 
 
 # --- PNG (real, dependency-free) ----------------------------------------
@@ -264,6 +302,26 @@ def decode_png(
     return df.select(id_col, payload_col).mapInPandas(work, schema=schema)
 
 
+def _bmp_pixels(raw: bytes) -> np.ndarray:
+    """(h, w, 3) uint8 from an uncompressed 24bpp BMP (BGR order)."""
+    if raw[:2] != b"BM":
+        raise ValueError("not BMP")
+    off = int.from_bytes(raw[10:14], "little")
+    w = int.from_bytes(raw[18:22], "little", signed=True)
+    h = int.from_bytes(raw[22:26], "little", signed=True)
+    bpp = int.from_bytes(raw[28:30], "little")
+    comp = int.from_bytes(raw[30:34], "little")
+    if bpp != 24 or comp != 0 or w <= 0 or h == 0:
+        raise ValueError("unsupported BMP variant")
+    flip = h > 0  # positive height = bottom-up rows
+    h = abs(h)
+    stride = (w * 3 + 3) & ~3
+    px = np.frombuffer(
+        raw, dtype=np.uint8, count=stride * h, offset=off
+    ).reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+    return px[::-1] if flip else px
+
+
 def decode_bmp(
     df: DataFrame, payload_col: str = "payload", id_col: str = "id"
 ) -> DataFrame:
@@ -284,25 +342,9 @@ def decode_bmp(
                 continue
             rows = []
             for i, b in zip(pdf[id_col], pdf[payload_col]):
-                raw = bytes(b)
                 try:
-                    if raw[:2] != b"BM":
-                        raise ValueError("not BMP")
-                    off = int.from_bytes(raw[10:14], "little")
-                    w = int.from_bytes(raw[18:22], "little", signed=True)
-                    h = int.from_bytes(raw[22:26], "little", signed=True)
-                    bpp = int.from_bytes(raw[28:30], "little")
-                    comp = int.from_bytes(raw[30:34], "little")
-                    if bpp != 24 or comp != 0 or w <= 0 or h == 0:
-                        raise ValueError("unsupported BMP variant")
-                    flip = h > 0  # positive height = bottom-up rows
-                    h = abs(h)
-                    stride = (w * 3 + 3) & ~3
-                    px = np.frombuffer(
-                        raw, dtype=np.uint8, count=stride * h, offset=off
-                    ).reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
-                    if flip:
-                        px = px[::-1]
+                    px = _bmp_pixels(bytes(b))
+                    h, w = px.shape[:2]
                     m = px.reshape(-1, 3).mean(axis=0)
                     rows.append((int(i), True, w, h, float(m[0]), float(m[1]), float(m[2])))
                 except Exception:

@@ -178,3 +178,101 @@ def test_documents_fixture_is_pure_ascii():
             "(png_decode_stats, multimodal_byte_features) no longer match "
             "the engine's UTF-8 byte arithmetic; make them byte-based"
         )
+
+
+# ---- baseline JPEG codec (operators/jpeg.py, r05) -------------------
+
+
+def _smooth_gray(h=40, w=52, seed=1):
+    rng = np.random.default_rng(seed)
+    yy, xx = np.mgrid[0:h, 0:w]
+    return (
+        128 + 60 * np.sin(xx / 9) + 50 * np.cos(yy / 7) + rng.normal(0, 3, (h, w))
+    ).clip(0, 255).astype(np.uint8)
+
+
+def test_jpeg_roundtrip_grayscale():
+    from auncel_spark.operators.jpeg import decode_jpeg_bytes, encode_jpeg_bytes
+
+    gray = _smooth_gray()
+    dec = decode_jpeg_bytes(encode_jpeg_bytes(gray, quality=92))
+    assert dec.shape == gray.shape
+    assert np.abs(dec.astype(float) - gray.astype(float)).mean() < 3.0
+
+
+def test_jpeg_roundtrip_rgb_444_and_420():
+    from auncel_spark.operators.jpeg import decode_jpeg_bytes, encode_jpeg_bytes
+
+    gray = _smooth_gray()
+    rgb = np.stack([gray, np.roll(gray, 5, 0), 255 - gray], axis=-1)
+    d444 = decode_jpeg_bytes(encode_jpeg_bytes(rgb, quality=92))
+    assert d444.shape == rgb.shape
+    assert np.abs(d444.astype(float) - rgb.astype(float)).mean() < 4.0
+    # 4:2:0 exercises the interleaved-MCU path + chroma upsample
+    d420 = decode_jpeg_bytes(encode_jpeg_bytes(rgb, quality=92, subsample=True))
+    assert d420.shape == rgb.shape
+    assert np.abs(d420.astype(float) - rgb.astype(float)).mean() < 8.0
+
+
+def test_jpeg_odd_sizes_and_extreme_dc():
+    from auncel_spark.operators.jpeg import decode_jpeg_bytes, encode_jpeg_bytes
+
+    rng = np.random.default_rng(2)
+    odd = rng.integers(0, 256, (17, 23, 3), dtype=np.uint8)
+    assert decode_jpeg_bytes(encode_jpeg_bytes(odd, quality=95)).shape == (17, 23, 3)
+    # max DC swings between blocks must stay inside DC size categories
+    ext = np.zeros((24, 24), dtype=np.uint8)
+    ext[8:16] = 255
+    d = decode_jpeg_bytes(encode_jpeg_bytes(ext, quality=50))
+    assert np.abs(d.astype(float) - ext.astype(float)).mean() < 2.0
+
+
+def test_jpeg_rejects_non_baseline_and_corrupt():
+    import pytest as _pytest
+
+    from auncel_spark.operators.jpeg import decode_jpeg_bytes
+
+    for bad in (b"nope", b"\xff\xd8garbage", b"\xff\xd8\xff\xc2\x00\x04ab"):
+        with _pytest.raises(Exception):
+            decode_jpeg_bytes(bad)
+
+
+def test_decode_image_dispatches_by_magic(spark):
+    """decode_image routes PNG / JPEG / BMP payloads by magic bytes in
+    one frame and flags unknown magics ok=false."""
+    from auncel_spark.operators.jpeg import encode_jpeg_bytes
+    from auncel_spark.operators.multimodal import decode_image, encode_png_bytes
+
+    rng = np.random.default_rng(3)
+    png_px = rng.integers(0, 256, (5, 7, 3), dtype=np.uint8)
+    jpg_px = _smooth_gray(16, 24)
+
+    def bmp_bytes(px):  # minimal bottom-up 24bpp BMP
+        h, w = px.shape[:2]
+        stride = (w * 3 + 3) & ~3
+        body = bytearray()
+        for row in px[::-1]:
+            body += bytes(row.reshape(-1)) + b"\x00" * (stride - w * 3)
+        head = b"BM" + (54 + len(body)).to_bytes(4, "little") + b"\x00" * 4
+        head += (54).to_bytes(4, "little")
+        head += (40).to_bytes(4, "little") + w.to_bytes(4, "little")
+        head += h.to_bytes(4, "little") + (1).to_bytes(2, "little")
+        head += (24).to_bytes(2, "little") + b"\x00" * 24
+        return bytes(head) + bytes(body)
+
+    bmp_px = rng.integers(0, 256, (4, 6, 3), dtype=np.uint8)
+    rows = [
+        (0, bytearray(encode_png_bytes(png_px))),
+        (1, bytearray(encode_jpeg_bytes(jpg_px, quality=92))),
+        (2, bytearray(bmp_bytes(bmp_px))),
+        (3, bytearray(b"GIF89a not supported")),
+    ]
+    df = spark.createDataFrame(rows, "id bigint, payload binary")
+    got = {r["id"]: r.asDict() for r in decode_image(df).collect()}
+    assert got[0]["ok"] and (got[0]["width"], got[0]["height"]) == (7, 5)
+    assert got[0]["px_sum"] == int(png_px.astype(np.int64).sum())
+    assert got[1]["ok"] and (got[1]["width"], got[1]["height"]) == (24, 16)
+    # JPEG is lossy: the pixel sum must be close, not exact
+    assert abs(got[1]["px_sum"] - int(jpg_px.astype(np.int64).sum())) < 2.0 * jpg_px.size
+    assert got[2]["ok"] and got[2]["px_sum"] == int(bmp_px.astype(np.int64).sum())
+    assert not got[3]["ok"]
