@@ -147,12 +147,26 @@ def _compact_scale(s: dict) -> dict:
     """One scale section reduced to its headline scalars."""
     if not isinstance(s, dict) or "configs" not in s:
         return s  # error/skip markers pass through
-    return {
+    out = {
         "ms_q_mean": s.get("ms_per_query_mean"),
         "ms_q_worst": s.get("ms_per_query_worst"),
         "holds": s.get("all_bounds_hold"),
         "rows_per_core": s.get("rows_per_core"),
     }
+    cold = s.get("cold_page_cache")
+    if isinstance(cold, dict) and "ms_per_query_worst" in cold:
+        out["cold_ms_q_mean"] = cold.get("ms_per_query_mean")
+        out["cold_ms_q_worst"] = cold.get("ms_per_query_worst")
+        out["cold_holds"] = cold.get("all_bounds_hold")
+    tput = s.get("throughput")
+    if isinstance(tput, dict) and "qps" in tput:
+        out["tput_qps"] = tput.get("qps")
+        out["tput_ms_q"] = tput.get("ms_per_query")
+    pqd = s.get("ivfpq_default")
+    if isinstance(pqd, dict) and "ms_per_query" in pqd:
+        out["ivfpq_ms_q"] = pqd.get("ms_per_query")
+        out["ivfpq_recall"] = pqd.get("recall_at_10")
+    return out
 
 
 def _compact_line(out: dict, budget: int = 1900) -> str:

@@ -662,29 +662,43 @@ def run(spark, configs=None, n: int = N) -> dict:
             "fit_calibrate_sec": round(fit_s, 2),
         }
 
-    # warm the lists footers once (the baseline holds its index in RAM)
-    idx.data.count()
     test = spark.createDataFrame(_gen_queries_pdf(11, N_TEST, 20_000_000)).cache()
     test.count()
 
-    results = {}
-    lat = []
-    for k, bound in configs or (CONFIGS if n == N else CONFIGS_10M):
-        p = params[(k, bound)]
-        ep.multipler, ep.std_m = p["multipler"], p["std_m"]
-        t0 = time.perf_counter()
-        res, info = ep.search(test, k, require_acc=1.0 - bound, return_info=True)
-        pdf = res.toPandas()
-        wall = time.perf_counter() - t0
-        minf = bound_satisfaction(pdf, gt, k)
-        ms_q = wall / N_TEST * 1000.0
-        lat.append(ms_q)
-        results[f"k{k}_b{int(bound * 100)}"] = {
-            "ms_per_query": round(ms_q, 3),
-            "bound_satisfaction": round(minf, 4),
-            "holds": bool(minf >= 1.0 - bound - 1e-9),
-            "mean_nprobe": round(float(info["nprobe"].mean()), 1),
-        }
+    def config_grid() -> tuple[dict, list]:
+        results, lat = {}, []
+        for k, bound in configs or (CONFIGS if n == N else CONFIGS_10M):
+            p = params[(k, bound)]
+            ep.multipler, ep.std_m = p["multipler"], p["std_m"]
+            t0 = time.perf_counter()
+            res, info = ep.search(test, k, require_acc=1.0 - bound, return_info=True)
+            pdf = res.toPandas()
+            wall = time.perf_counter() - t0
+            minf = bound_satisfaction(pdf, gt, k)
+            ms_q = wall / N_TEST * 1000.0
+            lat.append(ms_q)
+            results[f"k{k}_b{int(bound * 100)}"] = {
+                "ms_per_query": round(ms_q, 3),
+                "bound_satisfaction": round(minf, 4),
+                "holds": bool(minf >= 1.0 - bound - 1e-9),
+                "mean_nprobe": round(float(info["nprobe"].mean()), 1),
+            }
+        return results, lat
+
+    # warm-up, UNTIMED: footers/page cache (count) plus one throwaway
+    # search — the first search in a fresh JVM pays JIT/codegen and
+    # Arrow pipeline spin-up (measured ~1.5-2x on the first grid
+    # config at 100M: 35.4 ms/q first-ever vs 22.6 steady-state). The
+    # baseline's figures are steady-state on a long-lived process, so
+    # attributing process warm-up to the first timed config would
+    # misreport every tier.
+    idx.data.count()
+    k_w, bound_w = (configs or (CONFIGS if n == N else CONFIGS_10M))[0]
+    p = params[(k_w, bound_w)]
+    ep.multipler, ep.std_m = p["multipler"], p["std_m"]
+    ep.search(test, k_w, require_acc=1.0 - bound_w).count()
+
+    results, lat = config_grid()
     out["configs"] = results
     out["ms_per_query_mean"] = round(float(np.mean(lat)), 3)
     out["ms_per_query_worst"] = round(float(np.max(lat)), 3)
@@ -708,18 +722,22 @@ def run(spark, configs=None, n: int = N) -> dict:
             out["effect_time"] = run_effect_time(spark, ep, gt, test)
         except Exception as e:
             out["effect_time"] = {"error": f"{type(e).__name__}: {e}"}
-    if n == N and os.environ.get("SPARK_GRAFT_SCALE_TPUT", "1") != "0":
-        # query-batch throughput scaling: same corpus/profile, 5x the
+    if n in (N, N100) and os.environ.get("SPARK_GRAFT_SCALE_TPUT", "1") != "0":
+        # query-batch throughput scaling: same corpus/profile, a bigger
         # query batch at one config (k=10, bound=10%). The driver loop
         # and per-stage job overhead are per-BATCH costs, so ms/query
         # must fall as nq grows — the property that makes the
         # stage-synchronous design a throughput engine at cluster
-        # scale, not a per-query latency engine.
+        # scale, not a per-query latency engine. At 100M this is the
+        # batch-amortized point comparable to the reference's
+        # distributed mode (8000 queries/round, dist/worker.cpp:248).
         try:
-            k_t, bound_t = 10, 0.10
+            # the calibrated grid differs per tier: (10, 0.10) exists at
+            # 1M; the >=10M diagonal calibrates (10, 0.01) instead
+            k_t, bound_t = (10, 0.10) if n == N else (10, 0.01)
             p = params[(k_t, bound_t)]
             ep.multipler, ep.std_m = p["multipler"], p["std_m"]
-            nq_big = 5 * N_TEST
+            nq_big = 5 * N_TEST if n == N else 2 * N_TEST
             big = spark.createDataFrame(
                 _gen_queries_pdf(13, nq_big, 40_000_000)
             ).cache()
@@ -747,6 +765,30 @@ def run(spark, configs=None, n: int = N) -> dict:
             )
         except Exception as e:
             out["ivfpq_default"] = {"error": f"{type(e).__name__}: {e}"}
+
+    # cold-PAGE-CACHE grid (VERDICT r04 Next #6), big tiers only, LAST
+    # on purpose: the 100M index (~37 GB) exceeds what a restarted
+    # process has warm, so the IO-bound pass is the honest worst case
+    # vs the baseline's in-RAM index — but it must not conflate (a)
+    # JVM/JIT warm-up (runs after the steady-state grid, warm-up
+    # search done above) or (b) contaminate the throughput section's
+    # cache state (runs after it). Drop the OS page cache (root-only;
+    # skipped gracefully elsewhere) and rerun the grid from disk.
+    if n >= BIG_N and os.environ.get("SPARK_GRAFT_SCALE_COLD", "1") == "1":
+        try:
+            os.sync()
+            with open("/proc/sys/vm/drop_caches", "w") as f:
+                f.write("3\n")
+            cold_results, cold_lat = config_grid()
+            out["cold_page_cache"] = {
+                "configs": cold_results,
+                "ms_per_query_mean": round(float(np.mean(cold_lat)), 3),
+                "ms_per_query_worst": round(float(np.max(cold_lat)), 3),
+                "all_bounds_hold": all(v["holds"] for v in cold_results.values()),
+                "note": "grid rerun after drop_caches (JIT warm); index read from disk",
+            }
+        except OSError as e:
+            out["cold_page_cache"] = {"skipped": f"{type(e).__name__}: {e}"}
     return out
 
 

@@ -41,6 +41,15 @@ def _fake_out(n_queries: int) -> dict:
             "ms_per_query_worst": 30.0,
             "all_bounds_hold": True,
             "rows_per_core": 3125000,
+            # r05 subsections must still fit the 2000-char tail
+            "cold_page_cache": {
+                "configs": {},
+                "ms_per_query_mean": 30.0,
+                "ms_per_query_worst": 45.0,
+                "all_bounds_hold": True,
+            },
+            "throughput": {"nq": 10000, "ms_per_query": 15.0, "qps": 66.0},
+            "ivfpq_default": {"ms_per_query": 9.8, "recall_at_10": 0.914},
         },
     }
 
