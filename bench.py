@@ -73,12 +73,14 @@ def main() -> None:
     # bounded-search batch)
     nq = emb.filter("vec_id % 20 = 0").count()
     derived = {"n_queries": nq}
-    if "bounded_knn_mixed_acc" in warm and nq:
+    # r05 consolidation: bounded_knn = fixed + mixed tag-union (2
+    # batches of nq queries each); exact_knn = l2 + ip union (ditto)
+    if "bounded_knn" in warm and nq:
         derived["bounded_search_ms_per_query"] = round(
-            warm["bounded_knn_mixed_acc"] / nq * 1000.0, 2
+            warm["bounded_knn"] / (2 * nq) * 1000.0, 2
         )
-    if "exact_knn_l2" in warm and nq:
-        derived["exact_knn_qps"] = round(nq / warm["exact_knn_l2"], 1)
+    if "exact_knn" in warm and nq:
+        derived["exact_knn_qps"] = round(2 * nq / warm["exact_knn"], 1)
 
     out = {
         "metric": "headline_query_wall_time",
