@@ -93,6 +93,7 @@ class IVFPQIndex(IVFIndex):
         vec_col: str = "vec",
         pq: ProductQuantizer | None = None,
         opq: bool = False,
+        assigned: DataFrame | None = None,
     ) -> "IVFPQIndex":
         """``pq``: pre-built codebooks skip sampled-k-means training —
         used for seeded deterministic codebooks that a SQL oracle can
@@ -103,16 +104,35 @@ class IVFPQIndex(IVFIndex):
         rotation-invariant — R(x−c) = Rx − Rc — so the inverted lists
         are identical to the unrotated build; only code quality
         changes. The stored centroids are rotated so every query-side
-        term (coarse rank, term1/term2, LUTs) lives in code space."""
+        term (coarse rank, term1/term2, LUTs) lives in code space.
+
+        ``assigned``: a pre-assigned (id, vec, list_no) frame — e.g. a
+        built IVF-Flat index's ``idx.data`` — skips the full-corpus
+        nearest-centroid pass (the dominant build flop at 100M:
+        ~2·10¹⁶ for nlist=1024·d96) and guarantees the compressed
+        lists match the flat index's row for row, the "re-encode an
+        existing index's lists" maintenance op. ``centroids`` is
+        required and must be the quantizer that produced the
+        assignment."""
         spark = base.sparkSession
-        b = base.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
-        if centroids is None:
-            centroids, _ = train_kmeans(
-                b, nlist, metric=metric, max_iter=kmeans_iter, seed=seed,
-                spherical=(metric == Metric.IP),
+        if assigned is not None:
+            if centroids is None:
+                raise ValueError("assigned= requires the matching centroids")
+            centroids = np.asarray(centroids, dtype=np.float64)
+            assigned = assigned.select(
+                F.col(id_col).alias("id"),
+                F.col(vec_col).alias("vec"),
+                F.col("list_no").cast("int").alias("list_no"),
             )
-        centroids = np.asarray(centroids, dtype=np.float64)
-        assigned = assign_lists(b, centroids, metric)
+        else:
+            b = base.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+            if centroids is None:
+                centroids, _ = train_kmeans(
+                    b, nlist, metric=metric, max_iter=kmeans_iter, seed=seed,
+                    spherical=(metric == Metric.IP),
+                )
+            centroids = np.asarray(centroids, dtype=np.float64)
+            assigned = assign_lists(b, centroids, metric)
 
         rotation = None
         if opq:

@@ -167,3 +167,38 @@ def test_sq_optim_rangestat_beats_quantiles(spark, base_df, tiny_vectors):
     inside = (x64 >= opt.vmin) & (x64 <= opt.vmin + opt.vdiff)
     err = np.abs(dec - x64)
     assert np.all(err[inside] <= np.broadcast_to(step, err.shape)[inside] * 1.01)
+
+
+def test_ivfpq_build_from_preassigned_lists(base_df, query_df, tiny_vectors):
+    """build(assigned=flat.data) must produce the same index as a
+    normal build with the same centroids — the 're-encode an existing
+    IVF index's lists' path that skips the full-corpus assignment
+    GEMM (the dominant build flop at 100M)."""
+    import numpy as np
+
+    from auncel_spark.index.ivf import IVFIndex
+    from auncel_spark.index.ivfpq import IVFPQIndex
+
+    xb, _ = tiny_vectors
+    nlist = 8
+    cents = xb[:nlist].astype(np.float64)
+    flat = IVFIndex.build(base_df, nlist=nlist, centroids=cents)
+    a = IVFPQIndex.build(base_df, nlist=nlist, M=4, centroids=cents, seed=3)
+    # share a.pq so the parity check isolates the assignment path
+    # (sampled PQ training is order-sensitive across lineages)
+    b = IVFPQIndex.build(
+        base_df, nlist=nlist, M=4, centroids=cents, seed=3,
+        pq=a.pq, assigned=flat.data,
+    )
+    rows_a = {
+        (r["id"], r["list_no"]): bytes(r["code"]) for r in a.data.collect()
+    }
+    rows_b = {
+        (r["id"], r["list_no"]): bytes(r["code"]) for r in b.data.collect()
+    }
+    assert rows_a == rows_b
+    ra = a.search(query_df, 5, nlist).collect()
+    rb = b.search(query_df, 5, nlist).collect()
+    assert {(r["qid"], r["pos"], r["id"]) for r in ra} == {
+        (r["qid"], r["pos"], r["id"]) for r in rb
+    }
