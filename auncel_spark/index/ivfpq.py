@@ -94,6 +94,7 @@ class IVFPQIndex(IVFIndex):
         pq: ProductQuantizer | None = None,
         opq: bool = False,
         assigned: DataFrame | None = None,
+        encode_gemm: bool = False,
     ) -> "IVFPQIndex":
         """``pq``: pre-built codebooks skip sampled-k-means training —
         used for seeded deterministic codebooks that a SQL oracle can
@@ -119,6 +120,20 @@ class IVFPQIndex(IVFIndex):
             if centroids is None:
                 raise ValueError("assigned= requires the matching centroids")
             centroids = np.asarray(centroids, dtype=np.float64)
+            if "list_no" not in assigned.columns:
+                raise ValueError("assigned= frame must carry a list_no column")
+            # cheap misuse guard (ADVICE r05): a quantizer mismatch
+            # otherwise produces residuals against the WRONG centroids
+            # (silent quality loss) or an IndexError deep in
+            # _residual_df, far from the misuse site. One metadata-ish
+            # aggregate over the assignment column is negligible next
+            # to the encode pass it precedes.
+            mx = assigned.agg(F.max("list_no"), F.min("list_no")).first()
+            if mx[0] is not None and (mx[0] >= len(centroids) or mx[1] < 0):
+                raise ValueError(
+                    f"assigned list_no range [{mx[1]}, {mx[0]}] incompatible "
+                    f"with nlist={len(centroids)} quantizer"
+                )
             assigned = assigned.select(
                 F.col(id_col).alias("id"),
                 F.col(vec_col).alias("vec"),
@@ -146,7 +161,7 @@ class IVFPQIndex(IVFIndex):
             res = rot.apply(res, vec_col="rvec")
             if pq is None:
                 pq = ProductQuantizer.train(res, M=M, nbits=nbits, vec_col="rvec", seed=seed)
-            coded = pq.encode(res, vec_col="rvec")
+            coded = pq.encode(res, vec_col="rvec", gemm=encode_gemm)
             centroids = centroids @ rotation.T
         else:
             # train PQ on (residual) vectors, then encode distributed
@@ -157,9 +172,12 @@ class IVFPQIndex(IVFIndex):
                     train_src = assigned
                 pq = ProductQuantizer.train(train_src, M=M, nbits=nbits, vec_col="vec" if not by_residual else "rvec", seed=seed)
             if by_residual:
-                coded = pq.encode(_residual_df(assigned, centroids), vec_col="rvec")
+                coded = pq.encode(
+                    _residual_df(assigned, centroids), vec_col="rvec",
+                    gemm=encode_gemm,
+                )
             else:
-                coded = pq.encode(assigned)
+                coded = pq.encode(assigned, gemm=encode_gemm)
 
         idx = cls(spark, centroids, pq, path, metric, by_residual, rotation=rotation)
         coded = coded.select("id", "code", "list_no")

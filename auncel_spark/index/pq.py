@@ -89,13 +89,23 @@ class ProductQuantizer:
 
     # --- numpy kernels ---------------------------------------------------
 
-    def encode_np(self, x: np.ndarray) -> np.ndarray:
+    def encode_np(self, x: np.ndarray, gemm: bool = False) -> np.ndarray:
+        """Per-subspace argmin encode. ``gemm=False`` (default) uses the
+        exact |s − c|² broadcast — bit-matched to the SQL oracles'
+        list_distance replay, but it materializes an (n, ksub, dsub)
+        block per subspace (~800 MB at 64k-row Arrow batches).
+        ``gemm=True`` uses argmin(|c|² − 2·s·cᵀ) — same argmin up to
+        float rounding on near-ties, O(n·ksub) memory and BLAS-bound;
+        the big-tier build path (10⁸-row encodes) sets it."""
         n = x.shape[0]
         codes = np.empty((n, self.M), dtype=np.uint8)
         for m in range(self.M):
             sub = x[:, m * self.dsub : (m + 1) * self.dsub]
             cb = self.codebooks[m]
-            d = ((sub[:, None, :] - cb[None, :, :]) ** 2).sum(-1)
+            if gemm:
+                d = (cb * cb).sum(-1)[None, :] - 2.0 * (sub @ cb.T)
+            else:
+                d = ((sub[:, None, :] - cb[None, :, :]) ** 2).sum(-1)
             codes[:, m] = d.argmin(axis=1)
         return codes
 
@@ -126,7 +136,13 @@ class ProductQuantizer:
 
     # --- Spark codecs ----------------------------------------------------
 
-    def encode(self, df: DataFrame, vec_col: str = "vec", code_col: str = "code") -> DataFrame:
+    def encode(
+        self,
+        df: DataFrame,
+        vec_col: str = "vec",
+        code_col: str = "code",
+        gemm: bool = False,
+    ) -> DataFrame:
         from pyspark.sql import types as T
 
         bc = df.sparkSession.sparkContext.broadcast(self.codebooks)
@@ -140,7 +156,7 @@ class ProductQuantizer:
                 if pdf.empty:
                     continue
                 mat = np.array(list(pdf[vec_col]), dtype=np.float64)
-                codes = pq.encode_np(mat)
+                codes = pq.encode_np(mat, gemm=gemm)
                 yield pdf.assign(**{code_col: [bytes(c) for c in codes]})
 
         return df.mapInPandas(work, schema=schema)

@@ -136,10 +136,22 @@ def main() -> None:
     # the full record is the committed file; the driver's stdout
     # capture keeps only the LAST 2000 chars (BENCH_r02/r03's long
     # lines were tail-truncated and failed its JSON parse), so stdout
-    # gets a compacted line that always fits that window
+    # gets a compacted line that always fits that window.
+    # BENCH_LOCAL.json is written ONLY under SPARK_GRAFT_WRITE_LOCAL=1
+    # (the builder's final run sets it): the driver's own bench run
+    # used to clobber the committed record and leave the tree dirty
+    # (VERDICT r05 Wrong #3) — it keeps a full timestamped record in
+    # the gitignored BENCH_RUNS dir instead.
     try:
-        with open(os.path.join(_REPO, "BENCH_LOCAL.json"), "w") as f:
-            f.write(line + "\n")
+        if os.environ.get("SPARK_GRAFT_WRITE_LOCAL") == "1":
+            with open(os.path.join(_REPO, "BENCH_LOCAL.json"), "w") as f:
+                f.write(line + "\n")
+        else:
+            runs_dir = os.path.join(_REPO, "BENCH_RUNS")
+            os.makedirs(runs_dir, exist_ok=True)
+            stamp = time.strftime("%Y%m%dT%H%M%S")
+            with open(os.path.join(runs_dir, f"bench_{stamp}.json"), "w") as f:
+                f.write(line + "\n")
     except OSError:
         pass
     print(_compact_line(out))
@@ -166,8 +178,13 @@ def _compact_scale(s: dict) -> dict:
         out["tput_ms_q"] = tput.get("ms_per_query")
     pqd = s.get("ivfpq_default")
     if isinstance(pqd, dict) and "ms_per_query" in pqd:
-        out["ivfpq_ms_q"] = pqd.get("ms_per_query")
+        out["ivfpq_ms_q"] = pqd.get("ms_per_query")  # median over n_runs
         out["ivfpq_recall"] = pqd.get("recall_at_10")
+        if "ms_per_query_min" in pqd:
+            out["ivfpq_ms_min"] = pqd.get("ms_per_query_min")
+            out["ivfpq_n_runs"] = pqd.get("n_runs")
+    if s.get("grid_runs_per_config", 1) > 1:
+        out["grid_runs"] = s["grid_runs_per_config"]
     return out
 
 

@@ -390,15 +390,24 @@ def bound_satisfaction(res_pdf, gt: np.ndarray, k: int) -> float:
 
 
 def ensure_ivfpq(
-    spark, cache: Path, base_path: str, centroids: np.ndarray, M: int = 8,
-    opq: bool = False,
+    spark, cache: Path, base_path: str | None, centroids: np.ndarray, M: int = 8,
+    opq: bool = False, assigned_df=None,
 ):
     """IVF1024,PQ{M} over the same corpus, reusing the Flat index's
     coarse quantizer (so the only cold cost is PQ training on a sample
     + one encode pass). Codes are M bytes/row vs 384 for raw d96
     float32 — the 100 TB storage argument, exercised at 1M. ``opq``
     adds the OPQ pre-rotation (faiss "OPQ{M},IVF,PQ{M}") — same lists,
-    better codes, one extra sample-train + the same encode pass."""
+    better codes, one extra sample-train + the same encode pass.
+
+    ``base_path=None`` (the >BIG_N tiers, where the raw corpus is never
+    materialized): build from ``assigned_df`` — the Flat index's
+    (id, vec, list_no) lists — via ``IVFPQIndex.build(assigned=)``,
+    which skips the 2·10¹⁶-flop re-assignment pass and guarantees the
+    compressed lists mirror the flat ones row for row. The encode uses
+    the GEMM argmin kernel (O(n·ksub) memory; the exact-broadcast
+    kernel allocates ~800 MB per 64k-row batch per subspace — fine at
+    1M, an OOM risk × 32 workers at 100M)."""
     from auncel_spark.index.ivfpq import IVFPQIndex
 
     name = ("ivfpq" if M == 8 else f"ivfpq_m{M}") + ("_opq" if opq else "")
@@ -406,10 +415,18 @@ def ensure_ivfpq(
     if (cache / name / "meta.json").exists():
         return IVFPQIndex.load(spark, pq_path), 0.0
     t0 = time.perf_counter()
-    base = spark.read.parquet(base_path)
-    idx = IVFPQIndex.build(
-        base, nlist=NLIST, M=M, centroids=centroids, path=pq_path, opq=opq
-    )
+    if base_path is None:
+        if assigned_df is None:
+            raise ValueError("big-tier PQ build needs assigned_df (flat lists)")
+        idx = IVFPQIndex.build(
+            assigned_df, nlist=NLIST, M=M, centroids=centroids, path=pq_path,
+            opq=opq, assigned=assigned_df, encode_gemm=True,
+        )
+    else:
+        base = spark.read.parquet(base_path)
+        idx = IVFPQIndex.build(
+            base, nlist=NLIST, M=M, centroids=centroids, path=pq_path, opq=opq
+        )
     return idx, time.perf_counter() - t0
 
 
@@ -522,10 +539,32 @@ def run_ivfpq(spark, cache: Path, base_path: str, flat_idx, gt: np.ndarray, test
 # pairs (one streamed base scan, no shuffle), and (c) nprobe=16 is
 # tried first — at 10M the extra lists of np32 almost never crack the
 # ADC top-k·kf (recall was nprobe-invariant in the OPQ runs).
+# r06: kf32/kf64 rungs added BELOW the r05 winner (np16/kf128,
+# recall 0.9144) — k·k_factor is both the per-task top-k state width
+# and the refine pool size, so a passing kf64 halves the two dominant
+# costs; the cached ladder walk was regenerated on the r05 row-major
+# fp32 kernel (VERDICT r05 Next #8).
 PQ_LADDER_10M = [
+    {"M": 16, "opq": False, "nprobe": 16, "k_factor": 32},
+    {"M": 16, "opq": False, "nprobe": 16, "k_factor": 64},
     {"M": 16, "opq": False, "nprobe": 16, "k_factor": 128},
     {"M": 16, "opq": False, "nprobe": 32, "k_factor": 128},
     {"M": 16, "opq": False, "nprobe": 32, "k_factor": 256},
+]
+
+# 100M ladder (VERDICT r05 Next #2): the compressed path at the tier
+# where it IS the 100 TB story — codes are 16-32 bytes/row vs 384.
+# M16's code distortion is scale-independent but true neighborhoods
+# are 10× denser than at 10M (where M16/np16/kf128 measured 0.9144),
+# so the refine pool may need more candidates (kf256) or finer codes
+# (M32, still 12× under raw vectors) — each rung is measured and
+# recorded; the walk stops at the first ≥0.9.
+PQ_LADDER_100M = [
+    {"M": 16, "opq": False, "nprobe": 16, "k_factor": 128},
+    {"M": 16, "opq": False, "nprobe": 16, "k_factor": 256},
+    {"M": 16, "opq": False, "nprobe": 32, "k_factor": 256},
+    {"M": 32, "opq": False, "nprobe": 16, "k_factor": 128},
+    {"M": 32, "opq": False, "nprobe": 32, "k_factor": 256},
 ]
 
 # float32 ADC arithmetic at scale (r05): matches the reference
@@ -537,29 +576,63 @@ SCALE_ADC_FP32 = True
 
 
 def run_ivfpq_default(
-    spark, cache: Path, base_path: str, flat_idx, gt: np.ndarray, test
+    spark, cache: Path, base_path: str | None, flat_idx, gt: np.ndarray, test,
+    ladder=None, n_runs: int | None = None,
 ) -> dict:
-    """The 10M compressed-path default: walk PQ_LADDER_10M cheapest
+    """The per-tier compressed-path default: walk the ladder cheapest
     first, stop at the first config with exact-refine recall@10 ≥
     target, cache the choice, and re-measure only the chosen point on
     warm reruns. Reports every attempt so the documented default is
-    per-scale and evidence-backed (reference comparator README.md §3)."""
+    per-scale and evidence-backed (reference comparator README.md §3).
+
+    The chosen point is re-measured ``n_runs`` times per bench run and
+    the reported ms_per_query is the MEDIAN (min and the raw list ride
+    beside it): r05's gate-visible number was a single 30.3 ms sample
+    on a box that measured 10.7 and 12.3 for the same code/config the
+    same day — one host IO window must not flip the verdict
+    (VERDICT r05 Wrong #1 / Next #1,#7).
+
+    The refine base: raw parquet at ≤10M (persisted in Spark memory —
+    the reference's IndexRefineFlat holds the flat vectors in RAM, so
+    in-memory parity is the honest protocol, and it removes the 3.8 GB
+    per-measure re-read that made the number an IO lottery); at 100M
+    the flat index's own lists serve as the refine source, page-cache
+    resident (38 GB does not fit the 24g JVM)."""
     k = 10
-    base = spark.read.parquet(base_path)
+    if n_runs is None:
+        n_runs = int(os.environ.get("SPARK_GRAFT_PQ_RUNS", "3"))
+    if base_path is not None:
+        base = spark.read.parquet(base_path)
+        base = base.persist()
+        base.count()
+    else:
+        base = flat_idx.data.select("id", "vec")
+    ladder = ladder or PQ_LADDER_10M
+    assigned_df = flat_idx.data if base_path is None else None
     esc_path = cache / "pq_default_ladder.json"
+
+    pq_cache: dict[tuple[int, bool], object] = {}
+
+    def get_pq(cand):
+        key = (cand["M"], cand["opq"])
+        if key not in pq_cache:
+            pq, build_s = ensure_ivfpq(
+                spark, cache, base_path, flat_idx.centroids, cand["M"],
+                opq=cand["opq"], assigned_df=assigned_df,
+            )
+            pq.adc_fp32 = SCALE_ADC_FP32
+            pq.data.count()
+            pq_cache[key] = (pq, build_s)
+        return pq_cache[key]
+
     if esc_path.exists():
         with open(esc_path) as f:
             saved = json.load(f)
         attempts, chosen = saved["attempts"], saved["chosen"]
     else:
         attempts, chosen = [], None
-        for cand in PQ_LADDER_10M:
-            pq, build_s = ensure_ivfpq(
-                spark, cache, base_path, flat_idx.centroids, cand["M"],
-                opq=cand["opq"],
-            )
-            pq.adc_fp32 = SCALE_ADC_FP32
-            pq.data.count()
+        for cand in ladder:
+            pq, build_s = get_pq(cand)
             pt = _refine_point(
                 pq, base, test, gt, k, cand["nprobe"], cand["k_factor"]
             )
@@ -571,22 +644,28 @@ def run_ivfpq_default(
                 chosen = cand
                 break
         if chosen is None:
-            chosen = PQ_LADDER_10M[-1]
+            chosen = ladder[-1]
         with open(esc_path, "w") as f:
             json.dump({"attempts": attempts, "chosen": chosen}, f)
 
-    pq, build_s = ensure_ivfpq(
-        spark, cache, base_path, flat_idx.centroids, chosen["M"],
-        opq=chosen["opq"],
-    )
-    pq.adc_fp32 = SCALE_ADC_FP32
-    pq.data.count()
+    pq, build_s = get_pq(chosen)
     t0 = time.perf_counter()
     pq.search(test, k, chosen["nprobe"]).toPandas()
     adc_ms = round((time.perf_counter() - t0) / N_TEST * 1000.0, 3)
-    pt = _refine_point(
-        pq, base, test, gt, k, chosen["nprobe"], chosen["k_factor"]
-    )  # fresh timing each bench run
+    pts = [
+        _refine_point(pq, base, test, gt, k, chosen["nprobe"], chosen["k_factor"])
+        for _ in range(max(1, n_runs))
+    ]  # fresh timings each bench run; recall is deterministic
+    runs = sorted(p["ms_per_query"] for p in pts)
+    pt = {
+        "ms_per_query": runs[len(runs) // 2] if len(runs) % 2 else round(
+            (runs[len(runs) // 2 - 1] + runs[len(runs) // 2]) / 2.0, 3
+        ),
+        "ms_per_query_min": runs[0],
+        "ms_per_query_runs": runs,
+        "n_runs": len(runs),
+        "recall_at_10": pts[0]["recall_at_10"],
+    }
     out = {
         **chosen,
         "code_bytes": chosen["M"],
@@ -598,6 +677,8 @@ def run_ivfpq_default(
     }
     if build_s:
         out["cold_build_sec"] = round(build_s, 2)
+    if base_path is not None:
+        base.unpersist()
     return out
 
 
@@ -635,6 +716,54 @@ def run_effect_time(spark, ep, gt, test) -> dict:
     }
 
 
+def _telemetry(spark) -> dict:
+    """Process-state snapshot (VERDICT r05 Next #3): JVM heap + GC
+    totals via py4j MXBeans (local mode: driver JVM == the executor)
+    and the resident size of the pyspark worker/daemon pool from /proc.
+    Taken before/after each tier so an in-bench vs standalone latency
+    gap can be attributed (heap pressure / GC time / leaked workers)
+    rather than guessed at."""
+    out: dict = {}
+    try:
+        jvm = spark.sparkContext._jvm
+        rt = jvm.java.lang.Runtime.getRuntime()
+        out["jvm_used_mb"] = int((rt.totalMemory() - rt.freeMemory()) / 1e6)
+        out["jvm_total_mb"] = int(rt.totalMemory() / 1e6)
+        beans = jvm.java.lang.management.ManagementFactory.getGarbageCollectorMXBeans()
+        gc_ms = gc_n = 0
+        for i in range(beans.size()):
+            b = beans.get(i)
+            gc_ms += b.getCollectionTime()
+            gc_n += b.getCollectionCount()
+        out["gc_ms_total"] = int(gc_ms)
+        out["gc_count"] = int(gc_n)
+    except Exception as e:  # telemetry must never fail the bench
+        out["jvm_err"] = f"{type(e).__name__}: {e}"
+    try:
+        rss = nw = 0
+        for pid in os.listdir("/proc"):
+            if not pid.isdigit():
+                continue
+            try:
+                with open(f"/proc/{pid}/cmdline", "rb") as f:
+                    cmd = f.read().decode(errors="replace")
+                if "pyspark.daemon" in cmd or "pyspark.worker" in cmd:
+                    with open(f"/proc/{pid}/statm") as f:
+                        rss += int(f.read().split()[1]) * 4096
+                    nw += 1
+            except OSError:
+                continue
+        out["py_workers"] = nw
+        out["py_workers_rss_mb"] = int(rss / 1e6)
+        with open("/proc/meminfo") as f:
+            mem = {l.split(":")[0]: l.split()[1] for l in f if ":" in l}
+        out["page_cache_mb"] = int(int(mem.get("Cached", 0)) / 1024)
+        out["mem_available_mb"] = int(int(mem.get("MemAvailable", 0)) / 1024)
+    except Exception as e:
+        out["proc_err"] = f"{type(e).__name__}: {e}"
+    return out
+
+
 def run(spark, configs=None, n: int = N) -> dict:
     cache = _cache_dir(n)
     cache.mkdir(parents=True, exist_ok=True)
@@ -665,24 +794,45 @@ def run(spark, configs=None, n: int = N) -> dict:
     test = spark.createDataFrame(_gen_queries_pdf(11, N_TEST, 20_000_000)).cache()
     test.count()
 
-    def config_grid() -> tuple[dict, list]:
+    def config_grid(repeats: int = 1) -> tuple[dict, list]:
+        """One pass over the calibrated (k, bound) grid; with
+        ``repeats`` > 1, every config is timed that many times and the
+        reported ms_per_query is the MEDIAN (bounds are deterministic
+        and checked on every run) — the variance armor of VERDICT r05
+        Next #7: a single host IO window must not set the record."""
         results, lat = {}, []
         for k, bound in configs or (CONFIGS if n == N else CONFIGS_10M):
             p = params[(k, bound)]
             ep.multipler, ep.std_m = p["multipler"], p["std_m"]
-            t0 = time.perf_counter()
-            res, info = ep.search(test, k, require_acc=1.0 - bound, return_info=True)
-            pdf = res.toPandas()
-            wall = time.perf_counter() - t0
-            minf = bound_satisfaction(pdf, gt, k)
-            ms_q = wall / N_TEST * 1000.0
+            runs, minfs, nprobes = [], [], []
+            for _ in range(max(1, repeats)):
+                t0 = time.perf_counter()
+                res, info = ep.search(
+                    test, k, require_acc=1.0 - bound, return_info=True
+                )
+                pdf = res.toPandas()
+                wall = time.perf_counter() - t0
+                runs.append(wall / N_TEST * 1000.0)
+                minfs.append(bound_satisfaction(pdf, gt, k))
+                nprobes.append(float(info["nprobe"].mean()))
+            runs_s = sorted(runs)
+            ms_q = (
+                runs_s[len(runs_s) // 2]
+                if len(runs_s) % 2
+                else (runs_s[len(runs_s) // 2 - 1] + runs_s[len(runs_s) // 2]) / 2.0
+            )
+            minf = min(minfs)
             lat.append(ms_q)
-            results[f"k{k}_b{int(bound * 100)}"] = {
+            rec = {
                 "ms_per_query": round(ms_q, 3),
                 "bound_satisfaction": round(minf, 4),
                 "holds": bool(minf >= 1.0 - bound - 1e-9),
-                "mean_nprobe": round(float(info["nprobe"].mean()), 1),
+                "mean_nprobe": round(nprobes[0], 1),
             }
+            if len(runs_s) > 1:
+                rec["ms_per_query_min"] = round(runs_s[0], 3)
+                rec["ms_per_query_runs"] = [round(x, 3) for x in runs_s]
+            results[f"k{k}_b{int(bound * 100)}"] = rec
         return results, lat
 
     # warm-up, UNTIMED: footers/page cache (count) plus one throwaway
@@ -698,7 +848,10 @@ def run(spark, configs=None, n: int = N) -> dict:
     ep.multipler, ep.std_m = p["multipler"], p["std_m"]
     ep.search(test, k_w, require_acc=1.0 - bound_w).count()
 
-    results, lat = config_grid()
+    out["telemetry_start"] = _telemetry(spark)
+    repeats = int(os.environ.get("SPARK_GRAFT_SCALE_REPEATS", "2"))
+    results, lat = config_grid(repeats=repeats)
+    out["grid_runs_per_config"] = max(1, repeats)
     out["configs"] = results
     out["ms_per_query_mean"] = round(float(np.mean(lat)), 3)
     out["ms_per_query_worst"] = round(float(np.max(lat)), 3)
@@ -761,7 +914,21 @@ def run(spark, configs=None, n: int = N) -> dict:
         # point at the documented default (full sweep lives at 1M)
         try:
             out["ivfpq_default"] = run_ivfpq_default(
-                spark, cache, base_path, idx, gt, test
+                spark, cache, base_path, idx, gt, test, ladder=PQ_LADDER_10M
+            )
+        except Exception as e:
+            out["ivfpq_default"] = {"error": f"{type(e).__name__}: {e}"}
+    if n == N100 and os.environ.get("SPARK_GRAFT_SCALE_PQ_100M", "1") != "0":
+        # the compressed path where it IS the 100 TB claim (VERDICT r05
+        # Next #2): codes built via build(assigned=) reusing the flat
+        # index's (id, list_no) — no re-assignment pass — and refined
+        # against the flat lists themselves (the raw corpus is never
+        # materialized at this tier)
+        try:
+            out["ivfpq_default"] = run_ivfpq_default(
+                spark, cache, None, idx, gt, test,
+                ladder=PQ_LADDER_100M,
+                n_runs=int(os.environ.get("SPARK_GRAFT_PQ_RUNS", "2")),
             )
         except Exception as e:
             out["ivfpq_default"] = {"error": f"{type(e).__name__}: {e}"}
@@ -775,20 +942,29 @@ def run(spark, configs=None, n: int = N) -> dict:
     # cache state (runs after it). Drop the OS page cache (root-only;
     # skipped gracefully elsewhere) and rerun the grid from disk.
     if n >= BIG_N and os.environ.get("SPARK_GRAFT_SCALE_COLD", "1") == "1":
+        # two nested try blocks (ADVICE r05): a failed drop_caches (no
+        # permission) is a SKIP; a Spark/Py4J failure inside the cold
+        # grid must be recorded as an error WITHOUT discarding the
+        # tier's already-computed steady-state results
         try:
             os.sync()
             with open("/proc/sys/vm/drop_caches", "w") as f:
                 f.write("3\n")
-            cold_results, cold_lat = config_grid()
-            out["cold_page_cache"] = {
-                "configs": cold_results,
-                "ms_per_query_mean": round(float(np.mean(cold_lat)), 3),
-                "ms_per_query_worst": round(float(np.max(cold_lat)), 3),
-                "all_bounds_hold": all(v["holds"] for v in cold_results.values()),
-                "note": "grid rerun after drop_caches (JIT warm); index read from disk",
-            }
         except OSError as e:
             out["cold_page_cache"] = {"skipped": f"{type(e).__name__}: {e}"}
+        else:
+            try:
+                cold_results, cold_lat = config_grid()
+                out["cold_page_cache"] = {
+                    "configs": cold_results,
+                    "ms_per_query_mean": round(float(np.mean(cold_lat)), 3),
+                    "ms_per_query_worst": round(float(np.max(cold_lat)), 3),
+                    "all_bounds_hold": all(v["holds"] for v in cold_results.values()),
+                    "note": "grid rerun after drop_caches (JIT warm); index read from disk",
+                }
+            except Exception as e:
+                out["cold_page_cache"] = {"error": f"{type(e).__name__}: {e}"}
+    out["telemetry_end"] = _telemetry(spark)
     return out
 
 
