@@ -418,9 +418,24 @@ def ensure_ivfpq(
     if base_path is None:
         if assigned_df is None:
             raise ValueError("big-tier PQ build needs assigned_df (flat lists)")
+        # pre-train the codebooks on a parquet-level sample: letting
+        # build() train internally would push the ENTIRE corpus through
+        # the residual mapInPandas just to sample 16k rows (the sample
+        # cannot cross a Python map)
+        from auncel_spark.index.ivfpq import _residual_df
+        from auncel_spark.index.pq import ProductQuantizer
+
+        n_rows = assigned_df.count()
+        samp = assigned_df.select("id", "vec", "list_no").sample(
+            fraction=min(1.0, 30_000 / max(1, n_rows)), seed=7
+        )
+        pq_trained = ProductQuantizer.train(
+            _residual_df(samp, np.asarray(centroids, dtype=np.float64)),
+            M=M, vec_col="rvec", seed=42,
+        )
         idx = IVFPQIndex.build(
             assigned_df, nlist=NLIST, M=M, centroids=centroids, path=pq_path,
-            opq=opq, assigned=assigned_df, encode_gemm=True,
+            opq=opq, assigned=assigned_df, pq=pq_trained, encode_gemm=True,
         )
     else:
         base = spark.read.parquet(base_path)
