@@ -932,8 +932,14 @@ def q_knn_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_time_bounded_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O28: latency-budgeted anytime search (reference time_tune mode,
-    eval/effect_time.cpp). Generous budget → full-quality results;
-    rows-only (wall-clock dependent by construction)."""
+    eval/effect_time.cpp). The anytime contract: budget → ∞ must
+    converge to the exact scan (the loop probes until budget or index
+    exhaustion, IndexIVF.cpp:545-549) — so under a generous budget the
+    staged output IS hash-exactly the exact-kNN oracle (VERDICT r05
+    Next #4: this was rows-only; r06 found the capped stage ladder
+    broke the convergence contract and fixed it). Tight-budget
+    satisfaction semantics stay pytest- and scale-bench-covered
+    (run_effect_time)."""
     ep, q = _fitted_profile(spark, sf_dir)
     res = ep.time_search(q, K, budget_ms=1e7)
     return res.select("qid", F.col("pos").cast("bigint").alias("pos"), "id")
@@ -1186,23 +1192,53 @@ def _laet_model(spark: SparkSession, sf_dir: str):
     return _cached(sf_dir, "laet", _build)
 
 
+LAET_TARGET = 0.9  # fit target_recall; the entry's asserted floor
+
+
 def q_laet_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B18: LAET-style learned termination — GBT-predicted per-query
-    probe budgets. Rows-only (learned model)."""
+    probe budgets. The per-query result rows aren't SQL-replayable (a
+    learned model picks nprobe), so the entry returns the method's OWN
+    correctness contract as an oracle-checkable assertion row
+    (VERDICT r05 Next #4, the bound_check pattern): mean
+    threshold-recall vs the exact scan ≥ the fit target
+    (``LAET/benchs/learned_termination/run.sh`` trains to a recall
+    target and reports achieved recall), plus the row-production
+    invariant n_result_rows = n_queries · K. Measured margin: mean
+    recall 1.0 at sf0.01 AND sf0.1 vs the 0.9 floor."""
+    from auncel_spark.operators.recall import threshold_recall
+
     q = _emb_queries(spark, sf_dir)
     lt = _laet_model(spark, sf_dir)
     res = lt.search(q, K)
-    return res.select("qid", F.col("pos").cast("bigint").alias("pos"), "id")
+    gt = knn_exact(q, _emb_base(spark, sf_dir), K, Metric.L2, STRATEGY).select(
+        "qid", "pos", F.col("id").alias("gt_id"), F.col("dist").alias("gt_dist")
+    )
+    mean_rec = threshold_recall(res, gt, K).agg(F.avg("recall")).first()[0]
+    n = q.count()
+    nrows = res.count()
+    return spark.createDataFrame(
+        [(int(n), int(nrows), bool(mean_rec >= LAET_TARGET))],
+        "n_queries bigint, n_result_rows bigint, recall_target_met boolean",
+    )
+
+
+HNSW_RECALL_FLOOR = 0.95  # asserted floor; measured 1.0 (sf0.01), 0.995 (sf0.1)
 
 
 def q_hnsw_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O12/B13: distributed sharded HNSW (per-shard graphs built in
     executors via applyInPandas, broadcast-queries search kernel,
-    window top-k merge — faiss IndexShards composition). Rows-only
-    (graph search isn't SQL-expressible)."""
+    window top-k merge — faiss IndexShards composition). Graph search
+    isn't SQL-expressible per row, so the entry returns the recall
+    contract as an oracle-checkable assertion row (VERDICT r05 Next
+    #4, the bound_check pattern; tests/test_index.py semantics): mean
+    threshold-recall vs the exact scan ≥ HNSW_RECALL_FLOOR, plus
+    n_result_rows = n_queries · K."""
     import tempfile
 
     from auncel_spark.index.hnsw import ShardedHNSWIndex
+    from auncel_spark.operators.recall import threshold_recall
 
     def _build():
         path = tempfile.mkdtemp(prefix="auncel_hnsw_")
@@ -1211,8 +1247,18 @@ def q_hnsw_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     h = _cached(sf_dir, "hnsw_sharded", _build)
-    res = h.search(_emb_queries(spark, sf_dir), K, ef_search=64)
-    return res.select("qid", F.col("pos").cast("bigint").alias("pos"), "id")
+    q = _emb_queries(spark, sf_dir)
+    res = h.search(q, K, ef_search=64)
+    gt = knn_exact(q, _emb_base(spark, sf_dir), K, Metric.L2, STRATEGY).select(
+        "qid", "pos", F.col("id").alias("gt_id"), F.col("dist").alias("gt_dist")
+    )
+    mean_rec = threshold_recall(res, gt, K).agg(F.avg("recall")).first()[0]
+    n = q.count()
+    nrows = res.count()
+    return spark.createDataFrame(
+        [(int(n), int(nrows), bool(mean_rec >= HNSW_RECALL_FLOOR))],
+        "n_queries bigint, n_result_rows bigint, recall_target_met boolean",
+    )
 
 
 def q_imi_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3418,7 +3464,25 @@ ORACLES: dict[str, str] = {
     "bounded_knn_bound_check": (
         _Q_CTE + "\nSELECT count(*) AS n_queries, true AS bound_holds FROM q"
     ),
-    # "time_bounded_knn", "laet_knn", "hnsw_knn": rows-only
+    # anytime contract: budget → ∞ converges to the exact scan, so the
+    # generous-budget entry replays hash-exactly as exact kNN
+    "time_bounded_knn": _ORACLE_KNN_L2,
+    # learned/graph methods: per-row results aren't SQL-replayable; the
+    # entries return their correctness contracts as assertion rows
+    # (the bound_check pattern) — the oracle states the contract and
+    # the row-production invariant n_result_rows = n_queries · K
+    "laet_knn": (
+        _Q_CTE
+        + f"\nSELECT count(*) AS n_queries,"
+        f" CAST(count(*) * {K} AS BIGINT) AS n_result_rows,"
+        " true AS recall_target_met FROM q"
+    ),
+    "hnsw_knn": (
+        _Q_CTE
+        + f"\nSELECT count(*) AS n_queries,"
+        f" CAST(count(*) * {K} AS BIGINT) AS n_result_rows,"
+        " true AS recall_target_met FROM q"
+    ),
     "imi_knn": _ORACLE_IMI,
     "multimodal_byte_features": _ORACLE_MULTIMODAL,
     "hamming_knn_sign": _ORACLE_HAMMING,

@@ -143,18 +143,25 @@ class _BitReader:
 
     def _fill(self) -> bool:
         b = self.buf
-        if self.pos >= len(b):
-            return False
-        c = b[self.pos]
-        if c == 0xFF:
+        while True:
+            if self.pos >= len(b):
+                return False
+            c = b[self.pos]
+            if c != 0xFF:
+                self.pos += 1
+                break
             nxt = b[self.pos + 1] if self.pos + 1 < len(b) else 0xD9
             if nxt == 0x00:
-                self.pos += 2
-            else:
-                self.marker = nxt
-                return False
-        else:
-            self.pos += 1
+                self.pos += 2  # stuffed data byte 0xFF
+                break
+            if nxt == 0xFF:
+                # spec-legal fill byte before a marker (T.81 B.1.1.2):
+                # any number of 0xFF may pad; only the last one starts
+                # the marker (ADVICE r05)
+                self.pos += 1
+                continue
+            self.marker = nxt
+            return False
         self.acc = (self.acc << 8) | c
         self.nbits += 8
         return True
@@ -173,7 +180,10 @@ class _BitReader:
         self.nbits = 0
         b = self.buf
         while self.pos + 1 < len(b):
-            if b[self.pos] == 0xFF and b[self.pos + 1] != 0x00:
+            if b[self.pos] == 0xFF and b[self.pos + 1] not in (0x00, 0xFF):
+                # FF00 is a stuffed data byte; FFFF is a fill byte
+                # before the real marker (T.81 B.1.1.2) — only the
+                # last 0xFF starts the marker
                 m = b[self.pos + 1]
                 self.pos += 2
                 self.marker = None
@@ -232,11 +242,15 @@ def _to_blocks(plane: np.ndarray) -> tuple[np.ndarray, int, int]:
 
 
 def encode_jpeg_bytes(
-    px: np.ndarray, quality: int = 90, subsample: bool = False
+    px: np.ndarray, quality: int = 90, subsample: bool = False,
+    restart_interval: int = 0,
 ) -> bytes:
     """(h, w) grayscale or (h, w, 3) RGB uint8 -> baseline JFIF bytes.
     ``subsample=True`` writes 4:2:0 (2x2 luma sampling), exercising the
-    decoder's interleaved-MCU path."""
+    decoder's interleaved-MCU path. ``restart_interval`` > 0 writes a
+    DRI segment and RSTn markers every that-many MCUs (DC predictors
+    reset, entropy stream byte-aligned — T.81 B.2.4.4/E.1.4), the
+    resync feature that makes partial/parallel decode possible."""
     if px.ndim == 2:
         px = px[:, :, None]
     h, w, nc = px.shape
@@ -309,8 +323,18 @@ def encode_jpeg_bytes(
         if last < 63:
             bwr.put(*ac_codes[0x00])  # EOB
 
+    mcu_count = 0
     for my in range(mcu_y):
         for mx in range(mcu_x):
+            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                # byte-align, emit RSTn (n cycles 0..7), reset DC preds
+                bwr.flush()
+                bwr.out += bytes(
+                    [0xFF, 0xD0 + (mcu_count // restart_interval - 1) % 8]
+                )
+                for ci in range(len(pred)):
+                    pred[ci] = 0
+            mcu_count += 1
             for ci, (hs, vs) in enumerate(samp):
                 bh, bw = comp_bw[ci]
                 for by in range(vs):
@@ -332,6 +356,8 @@ def encode_jpeg_bytes(
     out += seg(0xC0, sof)  # SOF0: baseline sequential DCT
     out += seg(0xC4, bytes([0x00]) + bytes(dc_bits) + bytes(dc_vals))
     out += seg(0xC4, bytes([0x10]) + bytes(ac_bits) + bytes(ac_vals))
+    if restart_interval:
+        out += seg(0xDD, struct.pack(">H", restart_interval))
     sos = bytes([len(planes)])
     for ci in range(len(planes)):
         sos += bytes([ci + 1, 0x00])
@@ -361,6 +387,11 @@ def decode_jpeg_bytes(raw: bytes) -> np.ndarray:
     while pos + 1 < len(raw):
         if raw[pos] != 0xFF:
             raise ValueError("marker expected")
+        # skip spec-legal 0xFF fill bytes before the marker id
+        # (T.81 B.1.1.2): FF FF ... FF xx is ONE marker xx (ADVICE r05
+        # — an FF FF pair was parsed as marker 0xFF + garbage length)
+        while pos + 1 < len(raw) and raw[pos + 1] == 0xFF:
+            pos += 1
         m = raw[pos + 1]
         pos += 2
         if m in (0xD8, 0x01) or 0xD0 <= m <= 0xD7:

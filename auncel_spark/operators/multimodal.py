@@ -27,6 +27,44 @@ from pyspark.sql import types as T
 
 N_FEATURES = 16
 
+# per-partition payload budget for the decode/extract kernels below
+_PAYLOAD_TARGET_BYTES = 64 << 20
+
+
+def bound_payload_partitions(
+    df: DataFrame,
+    payload_col: str = "payload",
+    target_bytes: int = _PAYLOAD_TARGET_BYTES,
+) -> DataFrame:
+    """Bound the payload BYTES a single Arrow batch can materialize.
+
+    The session sets arrow.maxRecordsPerBatch=65536 for the vector
+    scan kernels — a ROW bound. For payload-bearing frames the bytes
+    are what matter: at ~1 MB/image a single 64k-row batch is ~64 GB,
+    an executor OOM at the 100 TB scale this module claims (ADVICE
+    r05). An Arrow batch never crosses a partition, so bounding the
+    per-partition payload volume bounds the batch: estimate bytes/row
+    from a 1k-row sample, then repartition so each partition carries
+    ~``target_bytes``. Costs one count() + the sample; a no-op when
+    the frame is already small enough. (At real 100 TB ingest the same
+    bound belongs at the source reader — e.g. binaryFile's
+    maxPartitionBytes — this guard covers frames synthesized or
+    re-shaped mid-pipeline.)"""
+    n = df.count()
+    if n == 0:
+        return df
+    avg_b = (
+        df.select(F.length(payload_col).alias("b"))
+        .limit(1024)
+        .agg(F.avg("b"))
+        .first()[0]
+    )
+    needed = int((int(avg_b or 1) * n) // target_bytes) + 1
+    cores = df.sparkSession.sparkContext.defaultParallelism
+    if needed > max(8, cores):
+        return df.repartition(needed)
+    return df
+
 
 def attach_binary_payload(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
@@ -93,7 +131,9 @@ def decode_image(
                 columns=["id", "ok", "width", "height", "n_channels", "px_sum"],
             )
 
-    return df.select(id_col, payload_col).mapInPandas(work, schema=schema)
+    return bound_payload_partitions(
+        df.select(id_col, payload_col), payload_col
+    ).mapInPandas(work, schema=schema)
 
 
 # --- PNG (real, dependency-free) ----------------------------------------
@@ -299,7 +339,9 @@ def decode_png(
                 columns=["id", "ok", "width", "height", "n_channels", "px_sum"],
             )
 
-    return df.select(id_col, payload_col).mapInPandas(work, schema=schema)
+    return bound_payload_partitions(
+        df.select(id_col, payload_col), payload_col
+    ).mapInPandas(work, schema=schema)
 
 
 def _bmp_pixels(raw: bytes) -> np.ndarray:
@@ -354,7 +396,9 @@ def decode_bmp(
                 columns=["id", "ok", "width", "height", "mean_b", "mean_g", "mean_r"],
             )
 
-    return df.select(id_col, payload_col).mapInPandas(work, schema=schema)
+    return bound_payload_partitions(
+        df.select(id_col, payload_col), payload_col
+    ).mapInPandas(work, schema=schema)
 
 
 def decode_wav(
@@ -408,7 +452,9 @@ def decode_wav(
                 columns=["id", "ok", "sample_rate", "n_channels", "n_samples", "rms"],
             )
 
-    return df.select(id_col, payload_col).mapInPandas(work, schema=schema)
+    return bound_payload_partitions(
+        df.select(id_col, payload_col), payload_col
+    ).mapInPandas(work, schema=schema)
 
 
 def extract_byte_features(
@@ -440,7 +486,9 @@ def extract_byte_features(
                 feats.append((hist / total if total else hist).astype(np.float32))
             yield pd.DataFrame({"id": pdf[id_col].to_numpy(), "feature": feats})
 
-    return df.select(id_col, payload_col).mapInPandas(work, schema=schema)
+    return bound_payload_partitions(
+        df.select(id_col, payload_col), payload_col
+    ).mapInPandas(work, schema=schema)
 
 
 def frame_sample(
@@ -472,4 +520,6 @@ def frame_sample(
                 {"id": ids, "frame_no": fnos, "offset": offs, "frame": frames}
             )
 
-    return df.select(id_col, payload_col).mapInPandas(work, schema=schema)
+    return bound_payload_partitions(
+        df.select(id_col, payload_col), payload_col
+    ).mapInPandas(work, schema=schema)

@@ -739,6 +739,16 @@ class ErrorProfile:
         per-query budget b has aggregate budget nq·b. Without it,
         millisecond-scale budgets are meaningless against a shared
         clock that already exceeds them after one distributed stage.
+
+        The stage ladder here is ``_all_stages()`` (doubling up to
+        nlist), NOT the trace-capped ``_stages()`` ladder of the
+        error-bounded mode: the time mode has no learned stop rule to
+        outgrow, and the reference's loop probes until the budget or
+        the index is exhausted (IndexIVF.cpp:545-549 checks only
+        elapsed-vs-budget, never a probe cap). Found in r06: with the
+        capped ladder an UNLIMITED budget retired at nprobe = nlist/8
+        and a generous-budget search returned recall 0.35 — anytime
+        semantics require budget → ∞ to converge to the exact scan.
         """
         qids, qmat, ranked, cdist, dtb = self._coarse(queries)
         nq = len(qids)
@@ -749,7 +759,7 @@ class ErrorProfile:
         active = np.ones(nq, dtype=bool)
         chosen = np.zeros(nq, dtype=np.int64)
         retired_ms = np.zeros(nq)
-        stages = self._stages()
+        stages = self._all_stages()  # full ladder — see docstring
         prev = 0
         t0 = _time.perf_counter()
         for s in stages:

@@ -227,6 +227,41 @@ def test_jpeg_odd_sizes_and_extreme_dc():
     assert np.abs(d.astype(float) - ext.astype(float)).mean() < 2.0
 
 
+def test_jpeg_ff_fill_bytes_before_markers():
+    """T.81 B.1.1.2: any number of 0xFF fill bytes may pad a marker —
+    FF FF ... FF xx is ONE marker xx. Third-party baseline JPEGs padded
+    this way must decode identically (ADVICE r05: the header loop read
+    FF FF as marker 0xFF + garbage length; _BitReader treated FF-FF in
+    the entropy segment as a marker)."""
+    from auncel_spark.operators.jpeg import decode_jpeg_bytes, encode_jpeg_bytes
+
+    gray = _smooth_gray()
+    raw = encode_jpeg_bytes(gray, quality=92)
+    ref = decode_jpeg_bytes(raw)
+
+    # fill bytes before a header segment marker (after SOI, before APP0)
+    padded_hdr = raw[:2] + b"\xff\xff\xff" + raw[2:]
+    np.testing.assert_array_equal(decode_jpeg_bytes(padded_hdr), ref)
+
+    # fill bytes before EOI — the entropy-segment bit reader must treat
+    # FF-FF as padding, not as a marker with id 0xFF
+    assert raw[-2:] == b"\xff\xd9"
+    padded_eoi = raw[:-2] + b"\xff\xff" + raw[-2:]
+    np.testing.assert_array_equal(decode_jpeg_bytes(padded_eoi), ref)
+
+    # fill bytes before every RSTn marker exercise align_to_marker
+    rst = encode_jpeg_bytes(gray, quality=92, restart_interval=2)
+    ref_rst = decode_jpeg_bytes(rst)
+    out = bytearray()
+    i = 0
+    while i < len(rst):
+        if rst[i] == 0xFF and i + 1 < len(rst) and 0xD0 <= rst[i + 1] <= 0xD7:
+            out += b"\xff"
+        out.append(rst[i])
+        i += 1
+    np.testing.assert_array_equal(decode_jpeg_bytes(bytes(out)), ref_rst)
+
+
 def test_jpeg_rejects_non_baseline_and_corrupt():
     import pytest as _pytest
 
