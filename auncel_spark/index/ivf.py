@@ -150,6 +150,55 @@ class IVFIndex:
             return self._data_df
         return self.spark.read.parquet(os.path.join(self.data_path, "lists"))
 
+    def prefetch(self, lists=None) -> None:
+        """Async page-cache readahead (POSIX_FADV_WILLNEED) for the
+        probed lists' parquet files, issued from a daemon thread at
+        search start. A disk-resident index otherwise serializes IO
+        stalls into the scan (r05 measured cold-cache 41 vs 27 ms/q
+        warm at 100M — ≈ the raw 37 GB read, unoverlapped); the stage
+        plan knows its probe set up front, so hinting the kernel lets
+        sequential readahead run at device bandwidth WHILE the early
+        stages compute. No-op when pages are already cached, when the
+        index is unpersisted, or on platforms without fadvise. On a
+        multi-node cluster this hint belongs executor-side next to the
+        scan task (node-local page caches); single-JVM local mode —
+        this bench — benefits directly from the driver."""
+        if self.data_path is None or not hasattr(os, "posix_fadvise"):
+            return
+        root = os.path.join(self.data_path, "lists")
+        targets = list(lists) if lists is not None else None
+
+        def _run():
+            try:
+                dirs = (
+                    [os.path.join(root, f"list_no={int(ln)}") for ln in targets]
+                    if targets is not None
+                    else [
+                        os.path.join(root, d)
+                        for d in os.listdir(root)
+                        if d.startswith("list_no=")
+                    ]
+                )
+                for d in dirs:
+                    if not os.path.isdir(d):
+                        continue
+                    for f in os.listdir(d):
+                        if not f.endswith(".parquet"):
+                            continue
+                        fd = os.open(os.path.join(d, f), os.O_RDONLY)
+                        try:
+                            os.posix_fadvise(
+                                fd, 0, 0, os.POSIX_FADV_WILLNEED
+                            )
+                        finally:
+                            os.close(fd)
+            except Exception:
+                pass  # readahead is best-effort by definition
+
+        import threading
+
+        threading.Thread(target=_run, daemon=True, name="ivf-prefetch").start()
+
     # --- coarse quantization (O6) ---------------------------------------
 
     def coarse_rank(self, qids: np.ndarray, qmat: np.ndarray, nprobe: int):
@@ -239,6 +288,7 @@ class IVFIndex:
             qids = qpdf["qid"].to_numpy(dtype=np.int64)
             qmat = np.array(list(qpdf["vec"]), dtype=np.float64)
             ranked, _ = self.coarse_rank(qids, qmat, nprobe)
+            self.prefetch(np.unique(ranked[:, :nprobe]))
             partial = scan_window(
                 self.data, qids, qmat, ranked, 0, nprobe, k, self.metric, self.nlist
             )

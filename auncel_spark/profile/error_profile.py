@@ -495,6 +495,11 @@ class ErrorProfile:
         )
 
         qids, qmat, ranked, cdist, dtb = self._coarse(queries)
+        # readahead for the whole reachable probe set: stage extensions
+        # (multipler/std_m) can touch any ranked list, and a
+        # disk-resident index otherwise serializes IO stalls into the
+        # staged scan (see IVFIndex.prefetch)
+        self.index.prefetch()
         nq = len(qids)
         acc = np.broadcast_to(np.asarray(require_acc, dtype=np.float64), (nq,)).copy()
         qpos = {int(q): i for i, q in enumerate(qids)}
@@ -751,6 +756,7 @@ class ErrorProfile:
         semantics require budget → ∞ to converge to the exact scan.
         """
         qids, qmat, ranked, cdist, dtb = self._coarse(queries)
+        self.index.prefetch()  # see search(): disk-resident readahead
         nq = len(qids)
         budget = np.broadcast_to(np.asarray(budget_ms, dtype=np.float64), (nq,)).copy()
         qpos = {int(q): i for i, q in enumerate(qids)}
