@@ -272,6 +272,30 @@ def test_jpeg_rejects_non_baseline_and_corrupt():
             decode_jpeg_bytes(bad)
 
 
+def test_bound_payload_partitions_splits_big_frames(spark):
+    """~1 MB payloads at 64k-row Arrow batches would materialize tens
+    of GB per batch (ADVICE r05); the bound must spread them so each
+    partition carries ~target_bytes, and must leave small frames'
+    partitioning alone."""
+    from pyspark.sql import functions as F
+
+    from auncel_spark.operators.multimodal import bound_payload_partitions
+
+    big = spark.range(512).select(
+        F.col("id"), F.expr("repeat('x', 100000)").cast("binary").alias("payload")
+    )
+    # 512 rows x 100 KB = ~51 MB at target 1 MB -> ~52 partitions
+    out = bound_payload_partitions(big, "payload", target_bytes=1 << 20)
+    nparts = out.rdd.getNumPartitions()
+    assert nparts >= 32, nparts
+    assert out.count() == 512
+    small = spark.range(64).select(
+        F.col("id"), F.expr("repeat('y', 16)").cast("binary").alias("payload")
+    )
+    before = small.rdd.getNumPartitions()
+    assert bound_payload_partitions(small, "payload").rdd.getNumPartitions() == before
+
+
 def test_decode_image_dispatches_by_magic(spark):
     """decode_image routes PNG / JPEG / BMP payloads by magic bytes in
     one frame and flags unknown magics ok=false."""

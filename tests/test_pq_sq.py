@@ -56,6 +56,21 @@ def test_pq_codes_deterministic(base_df, pq):
     assert c1 == c2
 
 
+def test_pq_gemm_encode_matches_exact(base_df, tiny_vectors, pq):
+    """The big-tier build path uses the GEMM argmin (|c|² − 2·s·cᵀ,
+    O(n·ksub) memory) instead of the exact |s − c|² broadcast; on
+    continuous data the argmin is identical (ties have measure zero).
+    Checked both as numpy kernels and through the DataFrame codec."""
+    xb, _ = tiny_vectors
+    np.testing.assert_array_equal(
+        pq.encode_np(xb.astype(np.float64), gemm=True),
+        pq.encode_np(xb.astype(np.float64)),
+    )
+    cg = {r["id"]: r["code"] for r in pq.encode(base_df, gemm=True).collect()}
+    ce = {r["id"]: r["code"] for r in pq.encode(base_df).collect()}
+    assert cg == ce
+
+
 def test_pq_knn_recall_vs_exact(base_df, query_df, tiny_vectors, pq):
     """ADC ranking must be a decent approximation (reference asserts
     IVFPQ accuracy vs brute force, test_index.py:20-539)."""
