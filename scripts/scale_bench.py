@@ -554,30 +554,37 @@ def run_ivfpq(spark, cache: Path, base_path: str, flat_idx, gt: np.ndarray, test
 # pairs (one streamed base scan, no shuffle), and (c) nprobe=16 is
 # tried first — at 10M the extra lists of np32 almost never crack the
 # ADC top-k·kf (recall was nprobe-invariant in the OPQ runs).
-# r06: kf32/kf64 rungs added BELOW the r05 winner (np16/kf128,
-# recall 0.9144) — k·k_factor is both the per-task top-k state width
-# and the refine pool size, so a passing kf64 halves the two dominant
-# costs; the cached ladder walk was regenerated on the r05 row-major
-# fp32 kernel (VERDICT r05 Next #8).
+# r06: the kf32/kf64 rungs below the r05 winner measured recall
+# 0.6424 / 0.7896 — at M16 the refine pool is recall-BOUND, the pool
+# cannot shrink. So the ladder escalates CODE QUALITY instead: M32
+# (dsub=3, 32 B/row — still 12× under raw 384 B) cuts code-space
+# false positives ~4×, letting kf drop 4×, and k·k_factor is both the
+# per-task top-k state width and the refine pool size — the two
+# dominant costs of the r05 default that the driver measured at
+# 30.3 ms (VERDICT r05 Next #1). M16/np16/kf128 stays as the M16
+# fallback; the walk stops at the first recall ≥ 0.9.
 PQ_LADDER_10M = [
     {"M": 16, "opq": False, "nprobe": 16, "k_factor": 32},
     {"M": 16, "opq": False, "nprobe": 16, "k_factor": 64},
+    {"M": 32, "opq": False, "nprobe": 16, "k_factor": 16},
+    {"M": 32, "opq": False, "nprobe": 16, "k_factor": 32},
+    {"M": 32, "opq": False, "nprobe": 16, "k_factor": 64},
     {"M": 16, "opq": False, "nprobe": 16, "k_factor": 128},
-    {"M": 16, "opq": False, "nprobe": 32, "k_factor": 128},
+    {"M": 32, "opq": False, "nprobe": 32, "k_factor": 128},
     {"M": 16, "opq": False, "nprobe": 32, "k_factor": 256},
 ]
 
 # 100M ladder (VERDICT r05 Next #2): the compressed path at the tier
 # where it IS the 100 TB story — codes are 16-32 bytes/row vs 384.
-# M16's code distortion is scale-independent but true neighborhoods
-# are 10× denser than at 10M (where M16/np16/kf128 measured 0.9144),
-# so the refine pool may need more candidates (kf256) or finer codes
-# (M32, still 12× under raw vectors) — each rung is measured and
-# recorded; the walk stops at the first ≥0.9.
+# Code distortion is scale-independent but true neighborhoods are 10×
+# denser than at 10M, where M16 was already refine-pool-bound at
+# kf128 (recall 0.9144, kf64 → 0.79) — so after one cheap M16 probe
+# the ladder goes straight to M32 with small pools rather than
+# inflating kf at M16; each rung is measured and recorded.
 PQ_LADDER_100M = [
     {"M": 16, "opq": False, "nprobe": 16, "k_factor": 128},
-    {"M": 16, "opq": False, "nprobe": 16, "k_factor": 256},
-    {"M": 16, "opq": False, "nprobe": 32, "k_factor": 256},
+    {"M": 32, "opq": False, "nprobe": 16, "k_factor": 32},
+    {"M": 32, "opq": False, "nprobe": 16, "k_factor": 64},
     {"M": 32, "opq": False, "nprobe": 16, "k_factor": 128},
     {"M": 32, "opq": False, "nprobe": 32, "k_factor": 256},
 ]
@@ -864,13 +871,22 @@ def run(spark, configs=None, n: int = N) -> dict:
     ep.search(test, k_w, require_acc=1.0 - bound_w).count()
 
     out["telemetry_start"] = _telemetry(spark)
-    repeats = int(os.environ.get("SPARK_GRAFT_SCALE_REPEATS", "2"))
-    results, lat = config_grid(repeats=repeats)
-    out["grid_runs_per_config"] = max(1, repeats)
-    out["configs"] = results
-    out["ms_per_query_mean"] = round(float(np.mean(lat)), 3)
-    out["ms_per_query_worst"] = round(float(np.max(lat)), 3)
-    out["all_bounds_hold"] = all(v["holds"] for v in results.values())
+    # SPARK_GRAFT_SCALE_GRID=0: artifact-build mode — skip the timed
+    # flagship grid (and everything keyed off its results) so a cold
+    # PQ build/ladder run doesn't pay a full grid first; the per-round
+    # bench never sets this
+    if os.environ.get("SPARK_GRAFT_SCALE_GRID", "1") == "0":
+        out["grid_skipped"] = "SPARK_GRAFT_SCALE_GRID=0 (artifact build run)"
+        results = {}
+    else:
+        repeats = int(os.environ.get("SPARK_GRAFT_SCALE_REPEATS", "2"))
+        results, lat = config_grid(repeats=repeats)
+        out["grid_runs_per_config"] = max(1, repeats)
+        out["configs"] = results
+        out["ms_per_query_mean"] = round(float(np.mean(lat)), 3)
+        out["ms_per_query_worst"] = round(float(np.max(lat)), 3)
+    if results:
+        out["all_bounds_hold"] = all(v["holds"] for v in results.values())
     out["baseline_ms_per_query"] = "24.2-32.2 (DEEP1B, 64-128 workers, figure16)"
     # per-core normalization (ADVICE r02): the raw ratio vs a
     # distributed baseline flatters a single-node in-memory run when
@@ -913,7 +929,9 @@ def run(spark, configs=None, n: int = N) -> dict:
             t0 = time.perf_counter()
             ep.search(big, k_t, require_acc=1.0 - bound_t).toPandas()
             wall = time.perf_counter() - t0
-            base_msq = results[f"k{k_t}_b{int(bound_t * 100)}"]["ms_per_query"]
+            base_msq = results.get(f"k{k_t}_b{int(bound_t * 100)}", {}).get(
+                "ms_per_query"
+            )
             out["throughput"] = {
                 "nq": nq_big,
                 "config": f"k{k_t}_b{int(bound_t * 100)}",
