@@ -82,8 +82,21 @@ def main() -> None:
     if "exact_knn" in warm and nq:
         derived["exact_knn_qps"] = round(2 * nq / warm["exact_knn"], 1)
 
+    # process-state snapshot after the 70-query catalog pass: the r05
+    # open question was an in-bench vs standalone gap at the 10M tier
+    # (8.6 vs 9.2-9.7 standalone vs 6.0 in r04); each scale tier also
+    # snapshots at its own start/end (scripts/scale_bench._telemetry),
+    # so heap/GC/worker-RSS growth across the run is attributable
+    try:
+        from scripts.scale_bench import _telemetry
+
+        telemetry_headline = _telemetry(spark)
+    except Exception as e:
+        telemetry_headline = {"err": f"{type(e).__name__}: {e}"}
+
     out = {
         "metric": "headline_query_wall_time",
+        "telemetry_after_headline": telemetry_headline,
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
