@@ -34,7 +34,11 @@ from auncel_spark.operators.topk import topk_per_query
 
 def _lloyd_np(x: np.ndarray, k: int, n_iter: int, seed: int) -> np.ndarray:
     """In-memory Lloyd's for one subspace codebook (the reference runs
-    the same Clustering machinery over the sampled slice)."""
+    the same Clustering machinery over the sampled slice). Assignment
+    is a GEMM argmin (|c|² − 2·x·cᵀ; |x|² is constant per row) and the
+    update a per-dim bincount — the r06 M32 train at ksub=256 spent
+    ~9 min in the per-cluster masked-mean loop (256 clusters × 25
+    iters × 32 books, single-threaded); this form runs in seconds."""
     rng = np.random.default_rng(seed)
     n = x.shape[0]
     k_eff = min(k, n)
@@ -42,14 +46,21 @@ def _lloyd_np(x: np.ndarray, k: int, n_iter: int, seed: int) -> np.ndarray:
     if k_eff < k:
         cents = np.vstack([cents, cents[rng.integers(0, k_eff, k - k_eff)] + 1e-6])
     for _ in range(n_iter):
-        d = ((x[:, None, :] - cents[None, :, :]) ** 2).sum(-1)
+        d = (cents * cents).sum(-1)[None, :] - 2.0 * (x @ cents.T)
         lab = d.argmin(axis=1)
-        for ci in range(k):
-            m = lab == ci
-            if m.any():
-                cents[ci] = x[m].mean(axis=0)
-            else:  # empty-cluster re-seed (km_update_centroids analogue)
-                cents[ci] = x[rng.integers(0, n)] + rng.normal(0, 1e-5, x.shape[1])
+        counts = np.bincount(lab, minlength=k)
+        sums = np.stack(
+            [
+                np.bincount(lab, weights=x[:, j], minlength=k)
+                for j in range(x.shape[1])
+            ],
+            axis=1,
+        )
+        ne = counts > 0
+        cents[ne] = sums[ne] / counts[ne, None]
+        for ci in np.nonzero(~ne)[0]:
+            # empty-cluster re-seed (km_update_centroids analogue)
+            cents[ci] = x[rng.integers(0, n)] + rng.normal(0, 1e-5, x.shape[1])
     return cents
 
 
