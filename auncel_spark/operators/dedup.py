@@ -235,23 +235,31 @@ def ngram_jaccard(
         )
         ex = ex.join(keep, "s", "left_semi")
     # recompute per-doc set sizes AFTER the frequency guard so the
-    # union term matches the capped intersection term
-    sizes = ex.groupBy("id").agg(F.count("*").alias("n_sh"))
-    ex = ex.join(sizes, "id")
+    # union term matches the capped intersection term. Sizes attach to
+    # the AGGREGATED pair table (per-doc, broadcastable), not to the
+    # exploded shingle table: carrying n_sh through the self-join would
+    # cost an extra full exchange of the exploded table (shuffle by id)
+    # and widen every row of the f²-fan-out join — the two heaviest
+    # stages of the whole pipeline at scale.
     # the self-join references ex twice; without persisting, Spark
     # re-runs the whole shingle pipeline for each side
     ex = ex.persist()
+    sizes = ex.groupBy("id").agg(F.count("*").alias("n_sh"))
     a = ex.alias("a")
     b = ex.alias("b")
     inter = (
         a.join(b, F.col("a.s") == F.col("b.s"))
         .filter(F.col("a.id") < F.col("b.id"))
         .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .agg(
-            F.count("*").alias("n_inter"),
-            F.first("a.n_sh").alias("na"),
-            F.first("b.n_sh").alias("nb"),
-        )
+        .agg(F.count("*").alias("n_inter"))
+    )
+    # no forced broadcast: sizes is per-doc (billions of rows at 100 TB)
+    # — AQE broadcasts it when it fits, shuffles the pair table (orders
+    # of magnitude smaller than the exploded self-join) when it doesn't
+    inter = inter.join(
+        sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("na")), "id_a"
+    ).join(
+        sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("nb")), "id_b"
     )
     out = inter.select(
         "id_a",

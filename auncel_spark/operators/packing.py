@@ -24,8 +24,15 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-from auncel_spark.functions.text import token_count
 from auncel_spark.operators.sampling import sample_bucket
+
+# NOT a module-level import: functions.text itself imports
+# operators.dedup, which triggers this package's __init__ and would
+# close an import cycle whenever functions.text is imported first
+def token_count(col):  # thin late-binding shim over functions.text
+    from auncel_spark.functions.text import token_count as _tc
+
+    return _tc(col)
 
 N_ORDER_BUCKETS = 1024
 
