@@ -55,6 +55,10 @@ N100 = 100_000_000
 # peak disk = the partitioned index copy alone (~40 GB at 100M), not
 # corpus + copy (~80 GB, which exceeds this container's free space)
 BIG_N = 50_000_000
+
+
+class _SkipPQ(Exception):
+    """Big-tier PQ ladder not cached and the run didn't ask to build it."""
 N_TRAIN = N_TEST = 5000
 MAX_TOPK = 100
 CONFIGS = [(k, b) for k in (10, 50, 100) for b in (0.01, 0.05, 0.10)]
@@ -958,11 +962,22 @@ def run(spark, configs=None, n: int = N) -> dict:
         # against the flat lists themselves (the raw corpus is never
         # materialized at this tier)
         try:
+            # never start a 100M encode pass (hours) inside a routine
+            # bench invocation: walk the ladder only when the choice is
+            # already cached, or when a build run asks for it
+            # explicitly (the artifact-build chain sets PQ_BUILD=1)
+            if (
+                not (cache / "pq_default_ladder.json").exists()
+                and os.environ.get("SPARK_GRAFT_PQ_BUILD", "0") != "1"
+            ):
+                raise _SkipPQ("no ladder cache; set SPARK_GRAFT_PQ_BUILD=1 to build")
             out["ivfpq_default"] = run_ivfpq_default(
                 spark, cache, None, idx, gt, test,
                 ladder=PQ_LADDER_100M,
                 n_runs=int(os.environ.get("SPARK_GRAFT_PQ_RUNS", "2")),
             )
+        except _SkipPQ as e:
+            out["ivfpq_default"] = {"skipped": str(e)}
         except Exception as e:
             out["ivfpq_default"] = {"error": f"{type(e).__name__}: {e}"}
 
