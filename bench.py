@@ -61,11 +61,23 @@ def main() -> None:
         rows = fn(spark, sf_dir).collect()
         timings[name] = round(time.perf_counter() - t0, 3)
         assert rows is not None
-    warm: dict[str, float] = {}
-    for name, fn in timed.items():
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).collect()
-        warm[name] = round(time.perf_counter() - t0, 3)
+    # warm figures are per-query MEDIANS over n passes (default 3):
+    # the r05 adjudication gap was single-sample records on a host
+    # with ±2× IO/CPU windows — one dip must not set the round's
+    # steady-state record (VERDICT r05 Next #7)
+    n_warm = max(1, int(os.environ.get("SPARK_GRAFT_WARM_RUNS", "3")))
+    warm_runs: list[dict[str, float]] = []
+    for _ in range(n_warm):
+        w: dict[str, float] = {}
+        for name, fn in timed.items():
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).collect()
+            w[name] = round(time.perf_counter() - t0, 3)
+        warm_runs.append(w)
+    warm = {
+        name: sorted(w[name] for w in warm_runs)[n_warm // 2]
+        for name in timed
+    }
 
     # derived per-query latency figures comparable to BASELINE.md's
     # per-query-ms numbers (nq = embeddings rows with vec_id % 20 = 0;
@@ -101,6 +113,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "queries_warm": warm,
+        "n_warm_runs": n_warm,
         "derived": derived,
         "sf": sf,
         # ADVICE r02: any ratio vs BASELINE.md's distributed numbers
