@@ -404,14 +404,19 @@ def ensure_ivfpq(
     adds the OPQ pre-rotation (faiss "OPQ{M},IVF,PQ{M}") — same lists,
     better codes, one extra sample-train + the same encode pass.
 
-    ``base_path=None`` (the >BIG_N tiers, where the raw corpus is never
-    materialized): build from ``assigned_df`` — the Flat index's
-    (id, vec, list_no) lists — via ``IVFPQIndex.build(assigned=)``,
-    which skips the 2·10¹⁶-flop re-assignment pass and guarantees the
-    compressed lists mirror the flat ones row for row. The encode uses
-    the GEMM argmin kernel (O(n·ksub) memory; the exact-broadcast
-    kernel allocates ~800 MB per 64k-row batch per subspace — fine at
-    1M, an OOM risk × 32 workers at 100M)."""
+    Whenever the tier's Flat index already exists (every ladder/sweep
+    call — the flat build always precedes the PQ build), its
+    (id, vec, list_no) lists are reused via ``IVFPQIndex.build(
+    assigned=)``: re-running coarse assignment would repeat the
+    n·nlist·d GEMM (2·10¹³ flops at 10M, 2·10¹⁶ at 100M — r06 measured
+    the 10M pass at ~25 min and ~2 GB/worker of distance temporaries,
+    the box's OOM driver) to recompute EXACTLY the list_no values the
+    flat index already persisted as partition keys. ``base_path=None``
+    (the >BIG_N tiers) additionally means the raw corpus was never
+    materialized, so the flat lists are also the only vector source.
+    The encode uses the GEMM argmin kernel (O(n·ksub) memory; the
+    exact-broadcast kernel allocates ~800 MB per 64k-row batch per
+    subspace — fine at 1M, an OOM risk × 32 workers at 100M)."""
     from auncel_spark.index.ivfpq import IVFPQIndex
 
     name = ("ivfpq" if M == 8 else f"ivfpq_m{M}") + ("_opq" if opq else "")
@@ -419,7 +424,15 @@ def ensure_ivfpq(
     if (cache / name / "meta.json").exists():
         return IVFPQIndex.load(spark, pq_path), 0.0
     t0 = time.perf_counter()
-    if base_path is None:
+    if assigned_df is None and not opq and (cache / "ivf" / "meta.json").exists():
+        # reuse the flat index's assignment at ANY tier (not just big):
+        # same centroids, same float64 argmin arithmetic → identical
+        # lists, zero re-assignment cost. OPQ builds keep the raw-base
+        # path (the rotation must be trained before residual encode).
+        from auncel_spark.index.ivf import IVFIndex
+
+        assigned_df = IVFIndex.load(spark, str(cache / "ivf")).data
+    if base_path is None or assigned_df is not None:
         if assigned_df is None:
             raise ValueError("big-tier PQ build needs assigned_df (flat lists)")
         # pre-train the codebooks on a parquet-level sample: letting
