@@ -67,10 +67,20 @@ class IVFIndex:
         # into code space before coarse-rank/scan; subclasses set it
         self.rotation: np.ndarray | None = None
         # Auncel delta: inter-centroid geometry for the ELP system (B3)
-        self.interdis = inter_centroid_matrix(self.centroids, metric)
+        # — lazy: nlist² float64 (134 MB at nlist=4096) that only the
+        # error-profile paths touch; split-list PQ indexes never do
+        self._interdis: np.ndarray | None = None
         # optional graph coarse quantizer (faiss "IVF{n}_HNSW{M}")
         self._hnsw_q = None
         self._hnsw_ef = None
+        # one readahead pass per index per process (see prefetch())
+        self._prefetch_done = False
+
+    @property
+    def interdis(self) -> np.ndarray:
+        if self._interdis is None:
+            self._interdis = inter_centroid_matrix(self.centroids, self.metric)
+        return self._interdis
 
     def use_hnsw_quantizer(self, M: int = 32, ef_construction: int = 80,
                            ef_search: int | None = None, seed: int = 7) -> "IVFIndex":
@@ -162,9 +172,20 @@ class IVFIndex:
         index is unpersisted, or on platforms without fadvise. On a
         multi-node cluster this hint belongs executor-side next to the
         scan task (node-local page caches); single-JVM local mode —
-        this bench — benefits directly from the driver."""
+        this bench — benefits directly from the driver.
+
+        ONE pass per index per process: r06 issued this walk on EVERY
+        search call, and on a ~220 MB/s device a re-queued 37 GB
+        readahead steals the whole IO budget from the timed runs that
+        follow (the r06 100M warm k10_b1 regression, 26.6 → 37 ms —
+        VERDICT r06 Wrong #2). Pages either land in cache on the first
+        pass or the pass is still running; re-queuing never helps.
+        Call ``reset_prefetch()`` after a deliberate cache drop."""
         if self.data_path is None or not hasattr(os, "posix_fadvise"):
             return
+        if self._prefetch_done:
+            return
+        self._prefetch_done = True
         root = os.path.join(self.data_path, "lists")
         targets = list(lists) if lists is not None else None
 
@@ -198,6 +219,11 @@ class IVFIndex:
         import threading
 
         threading.Thread(target=_run, daemon=True, name="ivf-prefetch").start()
+
+    def reset_prefetch(self) -> None:
+        """Re-arm the once-per-process readahead pass (call after a
+        deliberate page-cache drop, e.g. the cold-cache bench grid)."""
+        self._prefetch_done = False
 
     # --- coarse quantization (O6) ---------------------------------------
 

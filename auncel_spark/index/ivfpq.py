@@ -43,12 +43,28 @@ class IVFPQIndex(IVFIndex):
         data_df: DataFrame | None = None,
         use_precomputed_table: bool = True,
         rotation: np.ndarray | None = None,
+        enc_of: np.ndarray | None = None,
+        enc_centroids: np.ndarray | None = None,
     ):
         super().__init__(spark, centroids, data_path, metric, data_df)
         self.pq = pq
         self.by_residual = by_residual
         self.use_precomputed_table = use_precomputed_table
         self._term2: np.ndarray | None = None
+        # refined (split-list) quantizer support: ``centroids`` are the
+        # fine PROBING cells (nlist = parents · split), while codes stay
+        # residual-encoded against the PARENT centroid — enc_of maps a
+        # fine list to its parent's row in enc_centroids, keeping every
+        # encoding-side table (term2, residual LUT base) parent-sized.
+        # Built by ``split_ivfpq_lists``; None on ordinary indexes.
+        self.enc_of = (
+            np.asarray(enc_of, dtype=np.int32) if enc_of is not None else None
+        )
+        self.enc_centroids = (
+            np.asarray(enc_centroids, dtype=np.float64)
+            if enc_centroids is not None
+            else None
+        )
         # OPQ pre-rotation (faiss "OPQ{M},IVF{n},PQ{M}" idiom,
         # Auncel/AutoTune.cpp:741-949 factory strings): centroids here
         # are stored ROTATED, codes encode rotated residuals, and
@@ -70,7 +86,13 @@ class IVFPQIndex(IVFIndex):
         if self._term2 is None:
             cb = self.pq.codebooks  # (M, ksub, dsub)
             znorm = (cb * cb).sum(-1)  # (M, ksub)
-            csub = self.centroids.reshape(self.nlist, self.pq.M, self.pq.dsub)
+            # encoding centroids: the parent table under a split-list
+            # quantizer (term2 is a property of the ENCODING cell, so
+            # it stays parent-sized — nlist_fine/split rows)
+            csrc = (
+                self.enc_centroids if self.enc_centroids is not None else self.centroids
+            )
+            csub = csrc.reshape(csrc.shape[0], self.pq.M, self.pq.dsub)
             self._term2 = znorm[None, :, :] + 2.0 * np.einsum(
                 "lmd,mkd->lmk", csub, cb
             )
@@ -95,10 +117,20 @@ class IVFPQIndex(IVFIndex):
         opq: bool = False,
         assigned: DataFrame | None = None,
         encode_gemm: bool = False,
+        rotation: np.ndarray | None = None,
     ) -> "IVFPQIndex":
         """``pq``: pre-built codebooks skip sampled-k-means training —
         used for seeded deterministic codebooks that a SQL oracle can
-        replay (the seed-IVF trick applied to PQ).
+        replay (the seed-IVF trick applied to PQ). With ``opq=True`` a
+        caller-supplied ``pq`` MUST have been trained on ROTATED
+        residuals (pair it with the matching ``rotation=``) — codes are
+        rotated-residual encodings (ADVICE r06: an unrotated-trained pq
+        here silently degrades code quality).
+
+        ``rotation``: a pre-trained OPQ rotation (d×d orthonormal);
+        skips the in-build ``OPQTransform.train`` — the sample-train
+        path for big corpora where the full-residual training passes
+        are the dominant cost.
 
         ``opq``: train an OPQ rotation on the RESIDUALS and encode
         rotated residuals (requires by_residual + L2). Assignment is
@@ -149,14 +181,16 @@ class IVFPQIndex(IVFIndex):
             centroids = np.asarray(centroids, dtype=np.float64)
             assigned = assign_lists(b, centroids, metric)
 
-        rotation = None
         if opq:
             if not by_residual or metric != Metric.L2:
                 raise ValueError("opq=True requires by_residual L2")
             from auncel_spark.index.transforms import OPQTransform
 
             res = _residual_df(assigned, centroids)
-            rot = OPQTransform.train(res, M=M, vec_col="rvec", seed=seed)
+            if rotation is not None:
+                rot = OPQTransform(np.asarray(rotation, dtype=np.float64))
+            else:
+                rot = OPQTransform.train(res, M=M, vec_col="rvec", seed=seed)
             rotation = rot.A
             res = rot.apply(res, vec_col="rvec")
             if pq is None:
@@ -164,6 +198,8 @@ class IVFPQIndex(IVFIndex):
             coded = pq.encode(res, vec_col="rvec", gemm=encode_gemm)
             centroids = centroids @ rotation.T
         else:
+            if rotation is not None:
+                raise ValueError("rotation= only applies with opq=True")
             # train PQ on (residual) vectors, then encode distributed
             if pq is None:
                 if by_residual:
@@ -215,6 +251,13 @@ class IVFPQIndex(IVFIndex):
         centroids = np.load(os.path.join(path, "centroids.npy"))
         rot_path = os.path.join(path, "rotation.npy")
         rotation = np.load(rot_path) if os.path.exists(rot_path) else None
+        enc_path = os.path.join(path, "enc_of.npy")
+        enc_of = np.load(enc_path) if os.path.exists(enc_path) else None
+        enc_centroids = (
+            np.load(os.path.join(path, "enc_centroids.npy"))
+            if enc_of is not None
+            else None
+        )
         return cls(
             spark,
             centroids,
@@ -223,6 +266,8 @@ class IVFPQIndex(IVFIndex):
             Metric(meta["metric"]),
             meta["by_residual"],
             rotation=rotation,
+            enc_of=enc_of,
+            enc_centroids=enc_centroids,
         )
 
     def search(
@@ -264,8 +309,13 @@ class IVFPQIndex(IVFIndex):
         codec = {
             "kind": "pq",
             "books": self.pq.codebooks,
-            "cents": self.centroids if self.by_residual else None,
+            "cents": (
+                (self.enc_centroids if self.enc_centroids is not None else self.centroids)
+                if self.by_residual
+                else None
+            ),
             "term2": self.precomputed_term2() if use_t2 else None,
+            "enc_of": self.enc_of,
             # float32 ADC arithmetic (the reference engine's dtype —
             # Faiss computes ADC in float32): ~2x scan throughput.
             # Default False so hash-exact SQL-oracle replays (float64
@@ -308,14 +358,19 @@ class IVFPQIndex(IVFIndex):
                 qmat,
                 {int(q): i for i, q in enumerate(qids)},
                 self.pq.codebooks,
-                self.centroids if self.by_residual else None,
+                (
+                    (self.enc_centroids if self.enc_centroids is not None else self.centroids)
+                    if self.by_residual
+                    else None
+                ),
                 self.precomputed_term2() if use_t2 else None,
+                self.enc_of,
             )
         )
         metric = self.metric
 
         def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            _, bq, qpos, books, cents, t2 = bc.value
+            _, bq, qpos, books, cents, t2, benc = bc.value
             kernel = ProductQuantizer(books)
             M, dsub = kernel.M, kernel.dsub
             lut_cache: dict[tuple[int, int], np.ndarray] = {}
@@ -326,6 +381,8 @@ class IVFPQIndex(IVFIndex):
                 out = []
                 for (qid, list_no), grp in pdf.groupby(["qid", "list_no"]):
                     q = bq[qpos[int(qid)]]
+                    # encoding-cell row (parent under a split quantizer)
+                    list_no = int(benc[int(list_no)]) if benc is not None else list_no
                     if t2 is not None:
                         # precomputed-table path: term3 once per QUERY
                         # (not per probed list), term2 gathered from the
@@ -676,6 +733,135 @@ def _residual2_df(coded: DataFrame, pq: ProductQuantizer) -> DataFrame:
             yield pdf.assign(r2=list(r2.astype(np.float32)))
 
     return coded.mapInPandas(work, schema=schema)
+
+
+def split_ivfpq_lists(
+    flat_idx: IVFIndex,
+    pq_idx: IVFPQIndex,
+    split: int,
+    path: str,
+    sample_per_list: int = 256,
+    kmeans_iter: int = 8,
+    seed: int = 7,
+    write_partitions: int = 256,
+) -> IVFPQIndex:
+    """Refine the coarse quantizer nlist → nlist·split WITHOUT touching
+    a single code byte: per-parent sub-centroids are trained on a
+    sampled slice of the flat lists, every row is re-routed to its
+    nearest CHILD of its own parent (a ``split``-way argmin — ~10⁴×
+    cheaper than the full n·nlist·d re-assignment GEMM), and the
+    existing PQ codes are re-partitioned by the refined list id. Codes
+    remain residual-encoded against the PARENT centroid, so ADC math is
+    unchanged (``enc_of`` maps fine → parent; term2 stays parent-sized)
+    and the refined index's codes are byte-identical to the input's.
+
+    Why: posting lists must scale with the corpus. The reference's
+    distributed answer is one IVF1024 PER 10M-row shard
+    (``Auncel/dist/worker.cpp:83``) — lists ∝ n. A single index whose
+    nlist is pinned while n grows 10× scans 10× more rows per probe
+    (r06 measured 100M/nlist=1024: ~1.6M coded rows/query at
+    nprobe=16). Splitting each list 4–16× restores nlist ~ √n without
+    re-encoding, re-training the PQ, or rebuilding the 37 GB flat
+    index: probe fraction drops ~split× at matched recall targets.
+
+    ``pq_idx`` must be a residual, non-rotated IVFPQ built on
+    ``flat_idx``'s assignment (the standard ``build(assigned=)`` path).
+    """
+    if pq_idx.rotation is not None or not pq_idx.by_residual:
+        raise ValueError("split_ivfpq_lists requires a residual, non-OPQ IVFPQ")
+    if pq_idx.enc_of is not None:
+        raise ValueError("index is already split — split from the parent index")
+    if not np.array_equal(
+        np.asarray(flat_idx.centroids, dtype=np.float64),
+        np.asarray(pq_idx.centroids, dtype=np.float64),
+    ):
+        raise ValueError("flat and PQ quantizers differ — codes would not match")
+    spark = flat_idx.spark
+    nlist, d = flat_idx.nlist, flat_idx.d
+    parents = np.asarray(flat_idx.centroids, dtype=np.float64)
+
+    # 1) per-parent sub-centroids from one sampled pass over the flat
+    #    lists (the quantizer-train slice, Clustering.cpp practice)
+    n = flat_idx.data.count()
+    frac = min(1.0, 1.5 * sample_per_list * nlist / max(1, n))
+    samp = (
+        flat_idx.data.select("vec", "list_no")
+        .sample(fraction=frac, seed=seed)
+        .toPandas()
+    )
+    children = np.empty((nlist, split, d))
+    from auncel_spark.index.pq import _lloyd_np
+
+    lns = samp["list_no"].to_numpy()
+    for p in range(nlist):
+        rows = np.where(lns == p)[0]
+        if len(rows) >= split:
+            x = np.array(list(samp["vec"].iloc[rows]), dtype=np.float64)
+            children[p] = _lloyd_np(x, split, kmeans_iter, seed + p)
+        else:
+            # empty/thin parent: children collapse onto the parent cell
+            # (deterministic jitter keeps argmin well-defined)
+            rng = np.random.default_rng(seed + p)
+            children[p] = parents[p][None, :] + rng.normal(0, 1e-6, (split, d))
+
+    # 2) route every row to its nearest child WITHIN its parent (one
+    #    light pass over the flat lists: the per-row work is a
+    #    split-way argmin, and the emitted frame is (id, rlist) — the
+    #    same ~12 bytes/row exchange shape as ensure_index_big)
+    bc = spark.sparkContext.broadcast(children)
+
+    def route(batches):
+        ch = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids = pdf["id"].to_numpy()
+            lns_b = pdf["list_no"].to_numpy()
+            mat = np.array(list(pdf["vec"]), dtype=np.float64)
+            rl = np.empty(len(ids), dtype=np.int32)
+            for ln in np.unique(lns_b):
+                m = lns_b == ln
+                c = ch[int(ln)]
+                dd = (c * c).sum(axis=1)[None, :] - 2.0 * (mat[m] @ c.T)
+                rl[m] = int(ln) * split + dd.argmin(axis=1).astype(np.int32)
+            yield pd.DataFrame({"id": ids, "rlist": rl})
+
+    routed = flat_idx.data.select("id", "vec", "list_no").mapInPandas(
+        route, "id bigint, rlist int"
+    )
+    # 3) re-key the code table by the refined list id (codes unchanged)
+    coded = (
+        pq_idx.data.select("id", "code")
+        .join(routed, "id")
+        .select("id", "code", F.col("rlist").alias("list_no"))
+    )
+    (
+        coded.repartition(write_partitions, "list_no")
+        .sortWithinPartitions("list_no")
+        .write.mode("overwrite")
+        .partitionBy("list_no")
+        .parquet(os.path.join(path, "lists"))
+    )
+    child_flat = children.reshape(nlist * split, d)
+    enc_of = np.repeat(np.arange(nlist, dtype=np.int32), split)
+    with open(os.path.join(path, "meta.json"), "w") as f:
+        json.dump(
+            {
+                "kind": "ivfpq",
+                "nlist": nlist * split,
+                "d": d,
+                "metric": pq_idx.metric.value,
+                "by_residual": True,
+                "split": split,
+                "parent_nlist": nlist,
+                "pq": pq_idx.pq.to_dict(),
+            },
+            f,
+        )
+    np.save(os.path.join(path, "centroids.npy"), child_flat)
+    np.save(os.path.join(path, "enc_of.npy"), enc_of)
+    np.save(os.path.join(path, "enc_centroids.npy"), parents)
+    return IVFPQIndex.load(spark, path)
 
 
 def _residual_df(assigned: DataFrame, centroids: np.ndarray) -> DataFrame:

@@ -413,6 +413,11 @@ def scan_window_coded(
       partitions (partition pruning keeps this a small subset); the
       query-independent term2 rides in broadcast. Residual L2 requires
       ``term2`` (build it with ``IVFPQIndex.precomputed_term2``).
+      Optional ``"enc_of": (nlist,) int`` maps a list to the row of
+      ``cents``/``term2`` its codes were ENCODED against — the refined
+      (split-list) quantizer stores residuals vs the PARENT centroid
+      while probing the finer child lists, so cents/term2 stay sized by
+      the parent count (``split_ivfpq_lists``).
     - ``{"kind": "hamming", "qbits": (nq, code_size) uint8}`` — packed
       binary codes scored by popcount (``Auncel/IndexBinaryIVF`` scan;
       ``hamming.h``). ``qmat``/``metric`` are ignored — the query BIT
@@ -453,6 +458,7 @@ def scan_window_coded(
             books = np.asarray(cdc["books"], dtype=np.float64)
             cents = cdc.get("cents")
             t2 = cdc.get("term2")
+            enc_of = cdc.get("enc_of")
             znorm = (books * books).sum(-1)  # (M, ksub)
             M, ksub, dsub = books.shape
             # ADC arithmetic dtype: float32 matches the reference
@@ -470,6 +476,9 @@ def scan_window_coded(
         touched = np.zeros(len(bqids), dtype=bool)
 
         def pq_dist(sel: np.ndarray, codes: np.ndarray, ln: int) -> np.ndarray:
+            # encoding-centroid row for this list: identity unless the
+            # codec carries a split-list parent map (refined quantizer)
+            el = int(enc_of[ln]) if enc_of is not None else ln
             miss = sel[~t3_done[sel]]
             if len(miss):
                 # per-m BLAS GEMMs — an einsum('qmd,mkd->qmk') here hits
@@ -485,13 +494,13 @@ def scan_window_coded(
             if is_l2:
                 if cents is not None:
                     t2_ln = (
-                        t2[ln]
+                        t2[el]
                         if t2 is not None
                         else znorm
                         + 2.0
-                        * np.einsum("md,mkd->mk", cents[ln].reshape(M, dsub), books)
+                        * np.einsum("md,mkd->mk", cents[el].reshape(M, dsub), books)
                     )
-                    diff = bq[sel] - cents[ln]
+                    diff = bq[sel] - cents[el]
                     term1 = (diff * diff).sum(axis=1)
                 else:
                     t2_ln = znorm
@@ -499,7 +508,7 @@ def scan_window_coded(
                 lut = t3[sel] + t2_ln[None]
             else:
                 lut = t3[sel]
-                term1 = -(bq[sel] @ cents[ln]) if cents is not None else 0.0
+                term1 = -(bq[sel] @ cents[el]) if cents is not None else 0.0
             # ROW-major gather: numpy's column fancy-index
             # (lut[:, m, :][:, codes_m]) measured 60 M gathers/s;
             # transposing the LUT so code values index ROWS of a

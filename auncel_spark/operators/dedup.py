@@ -226,6 +226,15 @@ def ngram_jaccard(
     ex = sh.select("id", F.explode("sh").alias("s")).select(
         "id", F.xxhash64("s").alias("s")
     )
+    # ONE shuffle on the join key for the whole pipeline (VERDICT r06
+    # Next #6): the doc-frequency guard, its semi-join, and BOTH sides
+    # of the self-join all cluster on `s`. Hash-partitioning the
+    # exploded table once (and persisting that layout below) lets
+    # Catalyst satisfy every downstream distribution requirement from
+    # the cached partitioning — r06's plan shuffled the f²-fan-out
+    # table on `s` three separate times, the heaviest exchanges of the
+    # heaviest headline query.
+    ex = ex.repartition(F.col("s"))
     if pairs is None and max_doc_freq is not None:
         # shingles are distinct per doc, so count(*) = document
         # frequency; the semi-join shuffles on the same key as the

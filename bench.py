@@ -85,12 +85,29 @@ def main() -> None:
     # bounded-search batch)
     nq = emb.filter("vec_id % 20 = 0").count()
     derived = {"n_queries": nq}
-    # r05 consolidation: bounded_knn = fixed + mixed tag-union (2
-    # batches of nq queries each); exact_knn = l2 + ip union (ditto)
-    if "bounded_knn" in warm and nq:
-        derived["bounded_search_ms_per_query"] = round(
-            warm["bounded_knn"] / (2 * nq) * 1000.0, 2
-        )
+    # r07: the bounded_knn catalog entry is now the convergence
+    # contract (exhaustive probe — correctness, not latency), so the
+    # bounded-search latency figure is timed directly on the REAL
+    # bounded mode (uniform bound, the reference's flagship workload):
+    # median of 3 warm batches over the already-fitted cached profile
+    if nq:
+        try:
+            from auncel_spark.catalog import BOUND as _BOUND
+            from auncel_spark.catalog import K as _K
+            from auncel_spark.catalog import _fitted_profile
+
+            ep, q = _fitted_profile(spark, sf_dir)
+            runs = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                ep.search(q, _K, require_acc=1.0 - _BOUND).collect()
+                runs.append(time.perf_counter() - t0)
+            derived["bounded_search_ms_per_query"] = round(
+                sorted(runs)[1] / nq * 1000.0, 2
+            )
+        except Exception:
+            pass
+    # exact_knn = l2 + ip tag-union (2 batches of nq queries each)
     if "exact_knn" in warm and nq:
         derived["exact_knn_qps"] = round(2 * nq / warm["exact_knn"], 1)
 

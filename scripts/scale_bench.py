@@ -56,6 +56,31 @@ N100 = 100_000_000
 # corpus + copy (~80 GB, which exceeds this container's free space)
 BIG_N = 50_000_000
 
+# kernel/build version stamp (ADVICE r06 #3): written into every
+# curve/ladder artifact and index meta this module produces; a cached
+# curve whose stamp mismatches is IGNORED and re-derived, so numbers
+# measured on an older ADC/encode kernel can never silently mix with
+# builds from the current one. Bump when a kernel change alters codes
+# or measured operating points.
+KERNEL_VERSION = "r07-enc-split-1"
+
+
+def _load_stamped(path: Path) -> dict | None:
+    """Read a JSON artifact iff its kernel stamp matches (stale or
+    unstamped caches re-derive on the current kernel)."""
+    if not path.exists():
+        return None
+    with open(path) as f:
+        d = json.load(f)
+    if d.get("kernel") != KERNEL_VERSION:
+        return None
+    return d
+
+
+def _dump_stamped(path: Path, d: dict) -> None:
+    with open(path, "w") as f:
+        json.dump({**d, "kernel": KERNEL_VERSION}, f)
+
 
 class _SkipPQ(Exception):
     """Big-tier PQ ladder not cached and the run didn't ask to build it."""
@@ -68,17 +93,23 @@ CONFIGS_10M = [(10, 0.01), (50, 0.05), (100, 0.10)]
 N_CLUSTERS = 2048  # generator mixture components (≠ nlist, intentionally)
 
 # PQ sweep (VERDICT r02: document a default with recall@10 ≥ 0.9).
-# OPQ variants were measured at 10M (r04) and excluded: this corpus's
+# OPQ rungs ride the sweep as RECORDED points (VERDICT r06 Next #5 —
+# B10's anisotropic win lived only in pytest before): this corpus's
 # residuals are isotropic gaussians, so PQ distortion is
-# rotation-invariant — OPQ kf32 scored recall 0.6396 vs plain 0.642,
-# identical to 4 digits across nprobe 16/32 (the refine pool, not the
-# probe set, binds). The operator exists (IVFPQIndex.build(opq=True))
-# for real-world anisotropic data.
+# rotation-invariant and OPQ is expected ~tied with plain (r04 spot
+# measurement: 0.6396 vs 0.642 at 10M/kf32); the curve artifact now
+# carries the measured evidence instead of a prose claim, and the
+# picker would flip the default automatically on data where the
+# rotation wins (d=960-style anisotropy — pytest-proven +13 recall
+# points, tests of transforms.OPQTransform).
 PQ_SWEEP = [
     (M, False, nprobe, kf)
     for M in (8, 16)
     for nprobe in (32, 128)
     for kf in (4, 16, 32)
+] + [
+    (16, True, 32, 16),
+    (16, True, 32, 32),
 ]
 PQ_TARGET_RECALL = 0.9
 # per-scale defaults: the 1M sweep picks its own recommended point;
@@ -160,6 +191,57 @@ def _lazy_base_df(spark, n: int):
     return spark.range(0, n, 1, max(64, n // 250_000)).mapInPandas(
         gen, "id bigint, vec array<float>"
     )
+
+
+def _warm_read(roots: list[str], threads: int = 4) -> dict:
+    """Physically read every parquet file under ``roots`` into the OS
+    page cache and WAIT for completion. The baseline's protocol holds
+    the index in RAM (its per-query figures never include load IO), so
+    the honest warm grid runs against a cache-resident index — r06's
+    ``.count()`` warm-up read only footers, leaving the first timed
+    config to pay the remaining data-page IO inside its runs (the 100M
+    warm k10_b1 lottery, VERDICT r06 Next #1). Unlike the fadvise hint
+    this is synchronous: the return means the pages are IN. Cached
+    pages re-read at memory bandwidth, so a warm rerun costs seconds.
+    Timed and reported separately as ``warm_load`` (startup, not
+    per-query cost)."""
+    import threading
+
+    files: list[str] = []
+    for root in roots:
+        for dirpath, _dirs, names in os.walk(root):
+            files.extend(
+                os.path.join(dirpath, f) for f in names if f.endswith(".parquet")
+            )
+    total = [0] * max(1, threads)
+    t0 = time.perf_counter()
+
+    def work(ti: int):
+        buf = bytearray(8 << 20)
+        mv = memoryview(buf)
+        for fp in files[ti::threads]:
+            try:
+                with open(fp, "rb", buffering=0) as f:
+                    while True:
+                        nb = f.readinto(mv)
+                        if not nb:
+                            break
+                        total[ti] += nb
+            except OSError:
+                continue
+
+    ts = [threading.Thread(target=work, args=(i,)) for i in range(threads)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    sec = time.perf_counter() - t0
+    return {
+        "files": len(files),
+        "gb": round(sum(total) / 1e9, 2),
+        "sec": round(sec, 2),
+        "mb_s": round(sum(total) / 1e6 / max(sec, 1e-9), 1),
+    }
 
 
 def ensure_index_big(spark, cache: Path, n: int):
@@ -424,21 +506,37 @@ def ensure_ivfpq(
     if (cache / name / "meta.json").exists():
         return IVFPQIndex.load(spark, pq_path), 0.0
     t0 = time.perf_counter()
-    if assigned_df is None and not opq and (cache / "ivf" / "meta.json").exists():
+    if assigned_df is None and (cache / "ivf" / "meta.json").exists():
         # reuse the flat index's assignment at ANY tier (not just big):
         # same centroids, same float64 argmin arithmetic → identical
-        # lists, zero re-assignment cost. OPQ builds keep the raw-base
-        # path (the rotation must be trained before residual encode).
+        # lists, zero re-assignment cost. Guard (ADVICE r06 #1): the
+        # reuse is only valid if the flat index really IS the requested
+        # quantizer — a rebuilt flat index with different centroids
+        # would otherwise produce residuals against the wrong cells
+        # (silent recall loss, no error).
         from auncel_spark.index.ivf import IVFIndex
 
-        assigned_df = IVFIndex.load(spark, str(cache / "ivf")).data
+        flat = IVFIndex.load(spark, str(cache / "ivf"))
+        if not np.array_equal(
+            np.asarray(flat.centroids, dtype=np.float64),
+            np.asarray(centroids, dtype=np.float64),
+        ):
+            raise ValueError(
+                "cached flat index centroids != requested quantizer — "
+                "delete the stale flat index or pass its centroids"
+            )
+        assigned_df = flat.data
     if base_path is None or assigned_df is not None:
         if assigned_df is None:
             raise ValueError("big-tier PQ build needs assigned_df (flat lists)")
         # pre-train the codebooks on a parquet-level sample: letting
         # build() train internally would push the ENTIRE corpus through
         # the residual mapInPandas just to sample 16k rows (the sample
-        # cannot cross a Python map)
+        # cannot cross a Python map). With opq, the rotation trains on
+        # the sampled residuals FIRST and the codebooks on the ROTATED
+        # sample (ADVICE r06 #2: an unrotated-trained pq entering the
+        # OPQ encode silently degrades code quality), and both ride
+        # into build() so no full-corpus training pass runs.
         from auncel_spark.index.ivfpq import _residual_df
         from auncel_spark.index.pq import ProductQuantizer
 
@@ -446,13 +544,22 @@ def ensure_ivfpq(
         samp = assigned_df.select("id", "vec", "list_no").sample(
             fraction=min(1.0, 30_000 / max(1, n_rows)), seed=7
         )
+        res_samp = _residual_df(samp, np.asarray(centroids, dtype=np.float64))
+        rotation = None
+        if opq:
+            from auncel_spark.index.transforms import OPQTransform
+
+            res_samp = res_samp.cache()
+            rot = OPQTransform.train(res_samp, M=M, vec_col="rvec", seed=42)
+            rotation = rot.A
+            res_samp = rot.apply(res_samp, vec_col="rvec")
         pq_trained = ProductQuantizer.train(
-            _residual_df(samp, np.asarray(centroids, dtype=np.float64)),
-            M=M, vec_col="rvec", seed=42,
+            res_samp, M=M, vec_col="rvec", seed=42,
         )
         idx = IVFPQIndex.build(
             assigned_df, nlist=NLIST, M=M, centroids=centroids, path=pq_path,
             opq=opq, assigned=assigned_df, pq=pq_trained, encode_gemm=True,
+            rotation=rotation,
         )
     else:
         base = spark.read.parquet(base_path)
@@ -493,12 +600,12 @@ def run_ivfpq(spark, cache: Path, base_path: str, flat_idx, gt: np.ndarray, test
     stated."""
     k = 10
     base = spark.read.parquet(base_path)
-    curve_path = cache / "pq_curve_v2.json"  # v2: adds the OPQ columns
+    # v3: measured OPQ rungs + kernel stamp (stale caches re-derive)
+    curve_path = cache / "pq_curve_v3.json"
     out: dict = {"target_recall_at_10": PQ_TARGET_RECALL}
 
-    if curve_path.exists():
-        with open(curve_path) as f:
-            cached = json.load(f)
+    cached = _load_stamped(curve_path)
+    if cached is not None:
         curve = cached["curve"]
     else:
         curve = []
@@ -529,13 +636,20 @@ def run_ivfpq(spark, cache: Path, base_path: str, flat_idx, gt: np.ndarray, test
             )
             if build_s:
                 curve[-1]["cold_build_sec"] = round(build_s, 2)
-        with open(curve_path, "w") as f:
-            json.dump({"curve": curve}, f)
+        _dump_stamped(curve_path, {"curve": curve})
     out["curve"] = curve
 
     passing = [p for p in curve if p["recall_at_10"] >= PQ_TARGET_RECALL]
     if passing:
-        rec = min(passing, key=lambda p: p["ms_per_query"])
+        # picker (ADVICE r06 #4): latency is a sampled quantity, so
+        # "min ms" alone lets host noise flip the default between
+        # near-tied points across re-derives. Among passing points
+        # within 10% of the cheapest latency, prefer the HIGHEST
+        # recall (then fewer code bytes) — the preference is encoded,
+        # not an accident of one run's timing order.
+        floor_ms = min(p["ms_per_query"] for p in passing)
+        near = [p for p in passing if p["ms_per_query"] <= 1.10 * floor_ms]
+        rec = max(near, key=lambda p: (p["recall_at_10"], -p["code_bytes"]))
         pq, _ = ensure_ivfpq(
             spark, cache, base_path, flat_idx.centroids, rec["M"],
             opq=rec.get("opq", False),
@@ -606,6 +720,24 @@ PQ_LADDER_100M = [
     {"M": 32, "opq": False, "nprobe": 32, "k_factor": 256},
 ]
 
+# 100M REFINED-quantizer ladder (VERDICT r06 Next #2): nlist must
+# scale with the corpus — the reference runs IVF1024 PER 10M-row shard
+# (dist/worker.cpp:83), i.e. lists ∝ n; the repo's single-index 100M
+# tier at nlist=1024 scans ~97k rows/list × nprobe 16 ≈ 1.6M coded
+# rows/query, and ADC was 52.9 of the 55.3 ms total. split=4 refines
+# the quantizer to 4096 lists (≈ 1.3·√n) WITHOUT re-encoding
+# (index/ivfpq.split_ivfpq_lists: codes stay parent-residual, only the
+# routing gets finer), so the same recall target needs ~half to a
+# third the scanned rows. Rungs are cheapest-first; the walk stops at
+# the first recall ≥ 0.9 and the ladder artifact records every rung.
+SPLIT_100M = 4
+PQ_LADDER_100M_SPLIT = [
+    {"M": 32, "opq": False, "nprobe": 24, "k_factor": 32},
+    {"M": 32, "opq": False, "nprobe": 32, "k_factor": 32},
+    {"M": 32, "opq": False, "nprobe": 48, "k_factor": 32},
+    {"M": 32, "opq": False, "nprobe": 64, "k_factor": 64},
+]
+
 # float32 ADC arithmetic at scale (r05): matches the reference
 # engine's dtype (Faiss computes ADC in float32) and ~2x the gather
 # throughput on top of the row-major LUT layout. The catalog's
@@ -616,7 +748,8 @@ SCALE_ADC_FP32 = True
 
 def run_ivfpq_default(
     spark, cache: Path, base_path: str | None, flat_idx, gt: np.ndarray, test,
-    ladder=None, n_runs: int | None = None,
+    ladder=None, n_runs: int | None = None, index_factory=None,
+    esc_name: str = "pq_default_ladder.json", extra_out: dict | None = None,
 ) -> dict:
     """The per-tier compressed-path default: walk the ladder cheapest
     first, stop at the first config with exact-refine recall@10 ≥
@@ -648,25 +781,27 @@ def run_ivfpq_default(
         base = flat_idx.data.select("id", "vec")
     ladder = ladder or PQ_LADDER_10M
     assigned_df = flat_idx.data if base_path is None else None
-    esc_path = cache / "pq_default_ladder.json"
+    esc_path = cache / esc_name
 
     pq_cache: dict[tuple[int, bool], object] = {}
 
     def get_pq(cand):
         key = (cand["M"], cand["opq"])
         if key not in pq_cache:
-            pq, build_s = ensure_ivfpq(
-                spark, cache, base_path, flat_idx.centroids, cand["M"],
-                opq=cand["opq"], assigned_df=assigned_df,
-            )
+            if index_factory is not None:
+                pq, build_s = index_factory(cand)
+            else:
+                pq, build_s = ensure_ivfpq(
+                    spark, cache, base_path, flat_idx.centroids, cand["M"],
+                    opq=cand["opq"], assigned_df=assigned_df,
+                )
             pq.adc_fp32 = SCALE_ADC_FP32
             pq.data.count()
             pq_cache[key] = (pq, build_s)
         return pq_cache[key]
 
-    if esc_path.exists():
-        with open(esc_path) as f:
-            saved = json.load(f)
+    saved = _load_stamped(esc_path)
+    if saved is not None:
         attempts, chosen = saved["attempts"], saved["chosen"]
     else:
         attempts, chosen = [], None
@@ -684,8 +819,7 @@ def run_ivfpq_default(
                 break
         if chosen is None:
             chosen = ladder[-1]
-        with open(esc_path, "w") as f:
-            json.dump({"attempts": attempts, "chosen": chosen}, f)
+        _dump_stamped(esc_path, {"attempts": attempts, "chosen": chosen})
 
     pq, build_s = get_pq(chosen)
     t0 = time.perf_counter()
@@ -710,15 +844,80 @@ def run_ivfpq_default(
         "code_bytes": chosen["M"],
         "adc_fp32": SCALE_ADC_FP32,
         "adc_ms_per_query": adc_ms,
+        # measurement-pass labels (VERDICT r06 Wrong #3: an adc_ms >
+        # total ms read as a contradiction because the two came from
+        # different passes with no marking)
+        "adc_pass": "standalone ADC-only search, 1 extra pass (not a"
+        " component of ms_per_query_runs)",
+        "ms_per_query_pass": "end-to-end search_refine (ADC+refine),"
+        " median over n_runs fresh passes",
         **pt,
         "attempts": attempts,
         "default_meets_target": bool(pt["recall_at_10"] >= PQ_TARGET_RECALL),
+        **(extra_out or {}),
     }
     if build_s:
         out["cold_build_sec"] = round(build_s, 2)
     if base_path is not None:
         base.unpersist()
     return out
+
+
+def ensure_ivfpq_split(spark, cache: Path, flat_idx, M: int, split: int):
+    """The refined-quantizer build for a tier: load if cached, else
+    split the existing ``ivfpq_m{M}`` (one flat-lists routing pass +
+    one code re-partition — NO re-encode; index/ivfpq.split_ivfpq_lists)
+    — gated like the other big-tier builds so a routine bench never
+    starts a multi-minute build."""
+    from auncel_spark.index.ivfpq import IVFPQIndex, split_ivfpq_lists
+
+    name = f"ivfpq_m{M}_s{split}"
+    path = cache / name
+    if (path / "meta.json").exists():
+        return IVFPQIndex.load(spark, str(path)), 0.0
+    if os.environ.get("SPARK_GRAFT_PQ_BUILD", "0") != "1":
+        raise _SkipPQ(f"no {name} cache; set SPARK_GRAFT_PQ_BUILD=1 to build")
+    pname = "ivfpq" if M == 8 else f"ivfpq_m{M}"
+    if not (cache / pname / "meta.json").exists():
+        raise _SkipPQ(f"split needs the parent {pname} build first")
+    pq_idx = IVFPQIndex.load(spark, str(cache / pname))
+    t0 = time.perf_counter()
+    idx = split_ivfpq_lists(flat_idx, pq_idx, split, str(path))
+    return idx, time.perf_counter() - t0
+
+
+def run_opq_evidence(spark, cache: Path, base_path, flat_idx, gt, test) -> dict:
+    """OPQ rung at the 10M tier (VERDICT r06 Next #5): measure the
+    rotated and plain builds at the SAME (M, nprobe, k_factor) so the
+    ladder artifact carries the comparison as data. On this corpus the
+    coarse residuals are isotropic gaussians — PQ distortion is
+    rotation-invariant, so the expected outcome is a tie (the flip
+    case is anisotropic data; transforms tests prove the +13-recall
+    win on a d=960-style fixture). Cached per kernel stamp."""
+    ev_path = cache / "opq_rungs.json"
+    saved = _load_stamped(ev_path)
+    if saved is not None:
+        return saved["rungs"]
+    if os.environ.get("SPARK_GRAFT_PQ_BUILD", "0") != "1":
+        raise _SkipPQ("no opq_rungs cache; set SPARK_GRAFT_PQ_BUILD=1 to build")
+    base = spark.read.parquet(base_path).persist()
+    base.count()
+    k, nprobe, kf, M = 10, 16, 64, 16
+    rungs = []
+    for opq in (False, True):
+        pq, build_s = ensure_ivfpq(
+            spark, cache, base_path, flat_idx.centroids, M, opq=opq
+        )
+        pq.adc_fp32 = SCALE_ADC_FP32
+        pq.data.count()
+        pt = _refine_point(pq, base, test, gt, k, nprobe, kf)
+        rec = {"M": M, "opq": opq, "nprobe": nprobe, "k_factor": kf, **pt}
+        if build_s:
+            rec["cold_build_sec"] = round(build_s, 2)
+        rungs.append(rec)
+    base.unpersist()
+    _dump_stamped(ev_path, {"rungs": rungs})
+    return rungs
 
 
 def run_effect_time(spark, ep, gt, test) -> dict:
@@ -832,6 +1031,26 @@ def run(spark, configs=None, n: int = N) -> dict:
 
     test = spark.createDataFrame(_gen_queries_pdf(11, N_TEST, 20_000_000)).cache()
     test.count()
+
+    # big tiers: explicitly load the flat index into the page cache and
+    # WAIT (synchronous read, timed separately) before anything is
+    # timed. The r06 ".count()" warm-up read only parquet footers, so
+    # the first timed config paid whatever data-page IO the session's
+    # earlier builds had evicted — on this box's ~220 MB/s device that
+    # is the whole 26.6→37 ms warm k10_b1 regression (VERDICT r06
+    # Next #1; telemetry_start showed 59.9 GB page cache vs ~46 GB of
+    # tier artifacts at tier start). The baseline's per-query figures
+    # are against a RAM-resident index, so excluding the one-time load
+    # is protocol parity, not flattery. Marks the prefetch pass done —
+    # the fadvise walk would only re-queue already-cached pages.
+    if n >= N10 and idx.data_path is not None:
+        out["warm_load"] = {
+            **_warm_read([os.path.join(idx.data_path, "lists")]),
+            "note": "synchronous flat-index page-cache load before the"
+            " timed grid (baseline holds the index in RAM); startup"
+            " cost, excluded from per-query figures",
+        }
+        idx._prefetch_done = True
 
     def config_grid(repeats: int = 1) -> tuple[dict, list]:
         """One pass over the calibrated (k, bound) grid; with
@@ -968,31 +1187,92 @@ def run(spark, configs=None, n: int = N) -> dict:
             )
         except Exception as e:
             out["ivfpq_default"] = {"error": f"{type(e).__name__}: {e}"}
+        # measured OPQ-vs-plain rung at the same operating point
+        # (VERDICT r06 Next #5): recorded evidence, cached per kernel
+        try:
+            out["opq_rungs"] = run_opq_evidence(
+                spark, cache, base_path, idx, gt, test
+            )
+        except _SkipPQ as e:
+            out["opq_rungs"] = {"skipped": str(e)}
+        except Exception as e:
+            out["opq_rungs"] = {"error": f"{type(e).__name__}: {e}"}
     if n == N100 and os.environ.get("SPARK_GRAFT_SCALE_PQ_100M", "1") != "0":
         # the compressed path where it IS the 100 TB claim (VERDICT r05
         # Next #2): codes built via build(assigned=) reusing the flat
         # index's (id, list_no) — no re-assignment pass — and refined
         # against the flat lists themselves (the raw corpus is never
-        # materialized at this tier)
+        # materialized at this tier).
+        #
+        # r07 (VERDICT r06 Next #2): the DEFAULT is the REFINED
+        # quantizer (nlist = 1024·SPLIT_100M via split_ivfpq_lists —
+        # lists scale with the corpus, the reference's own posture:
+        # IVF1024 per 10M shard, dist/worker.cpp:83). The superseded
+        # nlist=1024 point stays as recorded evidence (its ladder
+        # artifact; not re-measured every bench — re-measuring a known
+        # 53 ms/q config costs ~10 min of bench wall for no new
+        # information). Falls back to the 1024-list default if the
+        # refined ladder is absent or misses the recall target.
+        pq_runs = int(os.environ.get("SPARK_GRAFT_PQ_RUNS", "2"))
+        refined = None
         try:
-            # never start a 100M encode pass (hours) inside a routine
-            # bench invocation: walk the ladder only when the choice is
-            # already cached, or when a build run asks for it
-            # explicitly (the artifact-build chain sets PQ_BUILD=1)
-            if (
-                not (cache / "pq_default_ladder.json").exists()
-                and os.environ.get("SPARK_GRAFT_PQ_BUILD", "0") != "1"
-            ):
-                raise _SkipPQ("no ladder cache; set SPARK_GRAFT_PQ_BUILD=1 to build")
-            out["ivfpq_default"] = run_ivfpq_default(
+            def _split_factory(cand):
+                return ensure_ivfpq_split(
+                    spark, cache, idx, cand["M"], SPLIT_100M
+                )
+
+            split_lists_dir = cache / f"ivfpq_m32_s{SPLIT_100M}" / "lists"
+            if split_lists_dir.exists():
+                # codes are 3.7 GB — one synchronous pass so the timed
+                # re-measure is not an IO lottery (same protocol as the
+                # flat warm_load)
+                out["warm_load_codes"] = _warm_read([str(split_lists_dir)])
+            refined = run_ivfpq_default(
                 spark, cache, None, idx, gt, test,
-                ladder=PQ_LADDER_100M,
-                n_runs=int(os.environ.get("SPARK_GRAFT_PQ_RUNS", "2")),
+                ladder=PQ_LADDER_100M_SPLIT, n_runs=pq_runs,
+                index_factory=_split_factory,
+                esc_name=f"pq_split{SPLIT_100M}_ladder.json",
+                extra_out={"nlist": NLIST * SPLIT_100M, "split": SPLIT_100M},
             )
         except _SkipPQ as e:
-            out["ivfpq_default"] = {"skipped": str(e)}
+            out["ivfpq_refined"] = {"skipped": str(e)}
         except Exception as e:
-            out["ivfpq_default"] = {"error": f"{type(e).__name__}: {e}"}
+            out["ivfpq_refined"] = {"error": f"{type(e).__name__}: {e}"}
+        if refined is not None and refined.get("default_meets_target"):
+            out["ivfpq_default"] = refined
+            old = _load_stamped(cache / "pq_default_ladder.json")
+            if old is not None:
+                out["ivfpq_nlist1024"] = {
+                    **old,
+                    "measured_in": "pq_default_ladder.json rungs (superseded"
+                    " as default by the refined quantizer; not re-measured"
+                    " per bench)",
+                }
+        else:
+            if refined is not None:
+                out["ivfpq_refined"] = refined
+            try:
+                # never start a 100M encode pass (hours) inside a
+                # routine bench invocation: walk the ladder only when
+                # the choice is already cached, or when a build run
+                # asks explicitly (the artifact-build chain sets
+                # PQ_BUILD=1)
+                if (
+                    not (cache / "pq_default_ladder.json").exists()
+                    and os.environ.get("SPARK_GRAFT_PQ_BUILD", "0") != "1"
+                ):
+                    raise _SkipPQ(
+                        "no ladder cache; set SPARK_GRAFT_PQ_BUILD=1 to build"
+                    )
+                out["ivfpq_default"] = run_ivfpq_default(
+                    spark, cache, None, idx, gt, test,
+                    ladder=PQ_LADDER_100M,
+                    n_runs=pq_runs,
+                )
+            except _SkipPQ as e:
+                out["ivfpq_default"] = {"skipped": str(e)}
+            except Exception as e:
+                out["ivfpq_default"] = {"error": f"{type(e).__name__}: {e}"}
 
     # cold-PAGE-CACHE grid (VERDICT r04 Next #6), big tiers only, LAST
     # on purpose: the 100M index (~37 GB) exceeds what a restarted
@@ -1015,6 +1295,14 @@ def run(spark, configs=None, n: int = N) -> dict:
             out["cold_page_cache"] = {"skipped": f"{type(e).__name__}: {e}"}
         else:
             try:
+                # re-arm the once-per-process readahead pass: the cache
+                # was just deliberately dropped, so the first cold
+                # search should issue one full fadvise walk and overlap
+                # the ~37 GB re-read with its compute (device floor:
+                # ~220 MB/s ⇒ ≥168 s of IO ≈ 33.6 ms/q amortized over
+                # the 5000-query first config — the physics lower bound
+                # for the cold number on this box)
+                idx.reset_prefetch()
                 cold_results, cold_lat = config_grid()
                 out["cold_page_cache"] = {
                     "configs": cold_results,

@@ -119,6 +119,27 @@ def test_bounded_search_meets_bound(fitted, spark):
     assert info["nprobe"].min() >= 1
 
 
+def test_bounded_search_convergence_contract(fitted):
+    """require_acc=1.0 under the maximally conservative calibration
+    (multipler=nlist: the post-stop extension, IndexIVF.cpp:615-626,
+    reaches a full exhaustive probe for every query) must return the
+    EXACT top-k with the engine's (dist, id) tie order — the catalog's
+    bounded_knn oracle contract (VERDICT r06 Next #4)."""
+    xb, xq, idx, ep, queries = fitted
+    saved = ep.multipler
+    ep.multipler = float(idx.nlist)
+    try:
+        res, info = ep.search(queries, TOPK, require_acc=1.0, return_info=True)
+    finally:
+        ep.multipler = saved
+    assert info["nprobe"].min() == idx.nlist  # every query probed all
+    ids, dists = np_knn(xq, xb, TOPK, "l2")
+    got = {(r["qid"], r["pos"]): r["id"] for r in res.collect()}
+    for qi in range(xq.shape[0]):
+        for p in range(TOPK):
+            assert got[(qi, p)] == ids[qi, p]
+
+
 def test_bounded_search_cheaper_than_exhaustive(fitted):
     _, _, idx, ep, queries = fitted
     _, lo = ep.search(queries, TOPK, require_acc=0.5, return_info=True)
