@@ -1,0 +1,20 @@
+#!/bin/bash
+# Serial scale-tier artifact build (fresh container). Strictly serial:
+# r06 OOM post-mortem — never run two big-tier JVMs concurrently.
+set -x
+cd /root/repo
+export SPARK_GRAFT_PQ_BUILD=1
+ts() { date +%H:%M:%S; }
+
+echo "=== 1M tier build+run start $(ts)"
+SPARK_GRAFT_SCALE_N=1000000 python scripts/scale_bench.py > BENCH_RUNS/build_1m.json 2> BENCH_RUNS/build_1m.log
+echo "=== 1M done rc=$? $(ts)"
+
+echo "=== 10M tier build+run start $(ts)"
+SPARK_GRAFT_SCALE_N=10000000 python scripts/scale_bench.py > BENCH_RUNS/build_10m.json 2> BENCH_RUNS/build_10m.log
+echo "=== 10M done rc=$? $(ts)"
+
+echo "=== 100M tier build start $(ts) (grid+cold deferred to final bench)"
+SPARK_GRAFT_SCALE_N=100000000 SPARK_GRAFT_SCALE_GRID=0 SPARK_GRAFT_SCALE_COLD=0 SPARK_GRAFT_SCALE_TPUT=0 \
+  python scripts/scale_bench.py > BENCH_RUNS/build_100m.json 2> BENCH_RUNS/build_100m.log
+echo "=== 100M done rc=$? $(ts)"
