@@ -878,10 +878,18 @@ def ensure_ivfpq_split(spark, cache: Path, flat_idx, M: int, split: int):
     if os.environ.get("SPARK_GRAFT_PQ_BUILD", "0") != "1":
         raise _SkipPQ(f"no {name} cache; set SPARK_GRAFT_PQ_BUILD=1 to build")
     pname = "ivfpq" if M == 8 else f"ivfpq_m{M}"
-    if not (cache / pname / "meta.json").exists():
-        raise _SkipPQ(f"split needs the parent {pname} build first")
-    pq_idx = IVFPQIndex.load(spark, str(cache / pname))
     t0 = time.perf_counter()
+    if not (cache / pname / "meta.json").exists():
+        # fresh container: build the parent in the same pass (encode is
+        # the dominant cost; the split itself is one routing pass + a
+        # code re-partition). Without this, a from-zero 100M run would
+        # skip the refined path entirely and fall back to the
+        # superseded 1024-list ladder — paying a dead M16 encode there.
+        ensure_ivfpq(
+            spark, cache, None, flat_idx.centroids, M,
+            assigned_df=flat_idx.data,
+        )
+    pq_idx = IVFPQIndex.load(spark, str(cache / pname))
     idx = split_ivfpq_lists(flat_idx, pq_idx, split, str(path))
     return idx, time.perf_counter() - t0
 
@@ -1240,6 +1248,14 @@ def run(spark, configs=None, n: int = N) -> dict:
             out["ivfpq_refined"] = {"error": f"{type(e).__name__}: {e}"}
         if refined is not None and refined.get("default_meets_target"):
             out["ivfpq_default"] = refined
+            # nlist=1024 head-to-head comparator (VERDICT r06 Next #2:
+            # "a recorded nlist ladder rung proving the choice"): the
+            # SAME codes behind the pinned-1024 quantizer at r06's
+            # chosen operating point (M32/np16/kf32 — BENCH_r06
+            # scale_100m: 53.0 ms/q, recall 0.908). Measured ONCE per
+            # kernel and cached — re-measuring a superseded ~50 ms/q
+            # config every bench would cost ~10 min for no new
+            # information.
             old = _load_stamped(cache / "pq_default_ladder.json")
             if old is not None:
                 out["ivfpq_nlist1024"] = {
@@ -1248,6 +1264,33 @@ def run(spark, configs=None, n: int = N) -> dict:
                     " as default by the refined quantizer; not re-measured"
                     " per bench)",
                 }
+            else:
+                cmp_path = cache / "nlist1024_comparator.json"
+                saved = _load_stamped(cmp_path)
+                if saved is None and (cache / "ivfpq_m32" / "meta.json").exists():
+                    try:
+                        from auncel_spark.index.ivfpq import IVFPQIndex
+
+                        parent = IVFPQIndex.load(
+                            spark, str(cache / "ivfpq_m32")
+                        )
+                        parent.adc_fp32 = SCALE_ADC_FP32
+                        pt1024 = _refine_point(
+                            parent, idx.data.select("id", "vec"), test, gt,
+                            10, 16, 32,
+                        )
+                        saved = {
+                            "M": 32, "opq": False, "nprobe": 16,
+                            "k_factor": 32, "nlist": NLIST, **pt1024,
+                            "measured_in": "one-shot same-session"
+                            " comparator (single pass; superseded as"
+                            " default by the refined quantizer)",
+                        }
+                        _dump_stamped(cmp_path, saved)
+                    except Exception as e:
+                        saved = {"error": f"{type(e).__name__}: {e}"}
+                if saved is not None:
+                    out["ivfpq_nlist1024"] = saved
         else:
             if refined is not None:
                 out["ivfpq_refined"] = refined
