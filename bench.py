@@ -226,6 +226,13 @@ def _compact_scale(s: dict) -> dict:
         if "ms_per_query_min" in pqd:
             out["ivfpq_ms_min"] = pqd.get("ms_per_query_min")
             out["ivfpq_n_runs"] = pqd.get("n_runs")
+        if "nlist" in pqd:  # refined-quantizer default (lists ∝ n)
+            out["ivfpq_nlist"] = pqd.get("nlist")
+    cmp1024 = s.get("ivfpq_nlist1024")
+    if isinstance(cmp1024, dict) and "ms_per_query" in cmp1024:
+        # superseded pinned-1024 point: the nlist head-to-head evidence
+        out["ivfpq_1024_ms_q"] = cmp1024.get("ms_per_query")
+        out["ivfpq_1024_recall"] = cmp1024.get("recall_at_10")
     if s.get("grid_runs_per_config", 1) > 1:
         out["grid_runs"] = s["grid_runs_per_config"]
     return out
