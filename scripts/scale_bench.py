@@ -368,8 +368,20 @@ MARGIN = 1  # grid steps of headroom above the cheapest passing config:
 # margin and r02 measured it dipping to 0.9 on the 5000 unseen test
 # queries; one multiplier step up buys the tail at ~2× nprobe cost
 # (still ≪ the distributed baseline's latency)
-_MULT_GRID = (1.0, 2.0, 4.0, 8.0)
+MV_SLACK = 2.0  # results of worst-case headroom required on the margin-val draw
+# policy stamp: escalations persisted under a different policy recompute once
+MV_POLICY = "zero-fail-b5+slack2"
+_MULT_GRID = (1.0, 2.0, 4.0, 8.0, 16.0, 32.0)
 _STD_GRID = (1.0, 2.0, 4.0)
+# r07: the grid extends past the r04-r06 cap of 8. The 1M rebuild drew
+# a quantizer where the k50_b1 raw fit PINNED at 8.0 (val minf 1.0)
+# yet the unseen-test worst case landed 0.96, and k100_b1 found NO
+# passing config at all (nan fallback) — the knob saturated exactly
+# where the draw was hard, so the margin steps bought zero extra
+# probing. 16/32 exist for fits that ask for them; healthy fits keep
+# picking the cheap points (the fit minimizes mean nprobe among
+# passing configs) and _apply_margin's cap rule below keeps their
+# margined values at the old ceiling.
 
 
 def _apply_margin(params: dict) -> dict:
@@ -387,13 +399,103 @@ def _apply_margin(params: dict) -> dict:
     the same mean nprobe as the failing mult-only k50_b1)."""
     for (k, bound), p in params.items():
         steps = MARGIN + (1 if k <= 10 else 0) + (2 if bound <= 0.01 else 0)
+        # headroom cap (r07): a healthy fit (raw multipler well inside
+        # the grid) margins up to the historical ceiling of 8 exactly
+        # as in r04-r06; only a fit pinned at 8+ — the signature of a
+        # genuinely hard draw — may escalate into the 16/32 region, to
+        # at most 4x its own fitted value. Without the cap, the fixed
+        # step count would inflate every b<=1% config 4x the moment the
+        # grid grew (k10_b1's calibrated ~8 lists would become ~34,
+        # quadrupling the flagship warm latency for bounds that already
+        # hold).
+        cap = max(8.0, p["multipler"] * 4.0)
         for _ in range(steps):
             gi = _MULT_GRID.index(p["multipler"])
-            if gi + 1 < len(_MULT_GRID):
+            if gi + 1 < len(_MULT_GRID) and _MULT_GRID[gi + 1] <= cap:
                 p["multipler"] = _MULT_GRID[gi + 1]
             else:
                 si = _STD_GRID.index(p["std_m"])
                 p["std_m"] = _STD_GRID[min(si + 1, len(_STD_GRID) - 1)]
+    return params
+
+
+def _escalate_on_margin_val(ep, params: dict, saved_esc: dict | None) -> dict:
+    """Margin-VALIDATION pass (r07): verify every margined config's
+    worst-case criterion on a FRESH self-generated query set (seed 23 —
+    never the test seed) of the same size as the test set, and escalate
+    the configs that miss (next multiplier step, then std_m) until they
+    hold or the grid ends.
+
+    Why: the fixed margin steps are a generalization buffer whose right
+    size is draw-dependent. The r07 1M rebuild drew a quantizer where
+    k100_b5's raw fit passed its 2500-query calibration half at 0.98
+    yet the 5000-query test worst-case landed 0.94 — a 2500-query
+    extreme value systematically under-reads a 5000-query one. Probing
+    a SAME-SIZE unseen sample measures the gap the margin must cover
+    and buys exactly as much multiplier as this draw needs (measured:
+    k100_b5 holds at mult 16, k50_b1/k100_b1 at 32), instead of
+    inflating every config against a worst case most draws never
+    produce. The sweep's exhaustive last stage doubles as the exact GT,
+    so the pass costs one sweep job, replays are numpy.
+
+    ``saved_esc``: {config_key: extra_steps} from a previous pass —
+    re-applied without re-sweeping (the escalation is deterministic
+    given the profile, which is cached alongside)."""
+    import copy
+
+    def bump(p) -> bool:
+        gi = _MULT_GRID.index(p["multipler"])
+        if gi + 1 < len(_MULT_GRID):
+            p["multipler"] = _MULT_GRID[gi + 1]
+            return True
+        si = _STD_GRID.index(p["std_m"])
+        if si + 1 < len(_STD_GRID):
+            p["std_m"] = _STD_GRID[si + 1]
+            return True
+        return False
+
+    if saved_esc is not None:
+        for key, n in saved_esc.items():
+            p = params[tuple(json.loads(key))]
+            for _ in range(int(n)):
+                bump(p)
+        return params
+
+    mv = ep.index.spark.createDataFrame(
+        _gen_queries_pdf(23, N_TEST, 30_000_000)
+    )
+    sweep = ep._sweep_states(mv, ep._all_stages())
+    gt = sweep["states_d"][-1]  # exhaustive stage == exact top-k
+    saved = (ep.multipler, ep.std_m)
+    esc: dict[str, int] = {}
+    for (k, bound), p in params.items():
+        # criterion: bounds ≤5% leave the worst query a miss budget of
+        # ≤ 0.05·k results — small enough that the empirical tail rate
+        # (~1-in-5000 queries, r07 measured: a query stuck at 94/100
+        # across mult 4-8 at every std_m) can consume it whole, so the
+        # margin-val draw must show ZERO failures (worst case 1.0) for
+        # these configs; one draw clearing the bound by a result or two
+        # says nothing about the next (measured mv 0.99 vs test 0.94 at
+        # identical params). Looser bounds keep a MV_SLACK-results
+        # headroom rule — their budget (≥ 0.1·k results) dwarfs the
+        # observed tail spread.
+        target = 1.0 if bound <= 0.05 else min(1.0 - bound + MV_SLACK / k, 1.0)
+        steps = 0
+        while True:
+            ep.multipler, ep.std_m = p["multipler"], p["std_m"]
+            chosen = ep._simulate_targets(
+                sweep, k, 1.0 - bound, sweep.setdefault("_pred_cache", {})
+            )
+            minf, _cost = ep._simulated_quality(sweep, chosen, k, gt[:, k - 1])
+            p["margin_val_minf"] = round(float(minf), 4)
+            if minf >= target - 1e-9 or not bump(copy.copy(p)):
+                break
+            bump(p)
+            steps += 1
+        if steps:
+            esc[json.dumps([k, bound])] = steps
+    ep.multipler, ep.std_m = saved
+    params["_escalations"] = esc  # popped by the caller before use
     return params
 
 
@@ -404,24 +506,55 @@ def ensure_profile(spark, cache: Path, idx, configs=None):
     prof_path = str(cache / "profile")
     params_path = cache / "params.json"
     ep = ErrorProfile(idx, max_topk=MAX_TOPK)
+    import copy
+
     if params_path.exists():
         with open(params_path) as f:
             raw = json.load(f)
-        if raw.get("safety") == SAFETY and raw.get("holdout") and "configs_raw" in raw:
+        # a cached fit is reusable only if it was UNCONSTRAINED by its
+        # own grid: a raw multipler pinned at that grid's cap (or a nan
+        # fallback row) means a refit under the current, wider grid can
+        # find what the old one couldn't (r07: the 1M k50_b1/k100_b1
+        # draw). Margin-policy changes alone never force a refit — the
+        # margin is re-applied from configs_raw on every load.
+        cached_cap = max(raw.get("mult_grid", [8.0]))
+        fit_unconstrained = "configs_raw" in raw and (
+            raw.get("mult_grid") == list(_MULT_GRID)  # same grid: a refit is a no-op
+            or all(
+                v["multipler"] < min(cached_cap, max(_MULT_GRID))
+                and v["minf"] == v["minf"]  # not nan
+                for v in raw["configs_raw"].values()
+            )
+        )
+        if raw.get("safety") == SAFETY and raw.get("holdout") and fit_unconstrained:
             # margin is a post-fit transform: re-apply it from the raw
             # fit so margin-policy changes never force a refit
-            import copy
-
             ep2 = ErrorProfile.load(idx, prof_path)
             params = _apply_margin(
                 copy.deepcopy(
                     {tuple(json.loads(k)): v for k, v in raw["configs_raw"].items()}
                 )
             )
+            if "escalations" in raw and raw.get("mv_slack") == MV_POLICY:
+                params = _escalate_on_margin_val(
+                    ep2, params, raw["escalations"]
+                )
+            else:
+                # cache predates the margin-val pass: run it once and
+                # persist, so later loads skip the sweep
+                t0 = time.perf_counter()
+                params = _escalate_on_margin_val(ep2, params, None)
+                raw["escalations"] = params.pop("_escalations")
+                raw["mv_slack"] = MV_POLICY
+                raw["margin_val_sec"] = round(time.perf_counter() - t0, 2)
+                raw["configs"] = {
+                    json.dumps(list(k)): v for k, v in params.items()
+                }
+                with open(params_path, "w") as f:
+                    json.dump(raw, f)
             return ep2, params, 0.0
     t0 = time.perf_counter()
     train = spark.createDataFrame(_gen_queries_pdf(7, N_TRAIN, 10_000_000))
-    import copy
 
     raw_params = ep.fit_and_calibrate_many(
         train,
@@ -431,6 +564,8 @@ def ensure_profile(spark, cache: Path, idx, configs=None):
         safety=SAFETY,
     )
     params = _apply_margin(copy.deepcopy(raw_params))
+    params = _escalate_on_margin_val(ep, params, None)
+    escalations = params.pop("_escalations")
     fit_s = time.perf_counter() - t0
     ep.save(prof_path)
     with open(params_path, "w") as f:
@@ -438,10 +573,13 @@ def ensure_profile(spark, cache: Path, idx, configs=None):
             {
                 "configs_raw": {json.dumps(list(k)): v for k, v in raw_params.items()},
                 "configs": {json.dumps(list(k)): v for k, v in params.items()},
+                "escalations": escalations,
+                "mv_slack": MV_POLICY,
                 "fit_sec": round(fit_s, 2),
                 "safety": SAFETY,
                 "holdout": True,
                 "margin": MARGIN,
+                "mult_grid": list(_MULT_GRID),
             },
             f,
         )
