@@ -370,7 +370,7 @@ MARGIN = 1  # grid steps of headroom above the cheapest passing config:
 # (still ≪ the distributed baseline's latency)
 MV_SLACK = 2.0  # results of worst-case headroom required on the margin-val draw
 # policy stamp: escalations persisted under a different policy recompute once
-MV_POLICY = "zero-fail-b5+slack2"
+MV_POLICY = "zero-fail-b5+slack2+cap8/4x"
 _MULT_GRID = (1.0, 2.0, 4.0, 8.0, 16.0, 32.0)
 _STD_GRID = (1.0, 2.0, 4.0)
 # r07: the grid extends past the r04-r06 cap of 8. The 1M rebuild drew
@@ -408,7 +408,7 @@ def _apply_margin(params: dict) -> dict:
         # grid grew (k10_b1's calibrated ~8 lists would become ~34,
         # quadrupling the flagship warm latency for bounds that already
         # hold).
-        cap = max(8.0, p["multipler"] * 4.0)
+        cap = p["multipler"] * 4.0 if p["multipler"] >= 8.0 else 8.0
         for _ in range(steps):
             gi = _MULT_GRID.index(p["multipler"])
             if gi + 1 < len(_MULT_GRID) and _MULT_GRID[gi + 1] <= cap:
