@@ -233,6 +233,13 @@ def _compact_scale(s: dict) -> dict:
         # superseded pinned-1024 point: the nlist head-to-head evidence
         out["ivfpq_1024_ms_q"] = cmp1024.get("ms_per_query")
         out["ivfpq_1024_recall"] = cmp1024.get("recall_at_10")
+    alt4096 = s.get("ivfpq_nlist4096")
+    if isinstance(alt4096, dict) and "ms_per_query" in alt4096:
+        # refined-quantizer rung recorded as the losing side of the
+        # head-to-head (r07: per-list scan overhead beat the 2.7x
+        # gather reduction)
+        out["ivfpq_4096_ms_q"] = alt4096.get("ms_per_query")
+        out["ivfpq_4096_recall"] = alt4096.get("recall_at_10")
     if s.get("grid_runs_per_config", 1) > 1:
         out["grid_runs"] = s["grid_runs_per_config"]
     return out

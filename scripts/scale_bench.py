@@ -1350,41 +1350,109 @@ def run(spark, configs=None, n: int = N) -> dict:
         # against the flat lists themselves (the raw corpus is never
         # materialized at this tier).
         #
-        # r07 (VERDICT r06 Next #2): the DEFAULT is the REFINED
-        # quantizer (nlist = 1024·SPLIT_100M via split_ivfpq_lists —
-        # lists scale with the corpus, the reference's own posture:
-        # IVF1024 per 10M shard, dist/worker.cpp:83). The superseded
-        # nlist=1024 point stays as recorded evidence (its ladder
-        # artifact; not re-measured every bench — re-measuring a known
-        # 53 ms/q config costs ~10 min of bench wall for no new
-        # information). Falls back to the 1024-list default if the
-        # refined ladder is absent or misses the recall target.
+        # r07 (VERDICT r06 Next #2): the refined quantizer
+        # (nlist = 1024·SPLIT_100M via split_ivfpq_lists — lists scale
+        # with the corpus, the reference's posture: IVF1024 per 10M
+        # shard, dist/worker.cpp:83) is BUILT and MEASURED; the tier
+        # default is whichever quantizer the recorded head-to-head
+        # shows faster at target recall (the short-circuit below).
         pq_runs = int(os.environ.get("SPARK_GRAFT_PQ_RUNS", "2"))
-        refined = None
-        try:
-            def _split_factory(cand):
-                return ensure_ivfpq_split(
-                    spark, cache, idx, cand["M"], SPLIT_100M
+        # quantizer head-to-head short-circuit (r07 measured): the
+        # refined nlist=4096 rung READ 2.7x fewer coded rows/query yet
+        # ran SLOWER than the pinned-1024 point at equal recall
+        # (ladder rung 61.0 / re-measures 71.2+85.2 vs 50.2 ms/q,
+        # recall 0.9084 both) — the batch-amortized scan's per-list
+        # work (t3/LUT slicing, per-list state ops ×4096 lists)
+        # outweighs the gather reduction at this nq. When the cached
+        # rungs show the parent faster at target recall, the parent IS
+        # the default (measured fresh each bench) and the refined rung
+        # rides as recorded evidence without a ~13-min re-measure.
+        # Next lever (STATUS): group child lists by parent in the scan
+        # (children share the parent LUT via enc_of), recovering the
+        # scanned-row win without the list-count overhead.
+        lad_saved = _load_stamped(cache / f"pq_split{SPLIT_100M}_ladder.json")
+        cmp_saved = _load_stamped(cache / "nlist1024_comparator.json")
+        refined_est = None
+        if lad_saved is not None and cmp_saved is not None:
+            ch = lad_saved.get("chosen", {})
+            att = [
+                a for a in lad_saved.get("attempts", [])
+                if all(a.get(x) == ch.get(x) for x in ("M", "nprobe", "k_factor"))
+            ]
+            if att and att[-1].get("recall_at_10", 0) >= PQ_TARGET_RECALL:
+                refined_est = att[-1]
+        if (
+            refined_est is not None
+            and cmp_saved.get("recall_at_10", 0) >= PQ_TARGET_RECALL
+            and cmp_saved.get("ms_per_query", 9e9)
+            < refined_est["ms_per_query"]
+        ):
+            try:
+                out["ivfpq_nlist4096"] = {
+                    **refined_est,
+                    "nlist": NLIST * SPLIT_100M,
+                    "split": SPLIT_100M,
+                    "measured_in": "pq_split ladder rung (recorded"
+                    " evidence; slower than the nlist=1024 point at"
+                    " equal recall — per-list scan overhead outweighs"
+                    " the 2.7x gather reduction at this batch size)",
+                }
+                parent_point = [
+                    {
+                        "M": cmp_saved["M"],
+                        "opq": False,
+                        "nprobe": cmp_saved["nprobe"],
+                        "k_factor": cmp_saved["k_factor"],
+                    }
+                ]
+                m32_lists = cache / "ivfpq_m32" / "lists"
+                if m32_lists.exists():
+                    out["warm_load_codes"] = _warm_read([str(m32_lists)])
+                out["ivfpq_default"] = run_ivfpq_default(
+                    spark, cache, None, idx, gt, test,
+                    ladder=parent_point, n_runs=pq_runs,
+                    esc_name="pq_parent_default.json",
+                    extra_out={
+                        "nlist": NLIST,
+                        "chosen_over": "nlist=4096 refined (see"
+                        " ivfpq_nlist4096)",
+                    },
                 )
+            except _SkipPQ as e:
+                out["ivfpq_default"] = {"skipped": str(e)}
+            except Exception as e:
+                out["ivfpq_default"] = {"error": f"{type(e).__name__}: {e}"}
+            _parent_decided = True
+        else:
+            _parent_decided = False
+        refined = None
+        if not _parent_decided:
+            try:
+                def _split_factory(cand):
+                    return ensure_ivfpq_split(
+                        spark, cache, idx, cand["M"], SPLIT_100M
+                    )
 
-            split_lists_dir = cache / f"ivfpq_m32_s{SPLIT_100M}" / "lists"
-            if split_lists_dir.exists():
-                # codes are 3.7 GB — one synchronous pass so the timed
-                # re-measure is not an IO lottery (same protocol as the
-                # flat warm_load)
-                out["warm_load_codes"] = _warm_read([str(split_lists_dir)])
-            refined = run_ivfpq_default(
-                spark, cache, None, idx, gt, test,
-                ladder=PQ_LADDER_100M_SPLIT, n_runs=pq_runs,
-                index_factory=_split_factory,
-                esc_name=f"pq_split{SPLIT_100M}_ladder.json",
-                extra_out={"nlist": NLIST * SPLIT_100M, "split": SPLIT_100M},
-            )
-        except _SkipPQ as e:
-            out["ivfpq_refined"] = {"skipped": str(e)}
-        except Exception as e:
-            out["ivfpq_refined"] = {"error": f"{type(e).__name__}: {e}"}
-        if refined is not None and refined.get("default_meets_target"):
+                split_lists_dir = cache / f"ivfpq_m32_s{SPLIT_100M}" / "lists"
+                if split_lists_dir.exists():
+                    # codes are 3.7 GB — one synchronous pass so the
+                    # timed re-measure is not an IO lottery (same
+                    # protocol as the flat warm_load)
+                    out["warm_load_codes"] = _warm_read([str(split_lists_dir)])
+                refined = run_ivfpq_default(
+                    spark, cache, None, idx, gt, test,
+                    ladder=PQ_LADDER_100M_SPLIT, n_runs=pq_runs,
+                    index_factory=_split_factory,
+                    esc_name=f"pq_split{SPLIT_100M}_ladder.json",
+                    extra_out={"nlist": NLIST * SPLIT_100M, "split": SPLIT_100M},
+                )
+            except _SkipPQ as e:
+                out["ivfpq_refined"] = {"skipped": str(e)}
+            except Exception as e:
+                out["ivfpq_refined"] = {"error": f"{type(e).__name__}: {e}"}
+        if _parent_decided:
+            pass  # default decided by the cached head-to-head above
+        elif refined is not None and refined.get("default_meets_target"):
             out["ivfpq_default"] = refined
             # nlist=1024 head-to-head comparator (VERDICT r06 Next #2:
             # "a recorded nlist ladder rung proving the choice"): the
