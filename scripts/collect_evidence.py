@@ -28,11 +28,14 @@ from scripts.scale_bench import N, N10, N100, _cache_dir  # noqa: E402
 
 # artifact name -> what it records (copied verbatim when present)
 ARTIFACTS = {
-    "pq_curve_v2.json": "1M PQ sweep: recall/ms per (M, opq, nprobe, kf) point",
+    "pq_curve_v3.json": "1M PQ sweep: recall/ms per (M, opq, nprobe, kf) point",
     "pq_default_ladder.json": "per-tier PQ default ladder: rungs walked + chosen",
     "pq_split4_ladder.json": "100M refined-quantizer (nlist=4096) ladder",
+    "pq_parent_default.json": "100M nlist=1024 default point (head-to-head winner)",
+    "nlist1024_comparator.json": "100M nlist=1024 comparator rung (one-shot)",
     "opq_rungs.json": "OPQ-vs-plain rung pair at matched operating point",
-    "params.json": "calibrated (multipler, std_m) per (k, bound) config",
+    "params.json": "calibrated (multipler, std_m) per (k, bound) config"
+    " with margin-val escalations",
 }
 
 TIERS = {"1m": N, "10m": N10, "100m": N100}
