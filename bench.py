@@ -19,6 +19,17 @@ if _REPO not in sys.path:
 
 
 def main() -> None:
+    # wall-clock budget (VERDICT r07 Next #1): BENCH_r07 was rc=124
+    # because every tier ran unconditionally with heavy knobs and the
+    # driver killed the process mid-ladder at ~60 min. The bench now
+    # tracks elapsed time against SPARK_GRAFT_BENCH_BUDGET_S (default
+    # 2550 s — inside the driver's observed window with headroom) and
+    # enters a scale tier only if the remaining budget covers its last
+    # recorded duration; skipped tiers emit an explicit marker pointing
+    # at the committed evidence. The builder's final_bench.sh raises
+    # the budget for the full committed record.
+    budget_s = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_S", "2550"))
+    t_bench0 = time.perf_counter()
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     try:
         sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
@@ -147,33 +158,56 @@ def main() -> None:
     # .scale_cache so per-round reruns time only the online search.
     # Opt out with SPARK_GRAFT_SCALE_BENCH=0.
     if os.environ.get("SPARK_GRAFT_SCALE_BENCH", "1") != "0":
-        try:
-            from scripts.scale_bench import N10, N100, _cache_dir, run as scale_run
+        from scripts.scale_bench import (
+            BUDGET_DRIFT,
+            N10,
+            N100,
+            _cache_dir,
+            last_duration,
+            record_duration,
+            run as scale_run,
+        )
 
-            out["scale_1m"] = scale_run(spark)
-        except Exception as e:  # never let the scale path kill the bench line
-            out["scale_1m"] = {"error": f"{type(e).__name__}: {e}"}
-        # 10M × d96 — the reference's actual single-node dataset scale
-        # (README.md §3). Representative 3-config diagonal; artifacts
-        # cached, so warm reruns time only the online search.
+        out["budget_s"] = budget_s
+
+        def run_tier(key: str, n: int, default_est: float, build_est: float):
+            """Enter a tier only if the remaining budget covers its
+            last recorded duration under the current knob signature
+            (x drift); with no cache the estimate is the BUILD cost —
+            a cold tier build must never start inside a driver bench
+            (r07's 82-minute lesson). Sections inside the tier are
+            further gated against the remaining budget passed down."""
+            has_cache = (_cache_dir(n) / "params.json").exists()
+            est = (
+                (last_duration(key) or default_est) if has_cache else build_est
+            ) * BUDGET_DRIFT
+            left = budget_s - (time.perf_counter() - t_bench0)
+            if left < est:
+                out[key] = {
+                    "skipped": "budget"
+                    if has_cache
+                    else "no build cache (build via scripts/build_tiers.sh)",
+                    "remaining_s": round(left, 1),
+                    "needed_s": round(est, 1),
+                    "evidence": "committed evidence/ + BENCH_LOCAL.json",
+                }
+                return
+            t0 = time.perf_counter()
+            try:
+                out[key] = scale_run(spark, n=n, budget_s=left)
+                record_duration(key, time.perf_counter() - t0)
+            except Exception as e:  # never let a tier kill the bench line
+                out[key] = {"error": f"{type(e).__name__}: {e}"}
+
+        # 1M: the reference's eval/run.sh workload shape (full 9-config
+        # grid + PQ sweep + effect_time). 10M: the reference's actual
+        # single-node dataset scale, 3-config diagonal. 100M: 3.1M
+        # rows/core — 38x the DEEP1B baseline's per-core volume.
+        run_tier("scale_1m", 1_000_000, 500.0, 2400.0)
         if os.environ.get("SPARK_GRAFT_SCALE_10M", "1") != "0":
-            try:
-                out["scale_10m"] = scale_run(spark, n=N10)
-            except Exception as e:
-                out["scale_10m"] = {"error": f"{type(e).__name__}: {e}"}
-        # 100M × d96 — 3.1M rows/core, 38x the DEEP1B baseline's
-        # per-core volume. ONLY when the build cache already exists:
-        # the cold build is hours and must never run inside a driver
-        # bench invocation (build it via
-        # SPARK_GRAFT_SCALE_N=100000000 python scripts/scale_bench.py).
+            run_tier("scale_10m", N10, 700.0, 3000.0)
         if os.environ.get("SPARK_GRAFT_SCALE_100M", "1") != "0":
-            try:
-                if (_cache_dir(N100) / "params.json").exists():
-                    out["scale_100m"] = scale_run(spark, n=N100)
-                else:
-                    out["scale_100m"] = {"skipped": "no build cache"}
-            except Exception as e:
-                out["scale_100m"] = {"error": f"{type(e).__name__}: {e}"}
+            run_tier("scale_100m", N100, 1800.0, 20000.0)
 
     line = json.dumps(out)
     # the full record is the committed file; the driver's stdout

@@ -131,6 +131,62 @@ def _cache_dir(n: int = N) -> Path:
     return Path(root) / f"n{n}_d{D}_nlist{NLIST}_g2"
 
 
+# --- wall-clock budget bookkeeping (VERDICT r07 Next #1) ---------------
+# BENCH_r07.json was rc=124: bench.py ran every tier with heavy knobs
+# unconditionally and the driver killed it mid-ladder at the ~60-minute
+# mark. The fix is observed-duration gating: every tier/section records
+# how long it took under the current knob signature, and the next run
+# enters a tier only if the remaining budget covers its last recorded
+# duration (x a drift factor). Durations are keyed by the env knobs
+# that change a tier's wall time so a heavy final-bench run can never
+# inflate the driver's light-run estimate (and vice versa).
+
+
+def _bench_knobs() -> str:
+    return "r{}p{}c{}".format(
+        os.environ.get("SPARK_GRAFT_SCALE_REPEATS", "1"),
+        os.environ.get("SPARK_GRAFT_PQ_RUNS", "1"),
+        os.environ.get("SPARK_GRAFT_SCALE_COLD", "1"),
+    )
+
+
+def _durations_path() -> Path:
+    p = _cache_dir().parent
+    p.mkdir(parents=True, exist_ok=True)
+    return p / "tier_durations.json"
+
+
+def last_duration(tier: str) -> float | None:
+    try:
+        with open(_durations_path()) as f:
+            d = json.load(f)
+        return float(d[f"{tier}@{_bench_knobs()}"])
+    except (OSError, KeyError, ValueError):
+        return None
+
+
+def record_duration(tier: str, sec: float) -> None:
+    path = _durations_path()
+    try:
+        with open(path) as f:
+            d = json.load(f)
+    except (OSError, ValueError):
+        d = {}
+    d[f"{tier}@{_bench_knobs()}"] = round(sec, 1)
+    try:
+        with open(path, "w") as f:
+            json.dump(d, f)
+    except OSError:
+        pass
+
+
+# safety factor on duration estimates: host IO/CPU windows drift run
+# to run (the r07 100M ivfpq pair measured 55.8 vs 107.4 ms/q same
+# session), so a section must fit with headroom or not start at all —
+# a section that starts and overruns is exactly the rc=124 failure.
+BUDGET_DRIFT = 1.3
+
+
 def _gen_queries_pdf(seed: int, n: int, base_id: int):
     import pandas as pd
 
@@ -370,7 +426,7 @@ MARGIN = 1  # grid steps of headroom above the cheapest passing config:
 # (still ≪ the distributed baseline's latency)
 MV_SLACK = 2.0  # results of worst-case headroom required on the margin-val draw
 # policy stamp: escalations persisted under a different policy recompute once
-MV_POLICY = "zero-fail-b5+slack2+cap8/4x"
+MV_POLICY = "zero-fail-b5+slack-clamped+cap8/4x"
 _MULT_GRID = (1.0, 2.0, 4.0, 8.0, 16.0, 32.0)
 _STD_GRID = (1.0, 2.0, 4.0)
 # r07: the grid extends past the r04-r06 cap of 8. The 1M rebuild drew
@@ -479,7 +535,16 @@ def _escalate_on_margin_val(ep, params: dict, saved_esc: dict | None) -> dict:
         # identical params). Looser bounds keep a MV_SLACK-results
         # headroom rule — their budget (≥ 0.1·k results) dwarfs the
         # observed tail spread.
-        target = 1.0 if bound <= 0.05 else min(1.0 - bound + MV_SLACK / k, 1.0)
+        # ADVICE r07: clamp the slack to the config's own miss budget
+        # (bound·k − 1 results) so the loose-bound headroom rule can
+        # never exceed the tight-bound zero-fail criterion — for
+        # (k=10, bound=0.10) the unclamped form degenerated to 1.0 and
+        # escalated a step its 1-result miss budget doesn't imply.
+        if bound <= 0.05:
+            target = 1.0
+        else:
+            slack = min(MV_SLACK, max(bound * k - 1.0, 0.0))
+            target = min(1.0 - bound + slack / k, 1.0)
         steps = 0
         while True:
             ep.multipler, ep.std_m = p["multipler"], p["std_m"]
@@ -535,11 +600,40 @@ def ensure_profile(spark, cache: Path, idx, configs=None):
                     {tuple(json.loads(k)): v for k, v in raw["configs_raw"].items()}
                 )
             )
+            replay_ok = False
             if "escalations" in raw and raw.get("mv_slack") == MV_POLICY:
                 params = _escalate_on_margin_val(
                     ep2, params, raw["escalations"]
                 )
-            else:
+                # ADVICE r07: saved escalations are step counts applied
+                # on top of the re-derived margined baseline, so any
+                # margin-rule change that slips past the policy stamp
+                # would silently replay stale steps onto a different
+                # baseline. Verify the replayed (multipler, std_m)
+                # match the persisted final params the margin-val pass
+                # actually validated; recompute on mismatch.
+                saved_final = {
+                    tuple(json.loads(kk)): vv
+                    for kk, vv in raw.get("configs", {}).items()
+                }
+                replay_ok = all(
+                    key in saved_final
+                    and p["multipler"] == saved_final[key]["multipler"]
+                    and p["std_m"] == saved_final[key]["std_m"]
+                    for key, p in params.items()
+                )
+                if not replay_ok:
+                    # stale steps: rebuild the margined baseline and
+                    # run the full validation pass below
+                    params = _apply_margin(
+                        copy.deepcopy(
+                            {
+                                tuple(json.loads(kk)): vv
+                                for kk, vv in raw["configs_raw"].items()
+                            }
+                        )
+                    )
+            if not replay_ok:
                 # cache predates the margin-val pass: run it once and
                 # persist, so later loads skip the sweep
                 t0 = time.perf_counter()
@@ -910,7 +1004,10 @@ def run_ivfpq_default(
     resident (38 GB does not fit the 24g JVM)."""
     k = 10
     if n_runs is None:
-        n_runs = int(os.environ.get("SPARK_GRAFT_PQ_RUNS", "3"))
+        # driver-light default (VERDICT r07 Next #1): 1 pass inside the
+        # per-round bench window; the builder's final_bench.sh raises it
+        # for committed median-of-n records
+        n_runs = int(os.environ.get("SPARK_GRAFT_PQ_RUNS", "1"))
     if base_path is not None:
         base = spark.read.parquet(base_path)
         base = base.persist()
@@ -1148,7 +1245,32 @@ def _telemetry(spark) -> dict:
     return out
 
 
-def run(spark, configs=None, n: int = N) -> dict:
+def run(spark, configs=None, n: int = N, budget_s: float | None = None) -> dict:
+    t_run0 = time.perf_counter()
+
+    def _budget_left() -> float | None:
+        return None if budget_s is None else budget_s - (
+            time.perf_counter() - t_run0
+        )
+
+    def _section_fits(section: str, default_est: float) -> tuple[bool, dict]:
+        """Observed-duration gate (VERDICT r07 Next #1): a section
+        enters only if the remaining tier budget covers its last
+        recorded duration (x drift) — a section that starts and
+        overruns is the rc=124 failure mode."""
+        left = _budget_left()
+        if left is None:
+            return True, {}
+        est = (last_duration(section) or default_est) * BUDGET_DRIFT
+        if left >= est:
+            return True, {}
+        return False, {
+            "skipped": "budget",
+            "remaining_s": round(left, 1),
+            "needed_s": round(est, 1),
+            "evidence": "committed evidence/ + BENCH_LOCAL.json",
+        }
+
     cache = _cache_dir(n)
     cache.mkdir(parents=True, exist_ok=True)
     out: dict = {"n": n, "d": D, "nlist": NLIST, "nq": N_TEST}
@@ -1261,7 +1383,10 @@ def run(spark, configs=None, n: int = N) -> dict:
         out["grid_skipped"] = "SPARK_GRAFT_SCALE_GRID=0 (artifact build run)"
         results = {}
     else:
-        repeats = int(os.environ.get("SPARK_GRAFT_SCALE_REPEATS", "2"))
+        # driver-light default (VERDICT r07 Next #1): single pass per
+        # config in the per-round window; final_bench.sh sets the
+        # median-of-n repeats for the committed record
+        repeats = int(os.environ.get("SPARK_GRAFT_SCALE_REPEATS", "1"))
         results, lat = config_grid(repeats=repeats)
         out["grid_runs_per_config"] = max(1, repeats)
         out["configs"] = results
@@ -1288,7 +1413,14 @@ def run(spark, configs=None, n: int = N) -> dict:
             out["effect_time"] = run_effect_time(spark, ep, gt, test)
         except Exception as e:
             out["effect_time"] = {"error": f"{type(e).__name__}: {e}"}
-    if n in (N, N100) and os.environ.get("SPARK_GRAFT_SCALE_TPUT", "1") != "0":
+    _tput_ok, _tput_skip = _section_fits(f"tput_{n}", 150.0 if n == N else 450.0)
+    if (
+        n in (N, N100)
+        and os.environ.get("SPARK_GRAFT_SCALE_TPUT", "1") != "0"
+        and not _tput_ok
+    ):
+        out["throughput"] = _tput_skip
+    elif n in (N, N100) and os.environ.get("SPARK_GRAFT_SCALE_TPUT", "1") != "0":
         # query-batch throughput scaling: same corpus/profile, a bigger
         # query batch at one config (k=10, bound=10%). The driver loop
         # and per-stage job overhead are per-BATCH costs, so ms/query
@@ -1297,6 +1429,7 @@ def run(spark, configs=None, n: int = N) -> dict:
         # scale, not a per-query latency engine. At 100M this is the
         # batch-amortized point comparable to the reference's
         # distributed mode (8000 queries/round, dist/worker.cpp:248).
+        t_sec = time.perf_counter()
         try:
             # the calibrated grid differs per tier: (10, 0.10) exists at
             # 1M; the >=10M diagonal calibrates (10, 0.01) instead
@@ -1322,11 +1455,20 @@ def run(spark, configs=None, n: int = N) -> dict:
                 "qps": round(nq_big / wall, 1),
             }
             big.unpersist()
+            record_duration(f"tput_{n}", time.perf_counter() - t_sec)
         except Exception as e:
             out["throughput"] = {"error": f"{type(e).__name__}: {e}"}
-    if n == N10 and os.environ.get("SPARK_GRAFT_SCALE_PQ_10M", "1") != "0":
+    _pq10_ok, _pq10_skip = _section_fits("pq_10m", 400.0)
+    if (
+        n == N10
+        and os.environ.get("SPARK_GRAFT_SCALE_PQ_10M", "1") != "0"
+        and not _pq10_ok
+    ):
+        out["ivfpq_default"] = _pq10_skip
+    elif n == N10 and os.environ.get("SPARK_GRAFT_SCALE_PQ_10M", "1") != "0":
         # compressed path at the reference's own dataset scale: one
         # point at the documented default (full sweep lives at 1M)
+        t_sec = time.perf_counter()
         try:
             out["ivfpq_default"] = run_ivfpq_default(
                 spark, cache, base_path, idx, gt, test, ladder=PQ_LADDER_10M
@@ -1343,7 +1485,16 @@ def run(spark, configs=None, n: int = N) -> dict:
             out["opq_rungs"] = {"skipped": str(e)}
         except Exception as e:
             out["opq_rungs"] = {"error": f"{type(e).__name__}: {e}"}
-    if n == N100 and os.environ.get("SPARK_GRAFT_SCALE_PQ_100M", "1") != "0":
+        record_duration("pq_10m", time.perf_counter() - t_sec)
+    _pq100_ok, _pq100_skip = _section_fits("pq_100m", 900.0)
+    if (
+        n == N100
+        and os.environ.get("SPARK_GRAFT_SCALE_PQ_100M", "1") != "0"
+        and not _pq100_ok
+    ):
+        out["ivfpq_default"] = _pq100_skip
+    elif n == N100 and os.environ.get("SPARK_GRAFT_SCALE_PQ_100M", "1") != "0":
+        t_pq100 = time.perf_counter()
         # the compressed path where it IS the 100 TB claim (VERDICT r05
         # Next #2): codes built via build(assigned=) reusing the flat
         # index's (id, list_no) — no re-assignment pass — and refined
@@ -1356,7 +1507,7 @@ def run(spark, configs=None, n: int = N) -> dict:
         # shard, dist/worker.cpp:83) is BUILT and MEASURED; the tier
         # default is whichever quantizer the recorded head-to-head
         # shows faster at target recall (the short-circuit below).
-        pq_runs = int(os.environ.get("SPARK_GRAFT_PQ_RUNS", "2"))
+        pq_runs = int(os.environ.get("SPARK_GRAFT_PQ_RUNS", "1"))
         # quantizer head-to-head short-circuit (r07 measured): the
         # refined nlist=4096 rung READ 2.7x fewer coded rows/query yet
         # ran SLOWER than the pinned-1024 point at equal recall
@@ -1418,11 +1569,19 @@ def run(spark, configs=None, n: int = N) -> dict:
                         " ivfpq_nlist4096)",
                     },
                 )
+                # ADVICE r07: decided only when the parent point
+                # actually measured — a raised/skipped run must fall
+                # through to the refined-quantizer path below instead
+                # of leaving the tier with no usable compressed default
+                _parent_decided = not (
+                    set(out["ivfpq_default"]) & {"error", "skipped"}
+                )
             except _SkipPQ as e:
                 out["ivfpq_default"] = {"skipped": str(e)}
+                _parent_decided = False
             except Exception as e:
                 out["ivfpq_default"] = {"error": f"{type(e).__name__}: {e}"}
-            _parent_decided = True
+                _parent_decided = False
         else:
             _parent_decided = False
         refined = None
@@ -1522,6 +1681,7 @@ def run(spark, configs=None, n: int = N) -> dict:
                 out["ivfpq_default"] = {"skipped": str(e)}
             except Exception as e:
                 out["ivfpq_default"] = {"error": f"{type(e).__name__}: {e}"}
+        record_duration("pq_100m", time.perf_counter() - t_pq100)
 
     # cold-PAGE-CACHE grid (VERDICT r04 Next #6), big tiers only, LAST
     # on purpose: the 100M index (~37 GB) exceeds what a restarted
@@ -1531,7 +1691,15 @@ def run(spark, configs=None, n: int = N) -> dict:
     # search done above) or (b) contaminate the throughput section's
     # cache state (runs after it). Drop the OS page cache (root-only;
     # skipped gracefully elsewhere) and rerun the grid from disk.
-    if n >= BIG_N and os.environ.get("SPARK_GRAFT_SCALE_COLD", "1") == "1":
+    _cold_ok, _cold_skip = _section_fits(f"cold_{n}", 600.0)
+    if (
+        n >= BIG_N
+        and os.environ.get("SPARK_GRAFT_SCALE_COLD", "1") == "1"
+        and not _cold_ok
+    ):
+        out["cold_page_cache"] = _cold_skip
+    elif n >= BIG_N and os.environ.get("SPARK_GRAFT_SCALE_COLD", "1") == "1":
+        t_cold = time.perf_counter()
         # two nested try blocks (ADVICE r05): a failed drop_caches (no
         # permission) is a SKIP; a Spark/Py4J failure inside the cold
         # grid must be recorded as an error WITHOUT discarding the
@@ -1562,6 +1730,7 @@ def run(spark, configs=None, n: int = N) -> dict:
                 }
             except Exception as e:
                 out["cold_page_cache"] = {"error": f"{type(e).__name__}: {e}"}
+        record_duration(f"cold_{n}", time.perf_counter() - t_cold)
     out["telemetry_end"] = _telemetry(spark)
     return out
 
