@@ -61,3 +61,98 @@ def test_escalation_replay_matches_fresh_bumps():
     out = _escalate_on_margin_val(None, copy.deepcopy(params), saved)
     assert out[(100, 0.05)]["multipler"] == 16.0
     assert out[(100, 0.05)]["std_m"] == 1.0
+
+
+def _write_params_cache(tmp_path, sb, configs_final, raw_cfg, esc):
+    (tmp_path / "params.json").write_text(
+        json.dumps(
+            {
+                "configs_raw": {
+                    json.dumps(list(k)): v for k, v in raw_cfg.items()
+                },
+                "configs": {
+                    json.dumps(list(k)): v for k, v in configs_final.items()
+                },
+                "escalations": esc,
+                "mv_slack": sb.MV_POLICY,
+                "safety": sb.SAFETY,
+                "holdout": True,
+                "margin": sb.MARGIN,
+                "mult_grid": list(sb._MULT_GRID),
+            }
+        )
+    )
+
+
+class _NoSweepEP:
+    """ErrorProfile stand-in that fails the test if the cached path
+    issues any sweep/fit job (VERDICT r07 Next #8: the 100M margin-val
+    pass cost 948 s — a driver-side replay must never pay it)."""
+
+    def _sweep_states(self, *a, **k):
+        raise AssertionError("cached ensure_profile path must not sweep")
+
+    def fit_and_calibrate_many(self, *a, **k):
+        raise AssertionError("cached ensure_profile path must not refit")
+
+
+def test_cached_profile_replays_without_sweep(monkeypatch, tmp_path):
+    """A second ensure_profile call over a populated cache replays the
+    persisted escalations in pure numpy/python — zero Spark jobs, zero
+    sweeps — and reproduces exactly the persisted final params."""
+    import scripts.scale_bench as sb
+    from auncel_spark.profile.error_profile import ErrorProfile
+
+    raw_cfg = {(10, 0.01): {"multipler": 2.0, "std_m": 1.0, "minf": 1.0}}
+    final = sb._apply_margin(copy.deepcopy(raw_cfg))
+    esc = {json.dumps([10, 0.01]): 1}
+    replayed = sb._escalate_on_margin_val(None, copy.deepcopy(final), esc)
+    _write_params_cache(tmp_path, sb, replayed, raw_cfg, esc)
+
+    monkeypatch.setattr(
+        ErrorProfile, "__init__", lambda self, *a, **k: None
+    )
+    monkeypatch.setattr(
+        ErrorProfile, "load", classmethod(lambda cls, idx, p: _NoSweepEP())
+    )
+    ep, params, fit_s = sb.ensure_profile(None, tmp_path, idx=object())
+    assert fit_s == 0.0
+    assert isinstance(ep, _NoSweepEP)
+    assert params[(10, 0.01)]["multipler"] == replayed[(10, 0.01)]["multipler"]
+    assert params[(10, 0.01)]["std_m"] == replayed[(10, 0.01)]["std_m"]
+
+
+def test_stale_escalation_cache_recomputes(monkeypatch, tmp_path):
+    """Persisted final params that do NOT match the replayed escalation
+    result (a margin-rule change that slipped past the policy stamp —
+    ADVICE r07) force one full margin-val pass instead of silently
+    using stale steps."""
+    import scripts.scale_bench as sb
+    from auncel_spark.profile.error_profile import ErrorProfile
+
+    raw_cfg = {(10, 0.01): {"multipler": 2.0, "std_m": 1.0, "minf": 1.0}}
+    esc = {json.dumps([10, 0.01]): 1}
+    # deliberately wrong persisted finals: replay cannot reproduce them
+    wrong = {(10, 0.01): {"multipler": 1.0, "std_m": 1.0}}
+    _write_params_cache(tmp_path, sb, wrong, raw_cfg, esc)
+
+    monkeypatch.setattr(ErrorProfile, "__init__", lambda self, *a, **k: None)
+    monkeypatch.setattr(
+        ErrorProfile, "load", classmethod(lambda cls, idx, p: object())
+    )
+    calls = []
+    real = sb._escalate_on_margin_val
+
+    def wrapper(ep, params, saved):
+        calls.append(saved is None)
+        if saved is not None:
+            return real(ep, params, saved)
+        params["_escalations"] = {}  # simulated full pass
+        return params
+
+    monkeypatch.setattr(sb, "_escalate_on_margin_val", wrapper)
+    _, params, _ = sb.ensure_profile(None, tmp_path, idx=object())
+    assert calls == [False, True]  # replay attempted, then full pass
+    rewritten = json.loads((tmp_path / "params.json").read_text())
+    assert rewritten["mv_slack"] == sb.MV_POLICY
+    assert rewritten["escalations"] == {}
