@@ -32,6 +32,7 @@ def ngram_overlap(
     text_col: str = "text",
     id_col: str = "doc_id",
     broadcast_eval: bool = True,
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """(train_doc_id, eval_doc_id, n_shared): pairs sharing >=
     min_shared DISTINCT word n-grams, with n_shared the exact count.
@@ -42,12 +43,12 @@ def ngram_overlap(
     # pattern): narrower broadcast + cheaper probe; collisions are
     # ~n²/2⁶⁴ and only ever over-flag
     tr = (
-        with_shingles(train, n, text_col, id_col)
+        with_shingles(train, n, text_col, id_col, tokens_col=tokens_col)
         .select(F.col("id").alias("train_doc_id"), F.explode("sh").alias("_w"))
         .select("train_doc_id", F.xxhash64("_w").alias("w"))
     )
     ev = (
-        with_shingles(eval_df, n, text_col, id_col)
+        with_shingles(eval_df, n, text_col, id_col, tokens_col=tokens_col)
         .select(F.col("id").alias("eval_doc_id"), F.explode("sh").alias("_w"))
         .select("eval_doc_id", F.xxhash64("_w").alias("w"))
     )

@@ -78,11 +78,20 @@ def with_shingles(
     text_col: str = "text",
     id_col: str = "doc_id",
     out_col: str = "sh",
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """(id, sh): shingle arrays with the token array materialized in a
     separate projection so the per-element lambda only touches an
-    attribute (see the perf note on ``word_shingles``)."""
-    toked = df.select(F.col(id_col).alias("id"), tokens(text_col).alias("_tok"))
+    attribute (see the perf note on ``word_shingles``).
+
+    ``tokens_col``: the input already carries the token array (e.g. a
+    persisted shared tokenization — several pipeline stages shingle the
+    same corpus at different n, and tokenizing it once per stage is the
+    single biggest repeated scan cost); skip the split."""
+    if tokens_col is not None:
+        toked = df.select(F.col(id_col).alias("id"), F.col(tokens_col).alias("_tok"))
+    else:
+        toked = df.select(F.col(id_col).alias("id"), tokens(text_col).alias("_tok"))
     return toked.select("id", _shingles_of_tokens(F.col("_tok"), n).alias(out_col))
 
 
@@ -202,6 +211,7 @@ def ngram_jaccard(
     max_doc_freq: int | None = 500,
     text_col: str = "text",
     id_col: str = "doc_id",
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """Jaccard similarity of word-shingle sets. With ``pairs`` given
     (id_a, id_b — e.g. MinHash-LSH candidates), verifies only those;
@@ -217,7 +227,7 @@ def ngram_jaccard(
     stop-shingle semantics; the same predicate is applied in the SQL
     oracle, so results stay exactly reproducible). ``None`` disables
     the guard — only sensible together with ``pairs``."""
-    sh = with_shingles(df, shingle_n, text_col, id_col).select(
+    sh = with_shingles(df, shingle_n, text_col, id_col, tokens_col=tokens_col).select(
         "id", F.col("sh")
     )
     # join on a 64-bit hash of the shingle, not the string: smaller
