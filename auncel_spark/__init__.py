@@ -19,6 +19,16 @@ Only tiny state (centroids, codebooks, traces — MBs) ever reaches the
 driver or a broadcast; vector data never does.
 """
 
+import os as _os
+
+# Must precede the first numpy import in the process: numpy madvises
+# MADV_HUGEPAGE on >=4 MB buffers and under THP defrag=[madvise] every
+# 2 MB first-touch fault runs synchronous compaction (measured 0.3-0.4
+# vs 6-15 GB/s — an ~8x tax on fresh kernel temporaries; details in
+# session.py). Harmless no-op where numpy is already imported or THP
+# is configured differently.
+_os.environ.setdefault("NUMPY_MADVISE_HUGEPAGE", "0")
+
 from auncel_spark.config import Metric
 
 __all__ = ["Metric"]

@@ -44,6 +44,78 @@ from auncel_spark.index.kmeans import (
 from auncel_spark.operators.topk import topk_per_query
 
 
+def preload_paths(roots: list[str], threads: int = 8) -> dict:
+    """Synchronously read every parquet file under ``roots`` into the
+    OS page cache, returning {files, gb, sec, mb_s}.
+
+    Throughput levers (each measured to matter on virtio disks):
+    - N reader threads keep the device queue non-empty (a single
+      buffered reader stalls on every readahead window boundary);
+    - POSIX_FADV_SEQUENTIAL doubles the kernel readahead window;
+    - each thread queues POSIX_FADV_WILLNEED for its NEXT file while
+      reading the current one, so the device never idles between files.
+
+    The reference's analogue is the OnDiskInvertedLists prefetch worker
+    pool (``Auncel/OnDiskInvertedLists.h:51-110``); on a multi-executor
+    cluster this runs per node over node-local files."""
+    import threading
+    import time as _time
+
+    files: list[str] = []
+    for root in roots:
+        for dirpath, _dirs, names in os.walk(root):
+            files.extend(
+                os.path.join(dirpath, f) for f in names if f.endswith(".parquet")
+            )
+    total = [0] * max(1, threads)
+    t0 = _time.perf_counter()
+    has_fadv = hasattr(os, "posix_fadvise")
+
+    def work(ti: int):
+        buf = bytearray(8 << 20)
+        mv = memoryview(buf)
+        mine = files[ti::threads]
+        for j, fp in enumerate(mine):
+            if has_fadv and j + 1 < len(mine):
+                try:
+                    nfd = os.open(mine[j + 1], os.O_RDONLY)
+                    try:
+                        os.posix_fadvise(nfd, 0, 0, os.POSIX_FADV_WILLNEED)
+                    finally:
+                        os.close(nfd)
+                except OSError:
+                    pass
+            try:
+                with open(fp, "rb", buffering=0) as f:
+                    if has_fadv:
+                        try:
+                            os.posix_fadvise(
+                                f.fileno(), 0, 0, os.POSIX_FADV_SEQUENTIAL
+                            )
+                        except OSError:
+                            pass
+                    while True:
+                        nb = f.readinto(mv)
+                        if not nb:
+                            break
+                        total[ti] += nb
+            except OSError:
+                continue
+
+    ts = [threading.Thread(target=work, args=(i,)) for i in range(threads)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    sec = _time.perf_counter() - t0
+    return {
+        "files": len(files),
+        "gb": round(sum(total) / 1e9, 2),
+        "sec": round(sec, 2),
+        "mb_s": round(sum(total) / 1e6 / max(sec, 1e-9), 1),
+    }
+
+
 class IVFIndex:
     """A trained IVF index = broadcastable quantizer state + a
     list-partitioned Parquet table of (id, vec, list_no)."""
@@ -224,6 +296,28 @@ class IVFIndex:
         """Re-arm the once-per-process readahead pass (call after a
         deliberate page-cache drop, e.g. the cold-cache bench grid)."""
         self._prefetch_done = False
+
+    def preload(self, threads: int = 8) -> dict:
+        """SYNCHRONOUS page-cache load of the persisted lists — the
+        cold-start strategy for a batch engine: one sequential pass at
+        device bandwidth, then the scan runs at memory speed. The
+        async ``prefetch`` hint loses to demand paging when 32 scan
+        tasks issue competing positioned reads (r07 measured: 37 GB of
+        cold-scan stall at ~130 MB/s effective ≈ 285 s, vs the same
+        device's ~180 MB/s on a 4-thread sequential pass — random
+        read interleave COSTS bandwidth, it doesn't hide latency). On
+        a multi-executor cluster this is the per-node sequential load
+        of node-local list files. Returns {files, gb, sec, mb_s};
+        no-op dict when the index is unpersisted."""
+        if self.data_path is None:
+            return {"files": 0, "gb": 0.0, "sec": 0.0, "mb_s": 0.0}
+        stats = preload_paths(
+            [os.path.join(self.data_path, "lists")], threads=threads
+        )
+        # pages are in: the per-search fadvise walk would only re-queue
+        # already-cached pages
+        self._prefetch_done = True
+        return stats
 
     # --- coarse quantization (O6) ---------------------------------------
 

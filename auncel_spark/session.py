@@ -24,6 +24,15 @@ def get_spark(
     skew-join splitting, and post-shuffle partitions coalesce at small
     scale factors without hurting the 100 TB case.
     """
+    # numpy madvises MADV_HUGEPAGE for every >=4 MB buffer; with the
+    # kernel's THP defrag policy at [madvise] each 2 MB first-touch
+    # fault runs SYNCHRONOUS compaction. Measured on this class of VM:
+    # first-touch writes at 0.3-0.4 GB/s vs 6-15 GB/s on committed
+    # pages — an 8x tax on every fresh numpy temporary in the scan
+    # kernels (the per-task t3 LUT fill alone dropped 2.2 s -> 0.24 s
+    # with the madvise off). Set BEFORE the JVM launches so forked
+    # Python workers inherit it (numpy reads it at import time).
+    os.environ.setdefault("NUMPY_MADVISE_HUGEPAGE", "0")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     if shuffle_partitions is None:
         shuffle_partitions = cpus

@@ -13,6 +13,10 @@ import sys
 import time
 from pathlib import Path
 
+# before any numpy import (see auncel_spark/session.py: THP-compaction
+# first-touch tax on every >=4 MB numpy buffer)
+os.environ.setdefault("NUMPY_MADVISE_HUGEPAGE", "0")
+
 _REPO = str(Path(__file__).resolve().parent)
 if _REPO not in sys.path:
     sys.path.insert(0, _REPO)
@@ -262,6 +266,12 @@ def _compact_scale(s: dict) -> dict:
             out["ivfpq_n_runs"] = pqd.get("n_runs")
         if "nlist" in pqd:  # refined-quantizer default (lists ∝ n)
             out["ivfpq_nlist"] = pqd.get("nlist")
+    h2h = s.get("ivfpq_h2h")
+    if isinstance(h2h, dict):
+        out["h2h_winner"] = h2h.get("winner")
+        out["h2h_decided"] = h2h.get("decided")
+        if h2h.get("verdict_contradicted"):
+            out["h2h_contradicted"] = True
     cmp1024 = s.get("ivfpq_nlist1024")
     if isinstance(cmp1024, dict) and "ms_per_query" in cmp1024:
         # superseded pinned-1024 point: the nlist head-to-head evidence

@@ -31,8 +31,11 @@ ARTIFACTS = {
     "pq_curve_v3.json": "1M PQ sweep: recall/ms per (M, opq, nprobe, kf) point",
     "pq_default_ladder.json": "per-tier PQ default ladder: rungs walked + chosen",
     "pq_split4_ladder.json": "100M refined-quantizer (nlist=4096) ladder",
-    "pq_parent_default.json": "100M nlist=1024 default point (head-to-head winner)",
-    "nlist1024_comparator.json": "100M nlist=1024 comparator rung (one-shot)",
+    "pq_parent_default.json": "100M nlist=1024 default point (r07 record)",
+    "nlist1024_comparator.json": "100M nlist=1024 comparator rung (one-shot, r07)",
+    "h2h_nlist.json": "100M quantizer head-to-head: >=3 interleaved rounds"
+    " per side, median + min/max spread, winner + decided flag",
+    "pq_h2h_default.json": "100M default point chosen by the h2h artifact",
     "opq_rungs.json": "OPQ-vs-plain rung pair at matched operating point",
     "params.json": "calibrated (multipler, std_m) per (k, bound) config"
     " with margin-val escalations",

@@ -39,6 +39,11 @@ import sys
 import time
 from pathlib import Path
 
+# before the numpy import: driver-side sweeps/replays are numpy-heavy
+# and pay the same THP-compaction first-touch tax as the workers
+# (see auncel_spark/session.py)
+os.environ.setdefault("NUMPY_MADVISE_HUGEPAGE", "0")
+
 import numpy as np
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
@@ -62,7 +67,7 @@ BIG_N = 50_000_000
 # measured on an older ADC/encode kernel can never silently mix with
 # builds from the current one. Bump when a kernel change alters codes
 # or measured operating points.
-KERNEL_VERSION = "r07-enc-split-1"
+KERNEL_VERSION = "r08-parent-scan-1"
 
 
 def _load_stamped(path: Path) -> dict | None:
@@ -249,7 +254,7 @@ def _lazy_base_df(spark, n: int):
     )
 
 
-def _warm_read(roots: list[str], threads: int = 4) -> dict:
+def _warm_read(roots: list[str], threads: int = 8) -> dict:
     """Physically read every parquet file under ``roots`` into the OS
     page cache and WAIT for completion. The baseline's protocol holds
     the index in RAM (its per-query figures never include load IO), so
@@ -260,44 +265,35 @@ def _warm_read(roots: list[str], threads: int = 4) -> dict:
     this is synchronous: the return means the pages are IN. Cached
     pages re-read at memory bandwidth, so a warm rerun costs seconds.
     Timed and reported separately as ``warm_load`` (startup, not
-    per-query cost)."""
-    import threading
+    per-query cost). Body lives in ``index/ivf.preload_paths`` (r08:
+    sequential-hinted, WILLNEED-pipelined, 8 threads — the same reader
+    the engine's ``IVFIndex.preload`` cold-start path uses)."""
+    from auncel_spark.index.ivf import preload_paths
 
-    files: list[str] = []
-    for root in roots:
-        for dirpath, _dirs, names in os.walk(root):
-            files.extend(
-                os.path.join(dirpath, f) for f in names if f.endswith(".parquet")
-            )
-    total = [0] * max(1, threads)
-    t0 = time.perf_counter()
+    return preload_paths(roots, threads=threads)
 
-    def work(ti: int):
-        buf = bytearray(8 << 20)
-        mv = memoryview(buf)
-        for fp in files[ti::threads]:
-            try:
-                with open(fp, "rb", buffering=0) as f:
-                    while True:
-                        nb = f.readinto(mv)
-                        if not nb:
-                            break
-                        total[ti] += nb
-            except OSError:
-                continue
 
-    ts = [threading.Thread(target=work, args=(i,)) for i in range(threads)]
-    for t in ts:
-        t.start()
-    for t in ts:
-        t.join()
-    sec = time.perf_counter() - t0
-    return {
-        "files": len(files),
-        "gb": round(sum(total) / 1e9, 2),
-        "sec": round(sec, 2),
-        "mb_s": round(sum(total) / 1e6 / max(sec, 1e-9), 1),
-    }
+def _diskstats() -> dict | None:
+    """Cumulative read counters for whole block devices (vdX/sdX/
+    nvmeXnY) from /proc/diskstats — deltas around a bench section give
+    the ACTUAL bytes read and effective bandwidth, so IO models in
+    STATUS are measured, not assumed (VERDICT r07 Wrong #2: the cold
+    tail was 5x off a bandwidth number that turned out to be O_DIRECT-
+    only)."""
+    import re
+
+    pat = re.compile(r"^(vd[a-z]+|sd[a-z]+|nvme\d+n\d+)$")
+    try:
+        rd_sect = rd_ms = 0
+        with open("/proc/diskstats") as f:
+            for line in f:
+                p = line.split()
+                if len(p) >= 10 and pat.match(p[2]):
+                    rd_sect += int(p[5])
+                    rd_ms += int(p[6])
+        return {"read_gb": round(rd_sect * 512 / 1e9, 2), "read_io_ms": rd_ms}
+    except OSError:
+        return None
 
 
 def ensure_index_big(spark, cache: Path, n: int):
@@ -1508,19 +1504,90 @@ def run(spark, configs=None, n: int = N, budget_s: float | None = None) -> dict:
         # default is whichever quantizer the recorded head-to-head
         # shows faster at target recall (the short-circuit below).
         pq_runs = int(os.environ.get("SPARK_GRAFT_PQ_RUNS", "1"))
-        # quantizer head-to-head short-circuit (r07 measured): the
-        # refined nlist=4096 rung READ 2.7x fewer coded rows/query yet
-        # ran SLOWER than the pinned-1024 point at equal recall
-        # (ladder rung 61.0 / re-measures 71.2+85.2 vs 50.2 ms/q,
-        # recall 0.9084 both) — the batch-amortized scan's per-list
-        # work (t3/LUT slicing, per-list state ops ×4096 lists)
-        # outweighs the gather reduction at this nq. When the cached
-        # rungs show the parent faster at target recall, the parent IS
-        # the default (measured fresh each bench) and the refined rung
-        # rides as recorded evidence without a ~13-min re-measure.
-        # Next lever (STATUS): group child lists by parent in the scan
-        # (children share the parent LUT via enc_of), recovering the
-        # scanned-row win without the list-count overhead.
+        # r08 adjudicated decision (VERDICT r07 Next #3/#4 + ADVICE
+        # #1): scripts/h2h_nlist.py runs >=3 INTERLEAVED rounds per
+        # quantizer side and records median + min/max spread; the tier
+        # default follows its winner, and "decided" is true only when
+        # the top-two intervals do not overlap — a single-sample gap
+        # smaller than run-to-run noise can no longer flip the verdict.
+        # The bench re-measures ONLY the winner (fresh medians) and
+        # flags verdict_contradicted when the fresh median lands beyond
+        # the recorded runner-up's interval, signalling a re-run of the
+        # adjudication rather than silently trusting a stale cache.
+        h2h = _load_stamped(cache / "h2h_nlist.json")
+        if h2h is not None and h2h.get("winner"):
+            try:
+                w = h2h["winner"]
+                ws = h2h["sides"][w]
+                out["ivfpq_h2h"] = {
+                    "winner": w,
+                    "decided": h2h.get("decided"),
+                    "runner_up": h2h.get("runner_up"),
+                    "sides": {
+                        nn: {
+                            kk: ss.get(kk)
+                            for kk in (
+                                "ms_median", "ms_min", "ms_max",
+                                "recall_at_10", "nlist", "nprobe",
+                                "k_factor", "scan_mode",
+                            )
+                        }
+                        for nn, ss in h2h["sides"].items()
+                    },
+                }
+                is_split = int(ws["nlist"]) > NLIST
+                if ws.get("scan_mode"):
+                    os.environ["SPARK_GRAFT_SPLIT_SCAN"] = ws["scan_mode"]
+                point = [
+                    {
+                        "M": 32, "opq": False,
+                        "nprobe": int(ws["nprobe"]),
+                        "k_factor": int(ws["k_factor"]),
+                    }
+                ]
+                lists_dir = (
+                    cache / f"ivfpq_m32_s{SPLIT_100M}" / "lists"
+                    if is_split
+                    else cache / "ivfpq_m32" / "lists"
+                )
+                if lists_dir.exists():
+                    out["warm_load_codes"] = _warm_read([str(lists_dir)])
+                factory = (
+                    (lambda cand: ensure_ivfpq_split(
+                        spark, cache, idx, cand["M"], SPLIT_100M
+                    ))
+                    if is_split
+                    else None
+                )
+                out["ivfpq_default"] = run_ivfpq_default(
+                    spark, cache, None, idx, gt, test,
+                    ladder=point, n_runs=pq_runs,
+                    index_factory=factory,
+                    esc_name="pq_h2h_default.json",
+                    extra_out={
+                        "nlist": int(ws["nlist"]),
+                        "chosen_by": "h2h_nlist.json (interleaved"
+                        " medians; see ivfpq_h2h)",
+                    },
+                )
+                ru = h2h.get("runner_up")
+                if ru and "ms_per_query" in out["ivfpq_default"]:
+                    fresh = out["ivfpq_default"]["ms_per_query"]
+                    out["ivfpq_h2h"]["fresh_median"] = fresh
+                    out["ivfpq_h2h"]["verdict_contradicted"] = bool(
+                        fresh > h2h["sides"][ru]["ms_max"]
+                    )
+            except _SkipPQ as e:
+                out["ivfpq_default"] = {"skipped": str(e)}
+            except Exception as e:
+                out["ivfpq_default"] = {"error": f"{type(e).__name__}: {e}"}
+            os.environ.pop("SPARK_GRAFT_SPLIT_SCAN", None)
+            _h2h_decided = True
+        else:
+            _h2h_decided = False
+        # legacy decision chain (no adjudication artifact on this
+        # kernel yet — fresh containers before h2h_nlist.py has run):
+        # the r07 single-sample short-circuit, kept as fallback only.
         lad_saved = _load_stamped(cache / f"pq_split{SPLIT_100M}_ladder.json")
         cmp_saved = _load_stamped(cache / "nlist1024_comparator.json")
         refined_est = None
@@ -1533,7 +1600,8 @@ def run(spark, configs=None, n: int = N, budget_s: float | None = None) -> dict:
             if att and att[-1].get("recall_at_10", 0) >= PQ_TARGET_RECALL:
                 refined_est = att[-1]
         if (
-            refined_est is not None
+            not _h2h_decided
+            and refined_est is not None
             and cmp_saved.get("recall_at_10", 0) >= PQ_TARGET_RECALL
             and cmp_saved.get("ms_per_query", 9e9)
             < refined_est["ms_per_query"]
@@ -1585,7 +1653,7 @@ def run(spark, configs=None, n: int = N, budget_s: float | None = None) -> dict:
         else:
             _parent_decided = False
         refined = None
-        if not _parent_decided:
+        if not _h2h_decided and not _parent_decided:
             try:
                 def _split_factory(cand):
                     return ensure_ivfpq_split(
@@ -1609,8 +1677,8 @@ def run(spark, configs=None, n: int = N, budget_s: float | None = None) -> dict:
                 out["ivfpq_refined"] = {"skipped": str(e)}
             except Exception as e:
                 out["ivfpq_refined"] = {"error": f"{type(e).__name__}: {e}"}
-        if _parent_decided:
-            pass  # default decided by the cached head-to-head above
+        if _h2h_decided or _parent_decided:
+            pass  # default decided by the adjudicated/cached record above
         elif refined is not None and refined.get("default_meets_target"):
             out["ivfpq_default"] = refined
             # nlist=1024 head-to-head comparator (VERDICT r06 Next #2:
@@ -1712,22 +1780,58 @@ def run(spark, configs=None, n: int = N, budget_s: float | None = None) -> dict:
             out["cold_page_cache"] = {"skipped": f"{type(e).__name__}: {e}"}
         else:
             try:
-                # re-arm the once-per-process readahead pass: the cache
-                # was just deliberately dropped, so the first cold
-                # search should issue one full fadvise walk and overlap
-                # the ~37 GB re-read with its compute (device floor:
-                # ~220 MB/s ⇒ ≥168 s of IO ≈ 33.6 ms/q amortized over
-                # the 5000-query first config — the physics lower bound
-                # for the cold number on this box)
+                # cold-start strategy (VERDICT r07 Next #2, root-caused):
+                # r07 let the first cold search demand-page the 37 GB
+                # flat index under 32 competing scan readers — measured
+                # ~130 MB/s effective (285 s of stall ⇒ 57 ms/q on the
+                # first config). The old "643 MB/s device" model was an
+                # O_DIRECT number: O_DIRECT bypasses the page cache, so
+                # it can never warm a scan, and buffered random
+                # interleave runs at a fraction of sequential. The
+                # engine's cold-start answer is IVFIndex.preload(): one
+                # SYNCHRONOUS sequential-hinted multi-threaded pass,
+                # TIMED INSIDE the cold window and amortized into the
+                # first config (that is the config that would otherwise
+                # have paid the IO). diskstats deltas record the actual
+                # bytes and bandwidth so the model stays measured.
                 idx.reset_prefetch()
+                ds0 = _diskstats()
+                pre = idx.preload(
+                    threads=int(os.environ.get("SPARK_GRAFT_PRELOAD_THREADS", "8"))
+                )
+                ds_pre = _diskstats()
                 cold_results, cold_lat = config_grid()
+                ds1 = _diskstats()
+                # amortize the preload into the first config's figure
+                cfg_list = configs or (CONFIGS if n == N else CONFIGS_10M)
+                k0, b0 = cfg_list[0]
+                first = f"k{k0}_b{int(b0 * 100)}"
+                pre_ms_q = pre["sec"] / N_TEST * 1000.0
+                if first in cold_results:
+                    cold_results[first]["ms_per_query_scan_only"] = cold_results[
+                        first
+                    ]["ms_per_query"]
+                    cold_results[first]["ms_per_query"] = round(
+                        cold_results[first]["ms_per_query"] + pre_ms_q, 3
+                    )
+                    cold_lat[0] += pre_ms_q
                 out["cold_page_cache"] = {
+                    "preload": pre,
                     "configs": cold_results,
                     "ms_per_query_mean": round(float(np.mean(cold_lat)), 3),
                     "ms_per_query_worst": round(float(np.max(cold_lat)), 3),
                     "all_bounds_hold": all(v["holds"] for v in cold_results.values()),
-                    "note": "grid rerun after drop_caches (JIT warm); index read from disk",
+                    "note": "drop_caches -> synchronous index preload"
+                    " (timed, amortized into the first config) -> grid;"
+                    " JIT warm",
                 }
+                if ds0 and ds1:
+                    out["cold_page_cache"]["disk_read_gb_preload"] = round(
+                        ds_pre["read_gb"] - ds0["read_gb"], 2
+                    )
+                    out["cold_page_cache"]["disk_read_gb_grid"] = round(
+                        ds1["read_gb"] - ds_pre["read_gb"], 2
+                    )
             except Exception as e:
                 out["cold_page_cache"] = {"error": f"{type(e).__name__}: {e}"}
         record_duration(f"cold_{n}", time.perf_counter() - t_cold)
