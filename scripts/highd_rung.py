@@ -1,0 +1,210 @@
+"""High-dimensional (d=960, GIST-shaped) 1M rung with OPQ on/off pairs.
+
+VERDICT r07 Next #6: the scale ladders exercised only d=96 L2, where
+coarse residuals are isotropic and OPQ measurably ties plain PQ; the
+reference's eval grid lives at GIST d=960 (``Auncel/eval/run.sh:1-17``)
+where subspace energies are wildly unequal and the OPQ rotation is the
+difference between usable and useless codes. This script builds a 1M x
+960 ANISOTROPIC corpus (per-dimension scale decaying as (1+j)^-0.6 —
+the spectral shape of real image descriptors), an IVF coarse quantizer,
+and an M=60 product quantizer with and without the OPQ rotation, and
+records recall@10 at matched operating points into a kernel-stamped
+evidence artifact (h2h-style honest pair, not a prose claim).
+
+Everything reuses the engine's own build paths: train_kmeans,
+OPQTransform.train, IVFPQIndex.build(assigned=), search_refine.
+
+Usage: python scripts/highd_rung.py
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import numpy as np
+
+from scripts.scale_bench import (
+    KERNEL_VERSION,
+    _dump_stamped,
+    _load_stamped,
+)
+
+N_HD = 1_000_000
+D_HD = 960
+NLIST_HD = 256
+M_HD = 60  # dsub = 16, 60-byte codes — the GIST-regime code shape
+N_Q = 1000
+K = 10
+
+
+def _scales() -> np.ndarray:
+    # decaying per-dimension energy: var_j ~ (1+j)^-1.2 (scale^2).
+    # Subspace energies then span ~(960/16)^1.2 ≈ 135x between the
+    # first and last 16-dim block — plain PQ gives every block the
+    # same 8 bits; OPQ's rotation balances variance across blocks.
+    j = np.arange(D_HD, dtype=np.float64)
+    return (1.0 + j) ** -0.6
+
+
+def _gen_block(ids: np.ndarray) -> np.ndarray:
+    """Deterministic per-id gaussian row, scaled anisotropically —
+    the same splitmix64 id-hash trick as the d=96 tiers (corpus is a
+    pure function of row id; no stored raw corpus needed)."""
+    from scripts.scale_bench import _id_gauss
+
+    return _id_gauss(ids, D_HD) * _scales()[None, :]
+
+
+def ensure_corpus(spark, cache: Path) -> str:
+    path = cache / "base"
+    if (path / "_SUCCESS").exists():
+        return str(path)
+    import pandas as pd
+
+    n_parts = 64
+
+    def gen(batches):
+        for pdf in batches:
+            for s in pdf["part"]:
+                lo = s * (N_HD // n_parts)
+                hi = N_HD if s == n_parts - 1 else (s + 1) * (N_HD // n_parts)
+                step = 16384
+                for b in range(lo, hi, step):
+                    ids = np.arange(b, min(b + step, hi), dtype=np.int64)
+                    mat = _gen_block(ids).astype(np.float32)
+                    yield pd.DataFrame({"id": ids, "vec": list(mat)})
+
+    parts = spark.createDataFrame(
+        pd.DataFrame({"part": np.arange(n_parts)})
+    ).repartition(n_parts, "part")
+    df = parts.mapInPandas(gen, "id bigint, vec array<float>")
+    df.write.mode("overwrite").parquet(str(path))
+    return str(path)
+
+
+def main() -> None:
+    from auncel_spark.session import get_spark
+    from auncel_spark.index.ivf import IVFIndex
+    from auncel_spark.index.ivfpq import IVFPQIndex
+
+    cache = Path(
+        os.environ.get(
+            "SPARK_GRAFT_SCALE_CACHE",
+            str(Path(__file__).resolve().parent.parent / ".scale_cache"),
+        )
+    ) / f"hd_n{N_HD}_d{D_HD}_nlist{NLIST_HD}"
+    cache.mkdir(parents=True, exist_ok=True)
+    ev_path = cache / "highd_opq_rungs.json"
+    saved = _load_stamped(ev_path)
+    if saved is not None:
+        print(json.dumps(saved))
+        return
+
+    spark = get_spark(
+        "highd_rung", extra_conf={"spark.python.worker.reuse": "false"}
+    )
+    t_all = time.perf_counter()
+    base_path = ensure_corpus(spark, cache)
+    base = spark.read.parquet(base_path)
+
+    # coarse quantizer + assignment (shared by both PQ variants)
+    flat_dir = cache / "ivf"
+    if (flat_dir / "meta.json").exists():
+        flat = IVFIndex.load(spark, str(flat_dir))
+    else:
+        flat = IVFIndex.build(
+            base, nlist=NLIST_HD, path=str(flat_dir), kmeans_iter=10, seed=5
+        )
+
+    # queries + exact GT (ids offset out of the corpus range)
+    qids = np.arange(N_Q, dtype=np.int64) + 10_000_000
+    rng_scale = _scales()
+    from scripts.scale_bench import _id_gauss
+
+    qmat = _id_gauss(qids + 7_777, D_HD) * rng_scale[None, :]
+    gt_path = cache / "gt.npy"
+    if gt_path.exists():
+        gt = np.load(gt_path)
+    else:
+        import pandas as pd
+
+        q_df = spark.createDataFrame(
+            pd.DataFrame({"qid": qids, "vec": list(qmat.astype(np.float32))})
+        )
+        from auncel_spark.operators.knn import knn_exact
+
+        ex = knn_exact(
+            q_df, base.select("id", "vec"), K, strategy="gemm"
+        ).toPandas()
+        gt = np.full((N_Q, K), np.inf)
+        gt[ex["qid"].to_numpy() - 10_000_000, ex["pos"].to_numpy()] = ex[
+            "dist"
+        ].to_numpy()
+        np.save(gt_path, gt)
+
+    import pandas as pd
+
+    q_df = spark.createDataFrame(
+        pd.DataFrame({"qid": qids, "vec": list(qmat.astype(np.float32))})
+    )
+
+    out = {"n": N_HD, "d": D_HD, "nlist": NLIST_HD, "M": M_HD, "rungs": []}
+    for name, use_opq in (("plain", False), ("opq", True)):
+        pq_dir = cache / f"ivfpq_{name}"
+        t0 = time.perf_counter()
+        if (pq_dir / "meta.json").exists():
+            pq_idx = IVFPQIndex.load(spark, str(pq_dir))
+            build_s = 0.0
+        else:
+            # both variants train their PQ on the same residual
+            # sample path inside build(); opq=True additionally trains
+            # the rotation on those residuals (the engine's own OPQ
+            # flow, transforms.OPQTransform.train)
+            pq_idx = IVFPQIndex.build(
+                base,
+                nlist=NLIST_HD,
+                M=M_HD,
+                centroids=flat.centroids,
+                path=str(pq_dir),
+                opq=use_opq,
+                assigned=flat.data,
+                encode_gemm=True,
+                seed=17,
+            )
+            build_s = time.perf_counter() - t0
+        pq_idx.adc_fp32 = True
+        for nprobe, kf in ((16, 4), (32, 8)):
+            t0 = time.perf_counter()
+            ref = pq_idx.search_refine(
+                q_df, base.select("id", "vec"), K, nprobe, k_factor=kf
+            ).toPandas()
+            wall = time.perf_counter() - t0
+            qi = ref["qid"].to_numpy(dtype=np.int64) - 10_000_000
+            ok = ref["dist"].to_numpy() <= gt[qi, K - 1] + 1e-6
+            recall = float(
+                (pd.Series(ok).groupby(qi).sum() / float(K)).mean()
+            )
+            out["rungs"].append(
+                {
+                    "variant": name,
+                    "nprobe": nprobe,
+                    "k_factor": kf,
+                    "recall_at_10": round(recall, 4),
+                    "ms_per_query": round(wall / N_Q * 1000.0, 3),
+                    "build_sec": round(build_s, 1),
+                }
+            )
+            print(f"# {name} np{nprobe} kf{kf}: {out['rungs'][-1]}", file=sys.stderr)
+    out["total_sec"] = round(time.perf_counter() - t_all, 1)
+    _dump_stamped(ev_path, out)
+    print(json.dumps({**out, "kernel": KERNEL_VERSION}))
+
+
+if __name__ == "__main__":
+    main()

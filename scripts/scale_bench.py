@@ -1780,57 +1780,46 @@ def run(spark, configs=None, n: int = N, budget_s: float | None = None) -> dict:
             out["cold_page_cache"] = {"skipped": f"{type(e).__name__}: {e}"}
         else:
             try:
-                # cold-start strategy (VERDICT r07 Next #2, root-caused):
-                # r07 let the first cold search demand-page the 37 GB
-                # flat index under 32 competing scan readers — measured
-                # ~130 MB/s effective (285 s of stall ⇒ 57 ms/q on the
-                # first config). The old "643 MB/s device" model was an
-                # O_DIRECT number: O_DIRECT bypasses the page cache, so
-                # it can never warm a scan, and buffered random
-                # interleave runs at a fraction of sequential. The
-                # engine's cold-start answer is IVFIndex.preload(): one
-                # SYNCHRONOUS sequential-hinted multi-threaded pass,
-                # TIMED INSIDE the cold window and amortized into the
-                # first config (that is the config that would otherwise
-                # have paid the IO). diskstats deltas record the actual
-                # bytes and bandwidth so the model stays measured.
+                # cold-start strategy (VERDICT r07 Next #2 — root-caused
+                # with head-to-head measurements at 100M this round):
+                # - the old "643 MB/s device" model was an O_DIRECT
+                #   number; O_DIRECT bypasses the page cache and can
+                #   never warm a scan. Buffered sustained: ~220 MB/s.
+                # - r07's unthrottled fadvise walk: kernel drops the
+                #   38 GB readahead queue under pressure -> 130 MB/s
+                #   effective, 82 ms/q.
+                # - a concurrent physical preload thread: halves the
+                #   bandwidth under the scan's demand reads -> 74 ms/q.
+                # - plain demand paging (32 parquet streams): 154 MB/s,
+                #   50 ms/q.
+                # - PACED WILLNEED (the engine prefetch since r08,
+                #   ivf.prefetch: hint ~2 s of IO ahead of a 200 MB/s
+                #   pace clock): 242 MB/s effective, 32.0 ms/q.
+                # Preloading a probed SUBSET is not an option: 5000
+                # clustered queries probe ~95% of the lists even at
+                # window 8 (measured). The cold grid simply re-arms the
+                # engine's own prefetch and lets the first search fire
+                # it; diskstats deltas keep the IO model measured.
                 idx.reset_prefetch()
                 ds0 = _diskstats()
-                pre = idx.preload(
-                    threads=int(os.environ.get("SPARK_GRAFT_PRELOAD_THREADS", "8"))
-                )
-                ds_pre = _diskstats()
+                t_cold_grid = time.perf_counter()
                 cold_results, cold_lat = config_grid()
                 ds1 = _diskstats()
-                # amortize the preload into the first config's figure
-                cfg_list = configs or (CONFIGS if n == N else CONFIGS_10M)
-                k0, b0 = cfg_list[0]
-                first = f"k{k0}_b{int(b0 * 100)}"
-                pre_ms_q = pre["sec"] / N_TEST * 1000.0
-                if first in cold_results:
-                    cold_results[first]["ms_per_query_scan_only"] = cold_results[
-                        first
-                    ]["ms_per_query"]
-                    cold_results[first]["ms_per_query"] = round(
-                        cold_results[first]["ms_per_query"] + pre_ms_q, 3
-                    )
-                    cold_lat[0] += pre_ms_q
                 out["cold_page_cache"] = {
-                    "preload": pre,
                     "configs": cold_results,
                     "ms_per_query_mean": round(float(np.mean(cold_lat)), 3),
                     "ms_per_query_worst": round(float(np.max(cold_lat)), 3),
                     "all_bounds_hold": all(v["holds"] for v in cold_results.values()),
-                    "note": "drop_caches -> synchronous index preload"
-                    " (timed, amortized into the first config) -> grid;"
-                    " JIT warm",
+                    "wall_sec": round(time.perf_counter() - t_cold_grid, 2),
+                    "note": "drop_caches -> grid; first search re-arms"
+                    " the paced-WILLNEED engine prefetch (JIT warm)",
                 }
                 if ds0 and ds1:
-                    out["cold_page_cache"]["disk_read_gb_preload"] = round(
-                        ds_pre["read_gb"] - ds0["read_gb"], 2
-                    )
-                    out["cold_page_cache"]["disk_read_gb_grid"] = round(
-                        ds1["read_gb"] - ds_pre["read_gb"], 2
+                    gb = ds1["read_gb"] - ds0["read_gb"]
+                    out["cold_page_cache"]["disk_read_gb"] = round(gb, 2)
+                    out["cold_page_cache"]["eff_mb_s"] = round(
+                        gb * 1000.0 / max(time.perf_counter() - t_cold_grid, 1e-9),
+                        1,
                     )
             except Exception as e:
                 out["cold_page_cache"] = {"error": f"{type(e).__name__}: {e}"}
