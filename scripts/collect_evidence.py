@@ -65,6 +65,21 @@ def main() -> int:
                 "describes": desc,
                 "kernel": d.get("kernel"),
             }
+    # high-d rung lives in its own cache dir (d=960 fixture)
+    hd_src = (
+        _cache_dir(N).parent / "hd_n1000000_d960_nlist256" / "highd_opq_rungs.json"
+    )
+    if hd_src.exists():
+        dst = out_root / "hd_highd_opq_rungs.json"
+        shutil.copyfile(hd_src, dst)
+        with open(hd_src) as f:
+            d = json.load(f)
+        index[dst.name] = {
+            "tier": "1m_d960",
+            "describes": "1M x d960 anisotropic rung: plain-PQ vs OPQ"
+            " recall/latency pairs at matched operating points",
+            "kernel": d.get("kernel"),
+        }
     with open(out_root / "INDEX.json", "w") as f:
         json.dump(index, f, indent=1, sort_keys=True)
     print(json.dumps({"collected": sorted(index)}))
