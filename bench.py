@@ -27,12 +27,12 @@ def main() -> None:
     # because every tier ran unconditionally with heavy knobs and the
     # driver killed the process mid-ladder at ~60 min. The bench now
     # tracks elapsed time against SPARK_GRAFT_BENCH_BUDGET_S (default
-    # 2550 s — inside the driver's observed window with headroom) and
+    # 2700 s — inside the driver's observed window with headroom) and
     # enters a scale tier only if the remaining budget covers its last
     # recorded duration; skipped tiers emit an explicit marker pointing
     # at the committed evidence. The builder's final_bench.sh raises
     # the budget for the full committed record.
-    budget_s = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_S", "2550"))
+    budget_s = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_S", "2700"))
     t_bench0 = time.perf_counter()
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     try:

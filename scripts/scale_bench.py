@@ -1053,9 +1053,15 @@ def run_ivfpq_default(
         _dump_stamped(esc_path, {"attempts": attempts, "chosen": chosen})
 
     pq, build_s = get_pq(chosen)
-    t0 = time.perf_counter()
-    pq.search(test, k, chosen["nprobe"]).toPandas()
-    adc_ms = round((time.perf_counter() - t0) / N_TEST * 1000.0, 3)
+    adc_ms = None
+    if n_runs > 1:
+        # standalone ADC-only pass: an informational split of the
+        # end-to-end figure — worth one extra pass on the builder's
+        # median-of-n record, skipped in the driver-light single-run
+        # window (it costs a full scan: ~270 s at 100M)
+        t0 = time.perf_counter()
+        pq.search(test, k, chosen["nprobe"]).toPandas()
+        adc_ms = round((time.perf_counter() - t0) / N_TEST * 1000.0, 3)
     pts = [
         _refine_point(pq, base, test, gt, k, chosen["nprobe"], chosen["k_factor"])
         for _ in range(max(1, n_runs))
@@ -1074,12 +1080,18 @@ def run_ivfpq_default(
         **chosen,
         "code_bytes": chosen["M"],
         "adc_fp32": SCALE_ADC_FP32,
-        "adc_ms_per_query": adc_ms,
         # measurement-pass labels (VERDICT r06 Wrong #3: an adc_ms >
         # total ms read as a contradiction because the two came from
         # different passes with no marking)
-        "adc_pass": "standalone ADC-only search, 1 extra pass (not a"
-        " component of ms_per_query_runs)",
+        **(
+            {
+                "adc_ms_per_query": adc_ms,
+                "adc_pass": "standalone ADC-only search, 1 extra pass"
+                " (not a component of ms_per_query_runs)",
+            }
+            if adc_ms is not None
+            else {}
+        ),
         "ms_per_query_pass": "end-to-end search_refine (ADC+refine),"
         " median over n_runs fresh passes",
         **pt,
