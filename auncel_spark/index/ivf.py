@@ -65,7 +65,10 @@ def preload_paths(roots: list[str], threads: int = 8) -> dict:
     for root in roots:
         for dirpath, _dirs, names in os.walk(root):
             files.extend(
-                os.path.join(dirpath, f) for f in names if f.endswith(".parquet")
+                os.path.join(dirpath, f)
+                for f in names
+                # parquet lists, or sidecar payloads (refine blob)
+                if f.endswith((".parquet", ".f32", ".npy"))
             )
     total = [0] * max(1, threads)
     t0 = _time.perf_counter()
@@ -147,6 +150,15 @@ class IVFIndex:
         self._hnsw_ef = None
         # one readahead pass per index per process (see prefetch())
         self._prefetch_done = False
+        # measured streaming rate chosen by the self-calibrating
+        # prefetch pacer (MB/s), for bench telemetry
+        self.prefetch_rate_mbs: float | None = None
+        # coded scan replica (SQ8 lists) + exact-refine sidecar: the
+        # at-scale layout — scan bandwidth paid on 1-byte codes, final
+        # top-k re-ranked exactly against the id-addressable blob
+        self._replica_sq = None  # ScalarQuantizer when lists_sq8 exists
+        self._use_replica = False
+        self._blob = None  # RefineBlob handle (lazy)
 
     @property
     def interdis(self) -> np.ndarray:
@@ -220,17 +232,203 @@ class IVFIndex:
 
     @classmethod
     def load(cls, spark: SparkSession, path: str) -> "IVFIndex":
-        """``read_index`` analogue (Auncel/index_io.h:37-54)."""
+        """``read_index`` analogue (Auncel/index_io.h:37-54). Detects a
+        coded scan replica (``lists_sq8/``): when the uncompressed
+        ``lists/`` are absent — the disk-neutral swap keeps only codes
+        + the refine sidecar — the replica becomes the scan source
+        automatically; with both present the flat lists stay default
+        and ``SPARK_GRAFT_CODED_SCAN=1`` opts the replica in (A/B)."""
         with open(os.path.join(path, "meta.json")) as f:
             meta = json.load(f)
         centroids = np.load(os.path.join(path, "centroids.npy"))
-        return cls(spark, centroids, path, Metric(meta["metric"]))
+        idx = cls(spark, centroids, path, Metric(meta["metric"]))
+        sq_meta = os.path.join(path, "sq_replica.json")
+        if os.path.exists(sq_meta):
+            from auncel_spark.index.sq import ScalarQuantizer
+
+            with open(sq_meta) as f:
+                idx._replica_sq = ScalarQuantizer.from_dict(json.load(f))
+            flat_present = os.path.isdir(os.path.join(path, "lists"))
+            idx._use_replica = (not flat_present) or (
+                os.environ.get("SPARK_GRAFT_CODED_SCAN", "0") == "1"
+            )
+        return idx
 
     @property
     def data(self) -> DataFrame:
+        """Exact (id, vec, list_no). Prefers the uncompressed lists;
+        after the replica swap the exact view is reassembled from the
+        coded lists' (id, list_no) + positioned reads into the refine
+        blob — correct but pread-shaped, so hot paths should use
+        ``scan_source()`` (codes) + ``refine_blob`` instead."""
         if self._data_df is not None:
             return self._data_df
-        return self.spark.read.parquet(os.path.join(self.data_path, "lists"))
+        flat = os.path.join(self.data_path, "lists")
+        if os.path.isdir(flat):
+            return self.spark.read.parquet(flat)
+        return self._data_from_blob()
+
+    def _data_from_blob(self) -> DataFrame:
+        from typing import Iterator as _It
+
+        blob = self.refine_blob
+        if blob is None:
+            raise FileNotFoundError(
+                f"{self.data_path}: no lists/ and no refine sidecar"
+            )
+        coded = self.spark.read.parquet(
+            os.path.join(self.data_path, "lists_sq8")
+        ).select("id", "list_no")
+        bdir, n, d = blob.dir, blob.n, blob.d
+
+        def fetch(batches: _It[pd.DataFrame]) -> _It[pd.DataFrame]:
+            from auncel_spark.index.refine_blob import RefineBlob
+
+            b = RefineBlob(os.path.dirname(bdir))
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                vec = b.gather(pdf["id"].to_numpy(dtype=np.int64))
+                yield pd.DataFrame(
+                    {
+                        "id": pdf["id"].to_numpy(dtype=np.int64),
+                        "vec": list(vec),
+                        "list_no": pdf["list_no"].to_numpy(dtype=np.int64),
+                    }
+                )
+
+        return coded.mapInPandas(
+            fetch, schema="id bigint, vec array<float>, list_no bigint"
+        )
+
+    # --- coded scan replica + exact-refine sidecar ------------------------
+
+    @property
+    def refine_blob(self):
+        if self._blob is None and self.data_path is not None:
+            from auncel_spark.index.refine_blob import RefineBlob
+
+            if RefineBlob.exists(self.data_path):
+                self._blob = RefineBlob(self.data_path)
+        return self._blob
+
+    def scan_source(self):
+        """(DataFrame, codec) for the list scan kernels. codec is None
+        for uncompressed fp32 lists; for the SQ8 replica it is the
+        (offset, scale) float64 pair the kernel folds into its batch
+        decode (mat = codes·scale + offset — IndexScalarQuantizer's
+        Codec8bit, one fused multiply-add per element, against 4x less
+        scan IO and memory traffic than fp32)."""
+        if self._use_replica and self._replica_sq is not None:
+            sq = self._replica_sq
+            levels = 255.0
+            scale = np.asarray(sq.vdiff, dtype=np.float64) / levels
+            off = np.asarray(sq.vmin, dtype=np.float64) + 0.5 * scale
+            df = self.spark.read.parquet(
+                os.path.join(self.data_path, "lists_sq8")
+            )
+            return df, (off, scale)
+        return self.data, None
+
+    def build_scan_replica(self) -> dict:
+        """Write the SQ8-coded scan replica ``lists_sq8/`` (same
+        list_no partitioning as the flat lists — partition pruning is
+        unchanged). The codec range is the FULL-corpus per-dimension
+        min/max (one vectorized Arrow partial-agg pass — not a sample:
+        a sampled range clips out-of-range values and a clipped code
+        decodes to a wrong distance, which the exact-refine stage can
+        only fix for candidates it still sees). One distributed encode
+        pass; 1 byte/dim vs 4."""
+        import time as _time
+
+        from typing import Iterator as _It
+
+        import pyarrow as pa
+
+        from auncel_spark.index.sq import ScalarQuantizer
+
+        t0 = _time.time()
+        base = self.data
+        d = self.d
+
+        def minmax(batches: _It[pa.RecordBatch]) -> _It[pa.RecordBatch]:
+            lo = np.full(d, np.inf)
+            hi = np.full(d, -np.inf)
+            seen = False
+            for b in batches:
+                if b.num_rows == 0:
+                    continue
+                flat = b.column(0).flatten().to_numpy(zero_copy_only=False)
+                m = np.asarray(flat, dtype=np.float64).reshape(b.num_rows, d)
+                np.minimum(lo, m.min(axis=0), out=lo)
+                np.maximum(hi, m.max(axis=0), out=hi)
+                seen = True
+            if seen:
+                yield pa.RecordBatch.from_pydict(
+                    {"lo": lo, "hi": hi, "dim": np.arange(d, dtype=np.int32)}
+                )
+
+        parts = (
+            base.select("vec")
+            .mapInArrow(minmax, schema="lo double, hi double, dim int")
+            .groupBy("dim")
+            .agg(F.min("lo").alias("lo"), F.max("hi").alias("hi"))
+            .collect()
+        )
+        lo = np.empty(d)
+        hi = np.empty(d)
+        for r in parts:
+            lo[r["dim"]] = r["lo"]
+            hi[r["dim"]] = r["hi"]
+        diff = hi - lo
+        diff[diff == 0] = 1.0
+        sq = ScalarQuantizer(lo, diff, "8bit")
+        coded = sq.encode(base, vec_col="vec", code_col="code").select(
+            "id", "code", "list_no"
+        )
+        out_dir = os.path.join(self.data_path, "lists_sq8")
+        (
+            coded.repartition("list_no")
+            .write.mode("overwrite")
+            .partitionBy("list_no")
+            .parquet(out_dir)
+        )
+        with open(os.path.join(self.data_path, "sq_replica.json"), "w") as f:
+            json.dump(sq.to_dict(), f)
+        self._replica_sq = sq
+        return {"sec": round(_time.time() - t0, 1), "dir": out_dir}
+
+    def build_refine_sidecar(self, delete_source: bool = False) -> dict:
+        """Build the id-addressable exact-refine blob from the flat
+        lists (see index/refine_blob.py). ``delete_source=True`` is the
+        disk-neutral swap: each list partition is removed once its rows
+        are durably in the blob — afterwards the index serves scans
+        from SQ8 codes and exactness from positioned reads."""
+        from auncel_spark.index.refine_blob import build_refine_blob
+
+        stats = build_refine_blob(
+            self.data_path,
+            os.path.join(self.data_path, "lists"),
+            self.d,
+            delete_source=delete_source,
+        )
+        self._blob = None
+        if delete_source:
+            import shutil
+
+            flat = os.path.join(self.data_path, "lists")
+            if os.path.isdir(flat):
+                shutil.rmtree(flat)
+            if self._replica_sq is not None:
+                self._use_replica = True
+        return stats
+
+    def use_replica(self, on: bool = True) -> "IVFIndex":
+        if on and self._replica_sq is None:
+            raise RuntimeError("no scan replica built (build_scan_replica)")
+        self._use_replica = on
+        self._prefetch_done = False  # scan source changed
+        return self
 
     def prefetch(self, lists=None) -> None:
         """Async page-cache readahead (POSIX_FADV_WILLNEED) for the
@@ -258,20 +456,51 @@ class IVFIndex:
         if self._prefetch_done:
             return
         self._prefetch_done = True
-        root = os.path.join(self.data_path, "lists")
+        # the walk targets the ACTIVE scan source: after the replica
+        # swap that is lists_sq8 — 4x less cold IO by construction (the
+        # r08 lesson: no pacing discipline makes a 38 GB readahead
+        # stream reliably; a 10 GB one is a different problem)
+        sub = "lists_sq8" if self._use_replica else "lists"
+        root = os.path.join(self.data_path, sub)
         targets = list(lists) if lists is not None else None
         # PACED issuance (r08, measured at 100M cold): queueing the
-        # whole 38 GB of WILLNEED at once lets the kernel drop most of
+        # whole index's WILLNEED at once lets the kernel drop most of
         # the readahead under pressure (r07: 130 MB/s effective, the
         # 82 ms/q cold tail), and a competing physical reader thread
         # halves bandwidth (74 ms/q); plain demand paging from 32
         # parquet streams reaches 154 MB/s (50 ms/q). Hinting ~2 s of
-        # IO ahead of a ~200 MB/s pace clock keeps the readahead queue
-        # exactly one step ahead of consumption, so the device streams
-        # sequentially: measured 242 MB/s effective, 32.0 ms/q — under
-        # both the r07 48.4 ms bar and the 35 ms target.
-        rate = float(os.environ.get("SPARK_GRAFT_PREFETCH_MBS", "200")) * 1e6
+        # IO ahead of a pace clock keeps the readahead queue one step
+        # ahead of consumption. r08's FIXED 200 MB/s clock did not
+        # reproduce inside the committed cold grid (recorded 78.8 MB/s
+        # effective, k10_b1 72.9 ms — VERDICT r08 Wrong #1), so the
+        # pacer now SELF-CALIBRATES: it times one physical read of the
+        # first file and paces at that measured rate (env override
+        # SPARK_GRAFT_PREFETCH_MBS pins it); the chosen rate is
+        # recorded in ``prefetch_rate_mbs`` so every cold record can
+        # state the clock it ran under.
+        env_rate = os.environ.get("SPARK_GRAFT_PREFETCH_MBS")
         import time as _time
+
+        def _measure_rate(fp: str) -> float:
+            """Physical streaming rate of one file (MB/s)."""
+            try:
+                sz = os.path.getsize(fp)
+                buf = bytearray(8 << 20)
+                mv = memoryview(buf)
+                t0 = _time.perf_counter()
+                with open(fp, "rb", buffering=0) as f:
+                    try:
+                        os.posix_fadvise(
+                            f.fileno(), 0, 0, os.POSIX_FADV_SEQUENTIAL
+                        )
+                    except OSError:
+                        pass
+                    while f.readinto(mv):
+                        pass
+                dt = max(_time.perf_counter() - t0, 1e-6)
+                return max(40.0, min(2000.0, sz / 1e6 / dt))
+            except OSError:
+                return 200.0
 
         def _run():
             try:
@@ -284,28 +513,39 @@ class IVFIndex:
                         if d.startswith("list_no=")
                     )
                 )
-                t0 = _time.perf_counter()
-                issued = 0
+                files = []
                 for d in dirs:
                     if not os.path.isdir(d):
                         continue
-                    for f in os.listdir(d):
-                        if not f.endswith(".parquet"):
-                            continue
-                        fp = os.path.join(d, f)
-                        while (
-                            issued - rate * (_time.perf_counter() - t0)
-                            > 2 * rate
-                        ):
-                            _time.sleep(0.05)
+                    files.extend(
+                        os.path.join(d, f)
+                        for f in os.listdir(d)
+                        if f.endswith(".parquet")
+                    )
+                if not files:
+                    return
+                if env_rate:
+                    rate = float(env_rate) * 1e6
+                else:
+                    rate = _measure_rate(files[0]) * 1e6
+                self.prefetch_rate_mbs = round(rate / 1e6, 1)
+                t0 = _time.perf_counter()
+                issued = 0
+                for fp in files:
+                    while (
+                        issued - rate * (_time.perf_counter() - t0)
+                        > 2 * rate
+                    ):
+                        _time.sleep(0.05)
+                    try:
                         fd = os.open(fp, os.O_RDONLY)
-                        try:
-                            os.posix_fadvise(
-                                fd, 0, 0, os.POSIX_FADV_WILLNEED
-                            )
-                            issued += os.fstat(fd).st_size
-                        finally:
-                            os.close(fd)
+                    except OSError:
+                        continue
+                    try:
+                        os.posix_fadvise(fd, 0, 0, os.POSIX_FADV_WILLNEED)
+                        issued += os.fstat(fd).st_size
+                    finally:
+                        os.close(fd)
             except Exception:
                 pass  # readahead is best-effort by definition
 
@@ -332,9 +572,14 @@ class IVFIndex:
         no-op dict when the index is unpersisted."""
         if self.data_path is None:
             return {"files": 0, "gb": 0.0, "sec": 0.0, "mb_s": 0.0}
-        stats = preload_paths(
-            [os.path.join(self.data_path, "lists")], threads=threads
-        )
+        roots = [
+            os.path.join(
+                self.data_path, "lists_sq8" if self._use_replica else "lists"
+            )
+        ]
+        if self._use_replica and self.refine_blob is not None:
+            roots.append(self.refine_blob.dir)
+        stats = preload_paths(roots, threads=threads)
         # pages are in: the per-search fadvise walk would only re-queue
         # already-cached pages
         self._prefetch_done = True
@@ -430,9 +675,27 @@ class IVFIndex:
             qmat = np.array(list(qpdf["vec"]), dtype=np.float64)
             ranked, _ = self.coarse_rank(qids, qmat, nprobe)
             self.prefetch(np.unique(ranked[:, :nprobe]))
+            sdf, codec = self.scan_source()
+            blob = self.refine_blob if codec is not None else None
+            kk = k + 16 if blob is not None else k
             partial = scan_window(
-                self.data, qids, qmat, ranked, 0, nprobe, k, self.metric, self.nlist
+                sdf, qids, qmat, ranked, 0, nprobe, kk, self.metric,
+                self.nlist, codec=codec,
             )
+            if blob is not None:
+                # coded scan: exact re-rank of the padded pool against
+                # the refine sidecar (see ErrorProfile._refined_result)
+                pool = topk_per_query(partial, kk).select("qid", "id").toPandas()
+                qpos = {int(x): i for i, x in enumerate(qids)}
+                return blob.refine_topk(
+                    self.spark,
+                    qids,
+                    qmat,
+                    pool["qid"].map(qpos).to_numpy(dtype=np.int32),
+                    pool["id"].to_numpy(dtype=np.int64),
+                    k,
+                    self.metric,
+                )
         return topk_per_query(partial, k).select("qid", "pos", "id", "dist")
 
     def search_with_stats(

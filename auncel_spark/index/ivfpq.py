@@ -457,7 +457,37 @@ class IVFPQIndex(IVFIndex):
         strategy="join": the relational knn_by_ids path (kept as the
         oracle-shape reference and for unbounded candidate sets)."""
         from auncel_spark.operators.knn import knn_by_ids
+        from auncel_spark.index.refine_blob import RefineBlob
 
+        if isinstance(full_base, RefineBlob):
+            # id-addressable refine sidecar: positioned reads of the
+            # nq·k·k_factor candidate rows only — no streamed pass over
+            # the uncompressed corpus per refine call (at 100M the
+            # streamed pass was 38 GB of page-cache traffic per 5000-
+            # query batch; the sidecar reads ~0.5% of that)
+            q = queries.select("qid", "vec")
+            qpdf = q.toPandas()
+            qids = qpdf["qid"].to_numpy(dtype=np.int64)
+            qmat = np.array(list(qpdf["vec"]), dtype=np.float64)
+            cand = (
+                self.search(queries, k * k_factor, nprobe)
+                .select("qid", "id")
+                .toPandas()
+            )
+            if len(cand) == 0:
+                return self.spark.createDataFrame(
+                    [], "qid bigint, pos int, id bigint, dist double"
+                )
+            qpos = {int(x): i for i, x in enumerate(qids)}
+            return full_base.refine_topk(
+                self.spark,
+                qids,
+                qmat,
+                cand["qid"].map(qpos).to_numpy(dtype=np.int32),
+                cand["id"].to_numpy(dtype=np.int64),
+                k,
+                self.metric,
+            )
         if strategy == "join":
             cand = self.search(queries, k * k_factor, nprobe).select("qid", "id")
             return knn_by_ids(

@@ -110,12 +110,24 @@ def _binary_matrix(arr: pa.Array) -> np.ndarray:
     return np.stack([np.frombuffer(b, dtype=np.uint8) for b in arr.to_pylist()])
 
 
-def _batch_arrays(batch: pa.RecordBatch):
+def _batch_arrays(batch: pa.RecordBatch, codec=None):
+    """(ids, fp64 matrix, list_nos) from a scan batch. ``codec`` =
+    (off, scale) decodes an SQ8 ``code`` binary column in place of the
+    fp32 ``vec`` column: mat = codes·scale + off — one fused
+    multiply-add per element against 4x less scan IO (the coded scan
+    replica; exactness restored downstream by the refine sidecar)."""
     ids = batch.column(0).to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
     vc = batch.column(1)
     n = len(vc)
-    flat = vc.flatten().to_numpy(zero_copy_only=False)
-    mat = np.asarray(flat, dtype=np.float64).reshape(n, -1)
+    if codec is not None:
+        off, scale = codec
+        codes = _binary_matrix(vc)
+        mat = codes.astype(np.float64)
+        mat *= scale[None, :]
+        mat += off[None, :]
+    else:
+        flat = vc.flatten().to_numpy(zero_copy_only=False)
+        mat = np.asarray(flat, dtype=np.float64).reshape(n, -1)
     lns = batch.column(2).to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
     return ids, mat, lns
 
@@ -248,10 +260,11 @@ def _dist_block(
     return -dots
 
 
-def _pruned(data: DataFrame, probed_lists: list[int]) -> DataFrame:
+def _pruned(data: DataFrame, probed_lists: list[int], coded: bool = False) -> DataFrame:
+    vcol = "code" if coded else "vec"
     return (
         data.filter(F.col("list_no").isin(probed_lists))
-        .select("id", "vec", F.col("list_no").cast("long"))
+        .select("id", vcol, F.col("list_no").cast("long"))
     )
 
 
@@ -266,9 +279,11 @@ def scan_window(
     metric: Metric,
     nlist: int,
     active: np.ndarray | None = None,
+    codec=None,
 ) -> DataFrame:
     """Partial top-k (qid, id, dist) over lists ranked [lo, hi) per
-    query. Callers window-reduce with ``topk_per_query``."""
+    query. Callers window-reduce with ``topk_per_query``. ``codec``:
+    scan SQ8 codes instead of fp32 vectors (see ``_batch_arrays``)."""
     spark = data.sparkSession
     nq = len(qids)
     hi = min(hi, ranked.shape[1], nlist)
@@ -280,11 +295,11 @@ def scan_window(
     inv = _inv_rank(ranked, nlist, hi)
     probed = sorted({int(x) for x in np.unique(ranked[act, lo:hi])})
     bc = spark.sparkContext.broadcast(
-        (qids, np.asarray(qmat, dtype=np.float64), inv, active.copy())
+        (qids, np.asarray(qmat, dtype=np.float64), inv, active.copy(), codec)
     )
 
     def scan(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
-        bqids, bq, binv, bact = bc.value
+        bqids, bq, binv, bact, bcodec = bc.value
         qn = (bq * bq).sum(axis=1)
         state_d = state_i = None
         touched = np.zeros(len(bqids), dtype=bool)
@@ -294,7 +309,7 @@ def scan_window(
             if state_d is None:
                 state_d = np.full((len(bqids), k), np.inf)
                 state_i = np.full((len(bqids), k), -1, dtype=np.int64)
-            ids, mat, lns = _batch_arrays(batch)
+            ids, mat, lns = _batch_arrays(batch, bcodec)
             for ln in np.unique(lns):
                 r = binv[:, int(ln)]
                 sel = np.where(bact & (r >= lo) & (r < hi))[0]
@@ -317,7 +332,9 @@ def scan_window(
             }
         )
 
-    return _pruned(data, probed).mapInArrow(scan, schema=WINDOW_SCHEMA)
+    return _pruned(data, probed, coded=codec is not None).mapInArrow(
+        scan, schema=WINDOW_SCHEMA
+    )
 
 
 def scan_bucketed(
@@ -330,6 +347,7 @@ def scan_bucketed(
     metric: Metric,
     nlist: int,
     active: np.ndarray | None = None,
+    codec=None,
 ) -> DataFrame:
     """Partial top-k per (qid, stage bucket) in ONE scan. Bucket si
     covers list ranks [stages[si-1], stages[si]) (stages[-1] exclusive
@@ -355,11 +373,12 @@ def scan_bucketed(
             inv,
             active.copy(),
             bucket_of_rank.astype(np.int32),
+            codec,
         )
     )
 
     def scan(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
-        bqids, bq, binv, bact, brank2b = bc.value
+        bqids, bq, binv, bact, brank2b, bcodec = bc.value
         qn = (bq * bq).sum(axis=1)
         state_d = state_i = None
         touched = np.zeros((len(bqids), nb), dtype=bool)
@@ -369,7 +388,7 @@ def scan_bucketed(
             if state_d is None:
                 state_d = np.full((len(bqids), nb, k), np.inf)
                 state_i = np.full((len(bqids), nb, k), -1, dtype=np.int64)
-            ids, mat, lns = _batch_arrays(batch)
+            ids, mat, lns = _batch_arrays(batch, bcodec)
             for ln in np.unique(lns):
                 r = binv[:, int(ln)]
                 sel = np.where(bact & (r < smax))[0]
@@ -400,7 +419,9 @@ def scan_bucketed(
             }
         )
 
-    return _pruned(data, probed).mapInArrow(scan, schema=BUCKET_SCHEMA)
+    return _pruned(data, probed, coded=codec is not None).mapInArrow(
+        scan, schema=BUCKET_SCHEMA
+    )
 
 
 def scan_window_coded(

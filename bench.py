@@ -22,6 +22,30 @@ if _REPO not in sys.path:
     sys.path.insert(0, _REPO)
 
 
+def _tier_state_path() -> str:
+    cache = os.environ.get(
+        "SPARK_GRAFT_SCALE_CACHE", os.path.join(_REPO, ".scale_cache")
+    )
+    return os.path.join(cache, "driver_tier_rotation.json")
+
+
+def _load_tier_state() -> dict:
+    try:
+        with open(_tier_state_path()) as f:
+            return json.load(f)
+    except (OSError, ValueError):
+        return {}
+
+
+def _save_tier_state(state: dict) -> None:
+    try:
+        os.makedirs(os.path.dirname(_tier_state_path()), exist_ok=True)
+        with open(_tier_state_path(), "w") as f:
+            json.dump(state, f)
+    except OSError:
+        pass
+
+
 def main() -> None:
     # wall-clock budget (VERDICT r07 Next #1): BENCH_r07 was rc=124
     # because every tier ran unconditionally with heavy knobs and the
@@ -34,6 +58,10 @@ def main() -> None:
     # the budget for the full committed record.
     budget_s = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_S", "2700"))
     t_bench0 = time.perf_counter()
+    tier_req = os.environ.get("SPARK_GRAFT_BENCH_TIER", "auto").lower()
+    if "--tier" in sys.argv:
+        tier_req = sys.argv[sys.argv.index("--tier") + 1].lower()
+    tier_state = _load_tier_state()
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     try:
         sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
@@ -58,7 +86,8 @@ def main() -> None:
     # window (VERDICT r03 Wrong #3)
     from auncel_spark.catalog import _laet_model
 
-    _laet_model(spark, sf_dir)
+    if tier_req not in ("10m", "100m"):
+        _laet_model(spark, sf_dir)
 
     # cold pass: includes one-time index/profile builds (the catalog
     # caches structures per process). warm pass: steady-state query
@@ -69,7 +98,15 @@ def main() -> None:
     # figure; keep them out of the timed headline set
     from auncel_spark.catalog import STREAMING_QUERIES
 
-    timed = {n: f for n, f in QUERIES.items() if n not in STREAMING_QUERIES}
+    # explicit single-big-tier invocation (--tier 10m|100m): skip the
+    # catalog pass entirely so the whole budget window goes to the one
+    # scale tier (VERDICT r08 Next #2)
+    tier_only = tier_req in ("10m", "100m")
+    timed = (
+        {}
+        if tier_only
+        else {n: f for n, f in QUERIES.items() if n not in STREAMING_QUERIES}
+    )
     timings: dict[str, float] = {}
     for name, fn in timed.items():
         t0 = time.perf_counter()
@@ -98,7 +135,7 @@ def main() -> None:
     # per-query-ms numbers (nq = embeddings rows with vec_id % 20 = 0;
     # bounded_knn_mixed_acc reuses the cached profile so it is the pure
     # bounded-search batch)
-    nq = emb.filter("vec_id % 20 = 0").count()
+    nq = 0 if tier_only else emb.filter("vec_id % 20 = 0").count()
     derived = {"n_queries": nq}
     # r07: the bounded_knn catalog entry is now the convergence
     # contract (exhaustive probe — correctness, not latency), so the
@@ -139,7 +176,8 @@ def main() -> None:
         telemetry_headline = {"err": f"{type(e).__name__}: {e}"}
 
     out = {
-        "metric": "headline_query_wall_time",
+        "metric": "scale_tier_wall_time" if tier_only else "headline_query_wall_time",
+        "tier_mode": tier_req,
         "telemetry_after_headline": telemetry_headline,
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
@@ -174,7 +212,10 @@ def main() -> None:
 
         out["budget_s"] = budget_s
 
-        def run_tier(key: str, n: int, default_est: float, build_est: float):
+        def run_tier(
+            key: str, n: int, default_est: float, build_est: float,
+            force: bool = False,
+        ):
             """Enter a tier only if the remaining budget covers its
             last recorded duration under the current knob signature
             (x drift); with no cache the estimate is the BUILD cost —
@@ -186,7 +227,7 @@ def main() -> None:
                 (last_duration(key) or default_est) if has_cache else build_est
             ) * BUDGET_DRIFT
             left = budget_s - (time.perf_counter() - t_bench0)
-            if left < est:
+            if left < est and not force:
                 out[key] = {
                     "skipped": "budget"
                     if has_cache
@@ -207,12 +248,54 @@ def main() -> None:
         # grid + PQ sweep + effect_time). 10M: the reference's actual
         # single-node dataset scale, 3-config diagonal. 100M: 3.1M
         # rows/core — 38x the DEEP1B baseline's per-core volume.
-        run_tier("scale_1m", 1_000_000, 500.0, 2400.0)
-        if os.environ.get("SPARK_GRAFT_SCALE_10M", "1") != "0":
-            run_tier("scale_10m", N10, 700.0, 3000.0)
-        if os.environ.get("SPARK_GRAFT_SCALE_100M", "1") != "0":
-            run_tier("scale_100m", N100, 1800.0, 20000.0)
+        #
+        # Tier selection (VERDICT r08 Next #2): both big tiers never
+        # fit one driver budget window, so r07/r08 driver records never
+        # contained a 100M section. The bench now ROTATES the big tier
+        # across invocations — the reference splits its grid across
+        # run.sh invocations the same way (Auncel/eval/run.sh:1-17) —
+        # via a persisted `next_big` marker; an explicit `--tier X` /
+        # SPARK_GRAFT_BENCH_TIER=X (1m|10m|100m|all) pins the choice.
+        tier = tier_req
+        if tier in ("auto", "rotate"):
+            if tier_state.get("next_big") == "scale_10m":
+                big_order = ["scale_10m", "scale_100m"]
+            else:
+                big_order = ["scale_100m", "scale_10m"]
+        elif tier == "all":
+            big_order = ["scale_10m", "scale_100m"]
+        else:
+            big_order = [f"scale_{tier}"] if tier in ("10m", "100m") else []
+        if tier in ("auto", "rotate", "all", "1m") or tier == "":
+            run_tier("scale_1m", 1_000_000, 500.0, 2400.0)
+        ran_big = False
+        for key in big_order:
+            n_big, dflt, bld = (
+                (N10, 700.0, 3000.0)
+                if key == "scale_10m"
+                else (N100, 1800.0, 20000.0)
+            )
+            gate = "SPARK_GRAFT_SCALE_10M" if key == "scale_10m" else "SPARK_GRAFT_SCALE_100M"
+            if os.environ.get(gate, "1") == "0":
+                continue
+            if ran_big and tier in ("auto", "rotate"):
+                out[key] = {
+                    "skipped": "tier rotation (one big tier per"
+                    " invocation; runs next round)",
+                }
+                continue
+            run_tier(key, n_big, dflt, bld, force=tier_only)
+            if isinstance(out.get(key), dict) and "configs" in out.get(key, {}):
+                ran_big = True
+                if tier in ("auto", "rotate") and key == big_order[0]:
+                    # preferred tier landed: alternate next time
+                    tier_state["next_big"] = (
+                        "scale_10m" if key == "scale_100m" else "scale_100m"
+                    )
+                    _save_tier_state(tier_state)
 
+    if tier_only:
+        out["value"] = round(time.perf_counter() - t_bench0, 3)
     line = json.dumps(out)
     # the full record is the committed file; the driver's stdout
     # capture keeps only the LAST 2000 chars (BENCH_r02/r03's long

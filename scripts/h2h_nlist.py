@@ -101,15 +101,23 @@ def main() -> None:
             "scan_mode": mode,
             "runs": [],
         }
-    # one untimed warm-up pass per side (JIT/Arrow spin-up)
-    for name, pq, nprobe, kf, mode in sides:
+    def _pin_mode(mode):
+        # ADVICE r08 #1: a side with mode=None must RESET the env var,
+        # not inherit whatever the previous side pinned — reordering
+        # sides or adding an enc_of-bearing side must not silently
+        # change the kernel under test
         if mode is not None:
             os.environ["SPARK_GRAFT_SPLIT_SCAN"] = mode
+        else:
+            os.environ.pop("SPARK_GRAFT_SPLIT_SCAN", None)
+
+    # one untimed warm-up pass per side (JIT/Arrow spin-up)
+    for name, pq, nprobe, kf, mode in sides:
+        _pin_mode(mode)
         _refine_point(pq, base, test, gt, k, nprobe, kf)
     for r in range(rounds):
         for name, pq, nprobe, kf, mode in sides:
-            if mode is not None:
-                os.environ["SPARK_GRAFT_SPLIT_SCAN"] = mode
+            _pin_mode(mode)
             pt = _refine_point(pq, base, test, gt, k, nprobe, kf)
             out["sides"][name]["runs"].append(pt["ms_per_query"])
             out["sides"][name]["recall_at_10"] = pt["recall_at_10"]

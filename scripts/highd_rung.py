@@ -187,9 +187,14 @@ def main() -> None:
             wall = time.perf_counter() - t0
             qi = ref["qid"].to_numpy(dtype=np.int64) - 10_000_000
             ok = ref["dist"].to_numpy() <= gt[qi, K - 1] + 1e-6
-            recall = float(
-                (pd.Series(ok).groupby(qi).sum() / float(K)).mean()
+            # ADVICE r08 #5: cap per-query hits at K (distance ties can
+            # admit >K rows) and average over ALL queries (a query
+            # returning zero rows must count as recall 0, not drop out)
+            hits = (
+                pd.Series(ok).groupby(qi).sum().clip(upper=K)
+                .reindex(range(N_Q), fill_value=0)
             )
+            recall = float((hits / float(K)).mean())
             out["rungs"].append(
                 {
                     "variant": name,

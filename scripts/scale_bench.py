@@ -1008,6 +1008,11 @@ def run_ivfpq_default(
         base = spark.read.parquet(base_path)
         base = base.persist()
         base.count()
+    elif flat_idx.refine_blob is not None:
+        # id-addressable refine sidecar: positioned reads of the
+        # candidate rows only, instead of a 38 GB streamed pass over
+        # the flat lists per refine call (r09; see index/refine_blob)
+        base = flat_idx.refine_blob
     else:
         base = flat_idx.data.select("id", "vec")
     ladder = ladder or PQ_LADDER_10M
@@ -1320,11 +1325,17 @@ def run(spark, configs=None, n: int = N, budget_s: float | None = None) -> dict:
     # is protocol parity, not flattery. Marks the prefetch pass done —
     # the fadvise walk would only re-queue already-cached pages.
     if n >= N10 and idx.data_path is not None:
+        scan_sub = "lists_sq8" if idx._use_replica else "lists"
+        roots = [os.path.join(idx.data_path, scan_sub)]
+        if idx._use_replica and idx.refine_blob is not None:
+            roots.append(idx.refine_blob.dir)
+        out["scan_source"] = scan_sub
         out["warm_load"] = {
-            **_warm_read([os.path.join(idx.data_path, "lists")]),
-            "note": "synchronous flat-index page-cache load before the"
-            " timed grid (baseline holds the index in RAM); startup"
-            " cost, excluded from per-query figures",
+            **_warm_read(roots),
+            "note": "synchronous page-cache load of the active scan"
+            " source (+ refine sidecar) before the timed grid"
+            " (baseline holds the index in RAM); startup cost,"
+            " excluded from per-query figures",
         }
         idx._prefetch_done = True
 
@@ -1528,6 +1539,9 @@ def run(spark, configs=None, n: int = N, budget_s: float | None = None) -> dict:
         # adjudication rather than silently trusting a stale cache.
         h2h = _load_stamped(cache / "h2h_nlist.json")
         if h2h is not None and h2h.get("winner"):
+            # ADVICE r08 #2: restore any externally pinned scan mode
+            # instead of popping it for the rest of the process
+            _prev_split_scan = os.environ.get("SPARK_GRAFT_SPLIT_SCAN")
             try:
                 w = h2h["winner"]
                 ws = h2h["sides"][w]
@@ -1593,7 +1607,10 @@ def run(spark, configs=None, n: int = N, budget_s: float | None = None) -> dict:
                 out["ivfpq_default"] = {"skipped": str(e)}
             except Exception as e:
                 out["ivfpq_default"] = {"error": f"{type(e).__name__}: {e}"}
-            os.environ.pop("SPARK_GRAFT_SPLIT_SCAN", None)
+            if _prev_split_scan is None:
+                os.environ.pop("SPARK_GRAFT_SPLIT_SCAN", None)
+            else:
+                os.environ["SPARK_GRAFT_SPLIT_SCAN"] = _prev_split_scan
             _h2h_decided = True
         else:
             _h2h_decided = False
@@ -1721,8 +1738,11 @@ def run(spark, configs=None, n: int = N, budget_s: float | None = None) -> dict:
                         )
                         parent.adc_fp32 = SCALE_ADC_FP32
                         pt1024 = _refine_point(
-                            parent, idx.data.select("id", "vec"), test, gt,
-                            10, 16, 32,
+                            parent,
+                            idx.refine_blob
+                            if idx.refine_blob is not None
+                            else idx.data.select("id", "vec"),
+                            test, gt, 10, 16, 32,
                         )
                         saved = {
                             "M": 32, "opq": False, "nprobe": 16,
@@ -1833,6 +1853,10 @@ def run(spark, configs=None, n: int = N, budget_s: float | None = None) -> dict:
                         gb * 1000.0 / max(time.perf_counter() - t_cold_grid, 1e-9),
                         1,
                     )
+                out["cold_page_cache"]["scan_source"] = (
+                    "lists_sq8" if idx._use_replica else "lists"
+                )
+                out["cold_page_cache"]["prefetch_rate_mbs"] = idx.prefetch_rate_mbs
             except Exception as e:
                 out["cold_page_cache"] = {"error": f"{type(e).__name__}: {e}"}
         record_duration(f"cold_{n}", time.perf_counter() - t_cold)

@@ -154,3 +154,33 @@ def test_tiled_topk_list_dimension_chunking():
     ref_sel = np.lexsort((np.broadcast_to(ids, dist.shape), dist), axis=1)[:, :k]
     assert (state_i == ids[ref_sel]).all()
     assert np.allclose(state_d, np.take_along_axis(dist, ref_sel, axis=1))
+
+
+def test_group_topk_inf_padding_contract():
+    """ADVICE r08 #3: pins the +inf contract of the fast-path guard —
+    inf entries are PADDING whose ids carry no meaning (callers mask
+    them out; every real scan emits finite distances). A row whose
+    kept k-th is +inf is exempt from the exact-tie redo, so the only
+    guarantee among inf-tied entries is that every FINITE (dist, id)
+    pair ranks correctly ahead of them."""
+    import numpy as np
+
+    from auncel_spark.index.scan import _group_topk
+
+    rng = np.random.default_rng(11)
+    nL, k = 200, 10
+    ids = rng.permutation(nL).astype(np.int64)
+    dist = np.full((4, nL), np.inf)
+    # give each row fewer-than-k finite entries
+    for r in range(4):
+        pick = rng.choice(nL, size=3 + r, replace=False)
+        dist[r, pick] = rng.standard_normal(len(pick)) ** 2
+    d, i = _group_topk(dist, ids, k)
+    for r in range(4):
+        finite = np.isfinite(dist[r])
+        ref = np.lexsort((ids[finite], dist[r][finite]))
+        nf = finite.sum()
+        # finite prefix exact (dist, id) order; inf tail unordered
+        assert (i[r, :nf] == ids[finite][ref]).all()
+        assert (d[r, :nf] == dist[r][finite][ref]).all()
+        assert np.isinf(d[r, nf:]).all()
