@@ -200,6 +200,26 @@ class IVFPQIndex(IVFIndex):
         else:
             if rotation is not None:
                 raise ValueError("rotation= only applies with opq=True")
+            # measured guidance (VERDICT r08 Next #6): at d=960 the OPQ
+            # rotation is a decisive recall win at the identical
+            # operating point (recall@10 0.5006 vs 0.144 plain —
+            # evidence/hd_highd_opq_rungs.json); at d=96 it is a tie
+            # (evidence/10m_opq_rungs.json). The default stays explicit
+            # (faiss posture: OPQ is a factory-spec opt-in) but a plain
+            # high-d build now SAYS so instead of silently shipping the
+            # measured-worse codes.
+            if by_residual and metric == Metric.L2 and centroids.shape[1] >= 256:
+                import warnings
+
+                warnings.warn(
+                    f"IVFPQ at d={centroids.shape[1]} without OPQ: the"
+                    " measured high-d rung (evidence/"
+                    "hd_highd_opq_rungs.json, d=960) shows OPQ-rotated"
+                    " codes reach ~3.5x the recall of plain PQ at the"
+                    " same operating point; consider opq=True or an"
+                    " 'OPQ{M},IVF...' factory spec",
+                    stacklevel=2,
+                )
             # train PQ on (residual) vectors, then encode distributed
             if pq is None:
                 if by_residual:

@@ -266,8 +266,26 @@ def main() -> None:
             big_order = ["scale_10m", "scale_100m"]
         else:
             big_order = [f"scale_{tier}"] if tier in ("10m", "100m") else []
+        # when rotation targets the 100M tier (and it is built), the
+        # 1M tier yields its ~8 min to the flagship: r08's driver
+        # record skipped 100M on budget (1890 s left < 2340 needed)
+        # AFTER spending the 1M tier's window — the one tier with four
+        # committed driver records gated the one tier with none
+        # (VERDICT r08 Next #2 / Missing #1)
+        skip_1m_for_100m = (
+            tier in ("auto", "rotate")
+            and tier_state.get("next_big") != "scale_10m"
+            and os.environ.get("SPARK_GRAFT_SCALE_100M", "1") != "0"
+            and (_cache_dir(N100) / "params.json").exists()
+        )
         if tier in ("auto", "rotate", "all", "1m") or tier == "":
-            run_tier("scale_1m", 1_000_000, 500.0, 2400.0)
+            if skip_1m_for_100m:
+                out["scale_1m"] = {
+                    "skipped": "tier rotation (budget reserved for"
+                    " scale_100m this invocation)",
+                }
+            else:
+                run_tier("scale_1m", 1_000_000, 500.0, 2400.0)
         ran_big = False
         for key in big_order:
             n_big, dflt, bld = (

@@ -102,7 +102,7 @@ def main() -> None:
     cache.mkdir(parents=True, exist_ok=True)
     ev_path = cache / "highd_opq_rungs.json"
     saved = _load_stamped(ev_path)
-    if saved is not None:
+    if saved is not None and "target_sweep" in saved and "bounded" in saved:
         print(json.dumps(saved))
         return
 
@@ -154,8 +154,24 @@ def main() -> None:
         pd.DataFrame({"qid": qids, "vec": list(qmat.astype(np.float32))})
     )
 
-    out = {"n": N_HD, "d": D_HD, "nlist": NLIST_HD, "M": M_HD, "rungs": []}
+    def _recall(ref) -> float:
+        qi = ref["qid"].to_numpy(dtype=np.int64) - 10_000_000
+        ok = ref["dist"].to_numpy() <= gt[qi, K - 1] + 1e-6
+        hits = (
+            pd.Series(ok).groupby(qi).sum().clip(upper=K)
+            .reindex(range(N_Q), fill_value=0)
+        )
+        return float((hits / float(K)).mean())
+
+    out = dict(saved) if saved is not None else {
+        "n": N_HD, "d": D_HD, "nlist": NLIST_HD, "M": M_HD, "rungs": []
+    }
+    # OPQ-vs-plain pair: reused from a prior same-kernel artifact if
+    # already measured (the new sections below append to it)
+    pair_done = bool(out.get("rungs"))
     for name, use_opq in (("plain", False), ("opq", True)):
+        if pair_done:
+            break
         pq_dir = cache / f"ivfpq_{name}"
         t0 = time.perf_counter()
         if (pq_dir / "meta.json").exists():
@@ -206,6 +222,110 @@ def main() -> None:
                 }
             )
             print(f"# {name} np{nprobe} kf{kf}: {out['rungs'][-1]}", file=sys.stderr)
+    # --- target sweep to a REAL operating point (VERDICT r08 Next #3):
+    # r08's best rung was 0.64 recall — far from the 0.9 the other
+    # tiers target. Walk (nprobe, k_factor) up the OPQ index cheapest
+    # first; if the M=60 code quality ceilings below 0.9 (refine can
+    # only fix candidates the ADC ranking surfaces), build the M=120
+    # (dsub=8) variant and walk it the same way.
+    if "target_sweep" not in out:
+        sweep = {"target": 0.9, "attempts": [], "chosen": None}
+        for M_t in (M_HD, 120):
+            name = "opq" if M_t == M_HD else f"opq_m{M_t}"
+            pq_dir = cache / f"ivfpq_{name}"
+            t0 = time.perf_counter()
+            if (pq_dir / "meta.json").exists():
+                pq_idx = IVFPQIndex.load(spark, str(pq_dir))
+                build_s = 0.0
+            else:
+                pq_idx = IVFPQIndex.build(
+                    base, nlist=NLIST_HD, M=M_t, centroids=flat.centroids,
+                    path=str(pq_dir), opq=True, assigned=flat.data,
+                    encode_gemm=True, seed=17,
+                )
+                build_s = time.perf_counter() - t0
+            pq_idx.adc_fp32 = True
+            for nprobe, kf in ((32, 16), (64, 16), (64, 32), (128, 32)):
+                t0 = time.perf_counter()
+                ref = pq_idx.search_refine(
+                    q_df, base.select("id", "vec"), K, nprobe, k_factor=kf
+                ).toPandas()
+                wall = time.perf_counter() - t0
+                att = {
+                    "M": M_t, "nprobe": nprobe, "k_factor": kf,
+                    "recall_at_10": round(_recall(ref), 4),
+                    "ms_per_query": round(wall / N_Q * 1000.0, 3),
+                    "build_sec": round(build_s, 1),
+                }
+                build_s = 0.0
+                sweep["attempts"].append(att)
+                print(f"# sweep {att}", file=sys.stderr)
+                if att["recall_at_10"] >= sweep["target"]:
+                    sweep["chosen"] = att
+                    break
+            if sweep["chosen"] is not None:
+                break
+        out["target_sweep"] = sweep
+
+    # --- ELP bounded search at d=960 (VERDICT r08 Next #3: "bounds
+    # must hold there too"): calibrate the error profile on the flat
+    # d960 index at the flagship config (k=10, bound=10%) with held-out
+    # train queries, then check the worst-case criterion on the test
+    # set — the reference's GIST rung (eval/bound.cpp:160-214).
+    if "bounded" not in out:
+        from auncel_spark.profile.error_profile import ErrorProfile
+        from scripts.scale_bench import SAFETY, _MULT_GRID, _STD_GRID
+
+        prof_dir = cache / "profile"
+        ep = ErrorProfile(flat, max_topk=100)
+        params_path = cache / "bounded_params.json"
+        if params_path.exists() and (prof_dir / "profile.json").exists():
+            ep = ErrorProfile.load(flat, str(prof_dir))
+            with open(params_path) as f:
+                p = json.load(f)
+        else:
+            tq = _id_gauss(
+                np.arange(500, dtype=np.int64) + 20_000_000 + 3_333, D_HD
+            ) * rng_scale[None, :]
+            train_df = spark.createDataFrame(
+                pd.DataFrame(
+                    {
+                        "qid": np.arange(500, dtype=np.int64) + 20_000_000,
+                        "vec": list(tq.astype(np.float32)),
+                    }
+                )
+            )
+            t0 = time.perf_counter()
+            cal = ep.fit_and_calibrate_many(
+                train_df, [(K, 0.10)],
+                multipler_grid=_MULT_GRID, std_m_grid=_STD_GRID,
+                safety=SAFETY,
+            )
+            p = cal[(K, 0.10)]
+            p["fit_sec"] = round(time.perf_counter() - t0, 1)
+            ep.save(str(prof_dir))
+            with open(params_path, "w") as f:
+                json.dump(p, f)
+        ep.multipler, ep.std_m = p["multipler"], p["std_m"]
+        t0 = time.perf_counter()
+        res = ep.search(q_df, K, require_acc=0.90).toPandas()
+        wall = time.perf_counter() - t0
+        qi = res["qid"].to_numpy(dtype=np.int64) - 10_000_000
+        ok = res["dist"].to_numpy() <= gt[qi, K - 1] + 1e-6
+        minf = float(
+            (pd.Series(ok).groupby(qi).sum().clip(upper=K)
+             .reindex(range(N_Q), fill_value=0) / float(K)).min()
+        )
+        out["bounded"] = {
+            "config": "k10_b10",
+            "ms_per_query": round(wall / N_Q * 1000.0, 3),
+            "bound_satisfaction": round(minf, 4),
+            "holds": bool(minf >= 0.90 - 1e-9),
+            "multipler": p["multipler"],
+            "std_m": p["std_m"],
+        }
+        print(f"# bounded {out['bounded']}", file=sys.stderr)
+
     out["total_sec"] = round(time.perf_counter() - t_all, 1)
     _dump_stamped(ev_path, out)
     print(json.dumps({**out, "kernel": KERNEL_VERSION}))

@@ -148,10 +148,11 @@ def _cache_dir(n: int = N) -> Path:
 
 
 def _bench_knobs() -> str:
-    return "r{}p{}c{}".format(
+    return "r{}p{}c{}t{}".format(
         os.environ.get("SPARK_GRAFT_SCALE_REPEATS", "1"),
         os.environ.get("SPARK_GRAFT_PQ_RUNS", "1"),
         os.environ.get("SPARK_GRAFT_SCALE_COLD", "1"),
+        os.environ.get("SPARK_GRAFT_TPUT_50K", "0"),
     )
 
 
@@ -1310,6 +1311,31 @@ def run(spark, configs=None, n: int = N, budget_s: float | None = None) -> dict:
             "fit_calibrate_sec": round(fit_s, 2),
         }
 
+    # SQ8 coded scan replica + exact-refine sidecar (VERDICT r08
+    # Next #1): above BIG_N the standard at-scale layout is the
+    # disk-neutral swap — scans stream 1-byte codes (4x less cold IO
+    # than fp32 by construction) and the returned top-k is settled in
+    # fp32 against the id-addressable blob. Built ONCE per tier, last
+    # in the build chain so every exact one-time pass above (profile
+    # calibration's train GT, ensure_gt) ran on the fast flat scan.
+    # Gated like the PQ builds: a routine driver bench must never
+    # start the ~30-min encode+blob pass.
+    if (
+        n >= N10
+        and idx.data_path is not None
+        and idx._replica_sq is None
+        and os.environ.get("SPARK_GRAFT_BUILD_REPLICA", "0") == "1"
+    ):
+        t_rep = time.perf_counter()
+        rep = idx.build_scan_replica()
+        sc = idx.build_refine_sidecar(delete_source=True)
+        out["replica_build"] = {
+            "encode_sec": rep.get("sec"),
+            "sidecar_sec": sc.get("sec"),
+            "total_sec": round(time.perf_counter() - t_rep, 1),
+            "blob_gb": sc.get("gb"),
+        }
+
     test = spark.createDataFrame(_gen_queries_pdf(11, N_TEST, 20_000_000)).cache()
     test.count()
 
@@ -1455,25 +1481,41 @@ def run(spark, configs=None, n: int = N, budget_s: float | None = None) -> dict:
             k_t, bound_t = (10, 0.10) if n == N else (10, 0.01)
             p = params[(k_t, bound_t)]
             ep.multipler, ep.std_m = p["multipler"], p["std_m"]
-            nq_big = 5 * N_TEST if n == N else 2 * N_TEST
-            big = spark.createDataFrame(
-                _gen_queries_pdf(13, nq_big, 40_000_000)
-            ).cache()
-            big.count()
-            t0 = time.perf_counter()
-            ep.search(big, k_t, require_acc=1.0 - bound_t).toPandas()
-            wall = time.perf_counter() - t0
+            # nq ladder (VERDICT r08 Next #8): the 100M row at nq=10000
+            # showed per-batch fixed costs still dominate (58.2 qps);
+            # the 100 TB design cares about the AMORTIZED ceiling, so
+            # the builder's final record adds a nq=50000 point
+            # (SPARK_GRAFT_TPUT_50K=1 — ~15 min, never in the driver's
+            # light window; the knob is part of the duration signature)
+            nq_points = [5 * N_TEST if n == N else 2 * N_TEST]
+            if n == N100 and os.environ.get("SPARK_GRAFT_TPUT_50K", "0") == "1":
+                nq_points.append(10 * N_TEST)
             base_msq = results.get(f"k{k_t}_b{int(bound_t * 100)}", {}).get(
                 "ms_per_query"
             )
+            points = []
+            for nq_big in nq_points:
+                big = spark.createDataFrame(
+                    _gen_queries_pdf(13, nq_big, 40_000_000)
+                ).cache()
+                big.count()
+                t0 = time.perf_counter()
+                ep.search(big, k_t, require_acc=1.0 - bound_t).toPandas()
+                wall = time.perf_counter() - t0
+                points.append(
+                    {
+                        "nq": nq_big,
+                        "ms_per_query": round(wall / nq_big * 1000.0, 3),
+                        "qps": round(nq_big / wall, 1),
+                    }
+                )
+                big.unpersist()
             out["throughput"] = {
-                "nq": nq_big,
+                **points[-1],  # legacy scalar keys = largest-batch point
                 "config": f"k{k_t}_b{int(bound_t * 100)}",
-                "ms_per_query": round(wall / nq_big * 1000.0, 3),
                 "ms_per_query_at_nq5000": base_msq,
-                "qps": round(nq_big / wall, 1),
+                "points": points,
             }
-            big.unpersist()
             record_duration(f"tput_{n}", time.perf_counter() - t_sec)
         except Exception as e:
             out["throughput"] = {"error": f"{type(e).__name__}: {e}"}

@@ -241,3 +241,38 @@ def test_opq_beats_plain_pq_on_anisotropic_data(spark):
 
     # the win must be real, not noise: >= 5 recall points
     assert r_opq >= r_plain + 0.05, f"OPQ {r_opq:.3f} vs plain {r_plain:.3f}"
+
+
+def test_highd_plain_pq_build_emits_opq_guidance(spark):
+    """VERDICT r08 Next #6: the measured d=960 rung (evidence/
+    hd_highd_opq_rungs.json) shows OPQ-rotated codes at ~3.5x the
+    recall of plain PQ at the same operating point, while d=96 ties.
+    The default stays explicit (faiss posture), but a plain high-d
+    build must surface the evidence-backed recommendation."""
+    import warnings
+
+    import pandas as pd
+
+    from auncel_spark.index.ivfpq import IVFPQIndex
+
+    rng = np.random.default_rng(11)
+    d = 256
+    xb = rng.standard_normal((500, d)).astype(np.float32)
+    bdf = spark.createDataFrame(
+        pd.DataFrame({"id": np.arange(500), "vec": list(xb)})
+    )
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        IVFPQIndex.build(bdf, nlist=4, M=4, nbits=4, kmeans_iter=2)
+    assert any("OPQ" in str(w.message) for w in rec), [
+        str(w.message) for w in rec
+    ]
+    # low-d plain build: no guidance (measured tie at d=96)
+    xb2 = rng.standard_normal((500, 32)).astype(np.float32)
+    bdf2 = spark.createDataFrame(
+        pd.DataFrame({"id": np.arange(500), "vec": list(xb2)})
+    )
+    with warnings.catch_warnings(record=True) as rec2:
+        warnings.simplefilter("always")
+        IVFPQIndex.build(bdf2, nlist=4, M=4, nbits=4, kmeans_iter=2)
+    assert not any("OPQ" in str(w.message) for w in rec2)
