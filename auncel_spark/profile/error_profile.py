@@ -93,6 +93,23 @@ class ErrorProfile:
             np_ <<= 1
         return out
 
+    @property
+    def state_k(self) -> int:
+        """Kept-state width for the staged scans. Under the SQ8 coded
+        scan replica the state is PADDED by the refine headroom: with
+        the unpadded width, a config at topk == max_topk has a refine
+        pool of exactly topk (zero padding), so code-space rank errors
+        at the pool boundary truncate true top-k members the exact
+        refine can never recover — measured at 10M replica-mode
+        k100_b10: worst-case 0.90 (the entire miss budget) vs 0.99 on
+        the flat scan with identical (multipler, std_m). Every
+        predictor/calibration consumer slices state columns by the
+        config's topk (≤ max_topk), so the extra tail columns feed ONLY
+        the refine pool; flat-scan behavior is unchanged
+        (state_k == max_topk when no codec is active)."""
+        _, codec = self.index.scan_source()
+        return self.max_topk + (self._REFINE_PAD if codec is not None else 0)
+
     def _coarse(self, queries: DataFrame):
         qpdf = queries.select("qid", "vec").toPandas()
         qids = qpdf["qid"].to_numpy(dtype=np.int64)
@@ -128,7 +145,7 @@ class ErrorProfile:
             ranked,
             lo,
             hi_eff,
-            self.max_topk,
+            self.state_k,
             self.index.metric,
             self.index.nlist,
             active=active,
@@ -138,7 +155,7 @@ class ErrorProfile:
         # are nq·k rows EACH — at hundreds of partitions the raw
         # collect blows spark.driver.maxResultSize. One window pass
         # caps the driver transfer at nq·max_topk rows per stage.
-        reduced = topk_per_query(part, self.max_topk).select("qid", "id", "dist")
+        reduced = topk_per_query(part, self.state_k).select("qid", "id", "dist")
         return reduced.toPandas()
 
     @staticmethod
@@ -378,8 +395,9 @@ class ErrorProfile:
         qids, qmat, ranked, cdist, dtb = self._coarse(queries)
         nq = len(qids)
         nb = len(stages)
-        arr_d = np.empty((nq, nb, self.max_topk))
-        arr_i = np.empty((nq, nb, self.max_topk), dtype=np.int64)
+        sk = self.state_k
+        arr_d = np.empty((nq, nb, sk))
+        arr_i = np.empty((nq, nb, sk), dtype=np.int64)
         for s0 in range(0, nq, qshard):
             sl = slice(s0, min(s0 + qshard, nq))
             sdf_sw, codec_sw = self.index.scan_source()
@@ -389,19 +407,19 @@ class ErrorProfile:
                 qmat[sl],
                 ranked[sl],
                 stages,
-                self.max_topk,
+                sk,
                 self.index.metric,
                 self.index.nlist,
                 codec=codec_sw,
             )
-            pdf = reduce_bucketed(part, self.max_topk)
-            d, i = assemble_states(pdf, qids[sl], nb, self.max_topk)
+            pdf = reduce_bucketed(part, sk)
+            d, i = assemble_states(pdf, qids[sl], nb, sk)
             arr_d[sl], arr_i[sl] = d, i
         # cumulative merge: state after stage si = best-k over buckets 0..si
         from auncel_spark.index.scan import _merge_rows
 
-        state_d = np.full((nq, self.max_topk), np.inf)
-        state_i = np.full((nq, self.max_topk), -1, dtype=np.int64)
+        state_d = np.full((nq, sk), np.inf)
+        state_i = np.full((nq, sk), -1, dtype=np.int64)
         allrows = np.arange(nq)
         states_d, states_i = [], []
         for si in range(nb):
@@ -507,8 +525,8 @@ class ErrorProfile:
         nq = len(qids)
         acc = np.broadcast_to(np.asarray(require_acc, dtype=np.float64), (nq,)).copy()
         qpos = {int(q): i for i, q in enumerate(qids)}
-        state_d = np.full((nq, self.max_topk), np.inf)
-        state_i = np.full((nq, self.max_topk), -1, dtype=np.int64)
+        state_d = np.full((nq, self.state_k), np.inf)
+        state_i = np.full((nq, self.state_k), -1, dtype=np.int64)
         active = np.ones(nq, dtype=bool)
         # target[q] = my_nprobe once the stop rule fires (stage·multipler,
         # IndexIVF.cpp:615-626); scanning continues to the target, so a
@@ -531,11 +549,11 @@ class ErrorProfile:
             sdf_f, codec_f = self.index.scan_source()
             fpart = scan_bucketed(
                 sdf_f, qids, qmat, ranked, fused,
-                self.max_topk, self.index.metric, self.index.nlist,
+                self.state_k, self.index.metric, self.index.nlist,
                 codec=codec_f,
             )
             fused_d, fused_i = assemble_states(
-                reduce_bucketed(fpart, self.max_topk), qids, nbf, self.max_topk
+                reduce_bucketed(fpart, self.state_k), qids, nbf, self.state_k
             )
         prev = 0
         s = 1
@@ -604,7 +622,7 @@ class ErrorProfile:
         blob = self.index.refine_blob if codec is not None else None
         if blob is None:
             return self._state_to_df(qids, state_d, state_i, topk)
-        pool = min(self.max_topk, topk + self._REFINE_PAD)
+        pool = min(state_i.shape[1], topk + self._REFINE_PAD)
         ids = state_i[:, :pool]
         qpos = np.repeat(np.arange(len(qids), dtype=np.int32), pool)
         mask = ids.ravel() >= 0
@@ -807,8 +825,8 @@ class ErrorProfile:
         nq = len(qids)
         budget = np.broadcast_to(np.asarray(budget_ms, dtype=np.float64), (nq,)).copy()
         qpos = {int(q): i for i, q in enumerate(qids)}
-        state_d = np.full((nq, self.max_topk), np.inf)
-        state_i = np.full((nq, self.max_topk), -1, dtype=np.int64)
+        state_d = np.full((nq, self.state_k), np.inf)
+        state_i = np.full((nq, self.state_k), -1, dtype=np.int64)
         active = np.ones(nq, dtype=bool)
         chosen = np.zeros(nq, dtype=np.int64)
         retired_ms = np.zeros(nq)

@@ -1352,9 +1352,11 @@ def run(spark, configs=None, n: int = N, budget_s: float | None = None) -> dict:
     # the fadvise walk would only re-queue already-cached pages.
     if n >= N10 and idx.data_path is not None:
         scan_sub = "lists_sq8" if idx._use_replica else "lists"
+        # scan source only: the refine sidecar is touched with ~50 MB
+        # of positioned reads per grid config (nq x pool rows x 384 B)
+        # — demand paging that costs ~0.1 ms/q; preloading its 38 GB
+        # would add minutes of tier wall for nothing
         roots = [os.path.join(idx.data_path, scan_sub)]
-        if idx._use_replica and idx.refine_blob is not None:
-            roots.append(idx.refine_blob.dir)
         out["scan_source"] = scan_sub
         out["warm_load"] = {
             **_warm_read(roots),
@@ -1413,7 +1415,11 @@ def run(spark, configs=None, n: int = N, budget_s: float | None = None) -> dict:
     # baseline's figures are steady-state on a long-lived process, so
     # attributing process warm-up to the first timed config would
     # misreport every tier.
-    idx.data.count()
+    # count the ACTIVE scan source: under the replica swap, idx.data
+    # is the exact view reassembled through the refine blob (a full
+    # positioned-read gather pass — minutes at 100M), while the warm-up
+    # only needs parquet footers + page cache of what the grid scans
+    idx.scan_source()[0].count()
     k_w, bound_w = (configs or (CONFIGS if n == N else CONFIGS_10M))[0]
     p = params[(k_w, bound_w)]
     ep.multipler, ep.std_m = p["multipler"], p["std_m"]
