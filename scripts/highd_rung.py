@@ -274,6 +274,7 @@ def main() -> None:
     # set — the reference's GIST rung (eval/bound.cpp:160-214).
     if "bounded" not in out:
         from auncel_spark.profile.error_profile import ErrorProfile
+        from scripts.ip_rung import margin_and_validate
         from scripts.scale_bench import SAFETY, _MULT_GRID, _STD_GRID
 
         prof_dir = cache / "profile"
@@ -301,7 +302,29 @@ def main() -> None:
                 multipler_grid=_MULT_GRID, std_m_grid=_STD_GRID,
                 safety=SAFETY,
             )
-            p = cal[(K, 0.10)]
+            raw = cal[(K, 0.10)]
+            # margin + held-out validation escalation (tier protocol —
+            # see ip_rung.margin_and_validate; a raw 500-query fit's
+            # unseen-set extreme value needs headroom)
+            from auncel_spark.operators.knn import knn_exact
+
+            vids = np.arange(N_Q, dtype=np.int64) + 30_000_000
+            vq = _id_gauss(vids + 5_555, D_HD) * rng_scale[None, :]
+            val_df = spark.createDataFrame(
+                pd.DataFrame({"qid": vids, "vec": list(vq.astype(np.float32))})
+            ).cache()
+            vex = knn_exact(
+                val_df, base.select("id", "vec"), K, strategy="gemm"
+            ).toPandas()
+            vgt = np.full((N_Q, K), np.inf)
+            vgt[vex["qid"].to_numpy() - 30_000_000, vex["pos"].to_numpy()] = (
+                vex["dist"].to_numpy()
+            )
+            p, esc = margin_and_validate(
+                ep, raw, K, 0.10, val_df, vgt[:, K - 1], 30_000_000, N_Q
+            )
+            val_df.unpersist()
+            p["escalation_steps"] = esc
             p["fit_sec"] = round(time.perf_counter() - t0, 1)
             ep.save(str(prof_dir))
             with open(params_path, "w") as f:

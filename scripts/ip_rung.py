@@ -35,10 +35,49 @@ from scripts.scale_bench import (
     SAFETY,
     _MULT_GRID,
     _STD_GRID,
+    _apply_margin,
     _dump_stamped,
     _id_gauss,
     _load_stamped,
 )
+
+
+def margin_and_validate(ep, p: dict, k: int, bound: float, val_df, gt_kth,
+                        val_qid0: int, n_val: int):
+    """The tier protocol's post-fit steps, applied to a rung: (a) the
+    fixed margin steps (_apply_margin — the raw fit alone measured a
+    0.70 worst case on this rung's first run: calibrated on 500 train
+    queries, the unseen-set extreme value needs headroom); (b) a
+    margin-VALIDATION pass on a held-out draw (never the test seed):
+    escalate (multipler, then std_m) until the worst case holds there.
+    Returns (params, escalation_steps)."""
+    import pandas as pd
+
+    params = _apply_margin({(k, bound): dict(p)})
+    pp = params[(k, bound)]
+    steps = 0
+    while True:
+        ep.multipler, ep.std_m = pp["multipler"], pp["std_m"]
+        res = ep.search(val_df, k, require_acc=1.0 - bound).toPandas()
+        qi = res["qid"].to_numpy(dtype=np.int64) - val_qid0
+        ok = res["dist"].to_numpy() <= gt_kth[qi] + 1e-6
+        minf = float(
+            (pd.Series(ok).groupby(qi).sum().clip(upper=k)
+             .reindex(range(n_val), fill_value=0) / float(k)).min()
+        )
+        pp["margin_val_minf"] = round(minf, 4)
+        if minf >= 1.0 - bound - 1e-9:
+            break
+        gi = _MULT_GRID.index(pp["multipler"])
+        if gi + 1 < len(_MULT_GRID):
+            pp["multipler"] = _MULT_GRID[gi + 1]
+        else:
+            si = _STD_GRID.index(pp["std_m"])
+            if si + 1 >= len(_STD_GRID):
+                break  # grid exhausted; record the miss honestly
+            pp["std_m"] = _STD_GRID[si + 1]
+        steps += 1
+    return pp, steps
 
 N_IP = 1_000_000
 D_IP = 200
@@ -166,7 +205,33 @@ def main() -> None:
             train_df, [(K, BOUND)],
             multipler_grid=_MULT_GRID, std_m_grid=_STD_GRID, safety=SAFETY,
         )
-        p = cal[(K, BOUND)]
+        raw = cal[(K, BOUND)]
+        # margin + held-out validation escalation (the tier protocol;
+        # the raw fit alone measured worst case 0.70 on this rung)
+        from auncel_spark.operators.knn import knn_exact
+
+        vids = np.arange(N_Q, dtype=np.int64) + 30_000_000
+        val_df = spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "qid": vids,
+                    "vec": list(_gen_rows(vids, 5_555).astype(np.float32)),
+                }
+            )
+        ).cache()
+        vex = knn_exact(
+            val_df, base.select("id", "vec"), K, Metric.IP, strategy="gemm"
+        ).toPandas()
+        vgt = np.full((N_Q, K), np.inf)
+        vgt[vex["qid"].to_numpy() - 30_000_000, vex["pos"].to_numpy()] = vex[
+            "dist"
+        ].to_numpy()
+        p, esc = margin_and_validate(
+            ep, raw, K, BOUND, val_df, vgt[:, K - 1], 30_000_000, N_Q
+        )
+        val_df.unpersist()
+        p["raw_fit"] = {k_: raw[k_] for k_ in ("multipler", "std_m") if k_ in raw}
+        p["escalation_steps"] = esc
         p["fit_sec"] = round(time.perf_counter() - t0, 1)
         ep.save(str(prof_dir))
         with open(params_path, "w") as f:
@@ -175,7 +240,14 @@ def main() -> None:
     ep.multipler, ep.std_m = p["multipler"], p["std_m"]
     out = {
         "n": N_IP, "d": D_IP, "nlist": NLIST_IP, "metric": "ip",
-        "params": {k: p[k] for k in ("multipler", "std_m") if k in p},
+        "params": {
+            k: p[k]
+            for k in (
+                "multipler", "std_m", "raw_fit", "escalation_steps",
+                "margin_val_minf",
+            )
+            if k in p
+        },
     }
     # bounded search: 3 warm passes, median wall; bounds checked on all
     runs, minfs = [], []
