@@ -387,9 +387,16 @@ class IVFIndex:
             "id", "code", "list_no"
         )
         out_dir = os.path.join(self.data_path, "lists_sq8")
+        # NO repartition: the source lists are already partitioned by
+        # list_no on disk, so every input split carries whole lists and
+        # partitionBy routes rows without an exchange. The repartition
+        # this used to do shuffled the entire coded corpus (~12 GB of
+        # shuffle files at 100M) for zero placement benefit — and that
+        # transient is exactly what filled the disk on the first 100M
+        # replica build (ENOSPC at 94 GB usable with 42 GB flat lists
+        # still on disk).
         (
-            coded.repartition("list_no")
-            .write.mode("overwrite")
+            coded.write.mode("overwrite")
             .partitionBy("list_no")
             .parquet(out_dir)
         )
@@ -677,7 +684,9 @@ class IVFIndex:
             self.prefetch(np.unique(ranked[:, :nprobe]))
             sdf, codec = self.scan_source()
             blob = self.refine_blob if codec is not None else None
-            kk = k + 16 if blob is not None else k
+            # refine-pool headroom: see ErrorProfile._REFINE_PAD — rank
+            # slips under SQ8 span more positions as the corpus densifies
+            kk = k + 64 if blob is not None else k
             partial = scan_window(
                 sdf, qids, qmat, ranked, 0, nprobe, kk, self.metric,
                 self.nlist, codec=codec,

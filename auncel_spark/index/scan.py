@@ -120,11 +120,19 @@ def _batch_arrays(batch: pa.RecordBatch, codec=None):
     vc = batch.column(1)
     n = len(vc)
     if codec is not None:
+        # float32 end-to-end for the coded scan: the flat scan's f64
+        # GEMM is the exactness source in flat mode, but here exactness
+        # is settled downstream by the fp32 refine sidecar and the SQ8
+        # step (~1e-2 of typical distances) dwarfs f32 rounding (~1e-6
+        # relative). f64 decode allocated an 8x-expanded temporary and
+        # ran the GEMM at half BLAS throughput for precision the path
+        # cannot use — measured as the warm-grid regression vs the
+        # flat scan at 100M (20.9 vs 15.8 ms/q mean).
         off, scale = codec
         codes = _binary_matrix(vc)
-        mat = codes.astype(np.float64)
-        mat *= scale[None, :]
-        mat += off[None, :]
+        mat = codes.astype(np.float32)
+        mat *= np.asarray(scale, dtype=np.float32)[None, :]
+        mat += np.asarray(off, dtype=np.float32)[None, :]
     else:
         flat = vc.flatten().to_numpy(zero_copy_only=False)
         mat = np.asarray(flat, dtype=np.float64).reshape(n, -1)
@@ -300,6 +308,8 @@ def scan_window(
 
     def scan(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         bqids, bq, binv, bact, bcodec = bc.value
+        if bcodec is not None:
+            bq = bq.astype(np.float32)  # f32 GEMM against f32 codes
         qn = (bq * bq).sum(axis=1)
         state_d = state_i = None
         touched = np.zeros(len(bqids), dtype=bool)
@@ -379,6 +389,8 @@ def scan_bucketed(
 
     def scan(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         bqids, bq, binv, bact, brank2b, bcodec = bc.value
+        if bcodec is not None:
+            bq = bq.astype(np.float32)  # f32 GEMM against f32 codes
         qn = (bq * bq).sum(axis=1)
         state_d = state_i = None
         touched = np.zeros((len(bqids), nb), dtype=bool)

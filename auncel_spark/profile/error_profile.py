@@ -597,10 +597,16 @@ class ErrorProfile:
 
     # refine-pool padding over topk: the coded scan's rank errors are
     # LOCAL (SQ8 max per-dim error = vdiff/255, so only near-boundary
-    # pairs can swap); a true top-k member outside the approx
-    # top-(k+pad) would need a distance perturbation ~pad positions
-    # deep — measured 0 occurrences at pool = k + 16 on the 10M tier
-    _REFINE_PAD = 16
+    # pairs can swap), but "near-boundary" is a DENSITY statement: how
+    # many ranks a fixed distance perturbation spans grows with the
+    # corpus. Measured: pad 16 showed 0 pool misses at 10M, yet at
+    # 100M k50_b5's worst query lost 3 true members below rank 66
+    # (bound satisfaction 0.94 vs the 0.95 target — the 10x denser
+    # top-k window turns the same SQ8 error into a deeper rank slip).
+    # 64 covers that regime with margin; pool cost is linear and tiny
+    # (positioned reads of nq·(k+64) rows; scan-state argpartition at
+    # width max_topk+64 is noise next to the GEMM).
+    _REFINE_PAD = 64
 
     def _refined_result(
         self,
