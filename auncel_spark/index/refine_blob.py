@@ -49,6 +49,45 @@ def _refine_dir(path: str) -> str:
     return os.path.join(path, "refine")
 
 
+def _willneed_rows(path: str, rows_sorted: np.ndarray, d: int,
+                   gap_rows: int = 256) -> None:
+    """Coalesced async readahead for a sorted row set before a memmap
+    gather. MADV_RANDOM (set on the maps to stop 128 KB readahead per
+    fault) also means every COLD pool row is a synchronous 4 KB page
+    fault — measured on the r09 100M cold grid as 17.8 MB/s effective
+    over ~370k preads (cold k10_b1 84.1 ms/q, the whole tail). Rows
+    are already offset-sorted by every caller, so adjacent candidates
+    coalesce into ranges (gaps under ``gap_rows`` rows are bridged —
+    readahead of a skipped 96 KB costs less than a second seek), and
+    one POSIX_FADV_WILLNEED per range queues the batch asynchronously
+    ahead of the gather. No-op without posix_fadvise or on warm pages
+    (the kernel skips resident ranges)."""
+    if len(rows_sorted) == 0 or not hasattr(os, "posix_fadvise"):
+        return
+    rb = d * 4
+    rows = np.asarray(rows_sorted, dtype=np.int64)
+    # vectorized coalescing: range boundaries where the gap exceeds
+    # gap_rows (python-loop version cost ~1 ms per 1k rows — the PQ
+    # pool is 50k rows per task)
+    brk = np.where(np.diff(rows) > gap_rows)[0]
+    starts = rows[np.concatenate(([0], brk + 1))]
+    ends = rows[np.concatenate((brk, [len(rows) - 1]))]
+    try:
+        fd = os.open(path, os.O_RDONLY)
+    except OSError:
+        return
+    try:
+        for s0, e0 in zip(starts, ends):
+            os.posix_fadvise(
+                fd, int(s0) * rb, int(e0 - s0 + 1) * rb,
+                os.POSIX_FADV_WILLNEED,
+            )
+    except OSError:
+        pass
+    finally:
+        os.close(fd)
+
+
 class RefineBlob:
     """Handle over a built sidecar; cheap to construct, memmaps lazily."""
 
@@ -117,6 +156,9 @@ class RefineBlob:
         vecs = self._maps()
         rows = self.rows_of(ids)
         order = np.argsort(rows, kind="stable")  # offset-sorted IO
+        _willneed_rows(
+            os.path.join(self.dir, "vectors.f32"), rows[order], self.d
+        )
         out = np.empty((len(rows), self.d), dtype=np.float32)
         out[order] = vecs[rows[order]]
         return out
@@ -188,6 +230,10 @@ class RefineBlob:
                     continue
                 rws = b["row"].to_numpy(dtype=np.int64)
                 qp = b["qpos"].to_numpy(dtype=np.int32)
+                _willneed_rows(
+                    os.path.join(blob_dir, "vectors.f32"),
+                    np.sort(rws), d,
+                )
                 mat = np.asarray(vecs[rws], dtype=np.float64)
                 qv = bq[qp]
                 if is_l2:
