@@ -249,6 +249,29 @@ class IVFIndex:
             with open(sq_meta) as f:
                 idx._replica_sq = ScalarQuantizer.from_dict(json.load(f))
             flat_present = os.path.isdir(os.path.join(path, "lists"))
+            # ADVICE r09 (medium): a delete_source sidecar swap that
+            # crashed mid-build leaves a PARTIAL flat lists/ dir
+            # (partitions are deleted incrementally as they land in the
+            # blob) with refine/manifest.json recording progress but no
+            # refine/meta.json yet. Serving exact scans from those
+            # remnants silently drops the already-swapped lists from
+            # every result — refuse and point at the resumable build.
+            man_path = os.path.join(path, "refine", "manifest.json")
+            blob_done = os.path.exists(
+                os.path.join(path, "refine", "meta.json")
+            )
+            if flat_present and not blob_done and os.path.exists(man_path):
+                with open(man_path) as f:
+                    man = json.load(f)
+                if man.get("done"):
+                    raise RuntimeError(
+                        f"{path}: interrupted refine-sidecar swap — "
+                        f"{len(man['done'])} list partitions already "
+                        "moved into the blob, flat lists/ is partial. "
+                        "Resume with IVFIndex.build_refine_sidecar("
+                        "delete_source=True) (the manifest makes the "
+                        "build restartable); do not scan the remnant."
+                    )
             idx._use_replica = (not flat_present) or (
                 os.environ.get("SPARK_GRAFT_CODED_SCAN", "0") == "1"
             )
@@ -311,6 +334,14 @@ class IVFIndex:
             if RefineBlob.exists(self.data_path):
                 self._blob = RefineBlob(self.data_path)
         return self._blob
+
+    @property
+    def codec_active(self) -> bool:
+        """True when scans read SQ8 codes (``scan_source`` would return
+        a codec). Cheap flag check for callers that only need the
+        boolean — ``scan_source()`` constructs a fresh DataFrame
+        (driver file-listing + schema read) per call (ADVICE r09)."""
+        return self._use_replica and self._replica_sq is not None
 
     def scan_source(self):
         """(DataFrame, codec) for the list scan kernels. codec is None
@@ -684,9 +715,12 @@ class IVFIndex:
             self.prefetch(np.unique(ranked[:, :nprobe]))
             sdf, codec = self.scan_source()
             blob = self.refine_blob if codec is not None else None
-            # refine-pool headroom: see ErrorProfile._REFINE_PAD — rank
-            # slips under SQ8 span more positions as the corpus densifies
-            kk = k + 64 if blob is not None else k
+            # refine-pool headroom (shared constant with ErrorProfile —
+            # rank slips under SQ8 span more positions as the corpus
+            # densifies; ADVICE r09: one retune point, not two)
+            from auncel_spark.index.refine_blob import REFINE_PAD
+
+            kk = k + REFINE_PAD if blob is not None else k
             partial = scan_window(
                 sdf, qids, qmat, ranked, 0, nprobe, kk, self.metric,
                 self.nlist, codec=codec,

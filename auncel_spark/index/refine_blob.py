@@ -45,12 +45,23 @@ import pandas as pd
 from auncel_spark.config import Metric
 
 
+# Refine-pool headroom under a coded scan: the kept top-k state is
+# padded by this many extra candidates so code-space rank slips at the
+# pool boundary stay recoverable by the exact refine (measured at 100M:
+# pad 16 lost true members below rank 66 on the worst query — bound
+# satisfaction 0.94; pad 64 restores 1.0/1.0/0.98 at zero flat-scan
+# cost). Single source of truth — ErrorProfile and IVFIndex.search both
+# read it (ADVICE r09: a retune must not miss a hardcoded copy).
+REFINE_PAD = 64
+
+
 def _refine_dir(path: str) -> str:
     return os.path.join(path, "refine")
 
 
 def _willneed_rows(path: str, rows_sorted: np.ndarray, d: int,
-                   gap_rows: int = 256) -> None:
+                   gap_rows: int = 256, itemsize: int = 4,
+                   offset: int = 0) -> None:
     """Coalesced async readahead for a sorted row set before a memmap
     gather. MADV_RANDOM (set on the maps to stop 128 KB readahead per
     fault) also means every COLD pool row is a synchronous 4 KB page
@@ -64,7 +75,7 @@ def _willneed_rows(path: str, rows_sorted: np.ndarray, d: int,
     (the kernel skips resident ranges)."""
     if len(rows_sorted) == 0 or not hasattr(os, "posix_fadvise"):
         return
-    rb = d * 4
+    rb = d * itemsize
     rows = np.asarray(rows_sorted, dtype=np.int64)
     # vectorized coalescing: range boundaries where the gap exceeds
     # gap_rows (python-loop version cost ~1 ms per 1k rows — the PQ
@@ -79,7 +90,7 @@ def _willneed_rows(path: str, rows_sorted: np.ndarray, d: int,
     try:
         for s0, e0 in zip(starts, ends):
             os.posix_fadvise(
-                fd, int(s0) * rb, int(e0 - s0 + 1) * rb,
+                fd, offset + int(s0) * rb, int(e0 - s0 + 1) * rb,
                 os.POSIX_FADV_WILLNEED,
             )
     except OSError:
@@ -144,6 +155,19 @@ class RefineBlob:
         self._maps()
         ids = np.asarray(ids, dtype=np.int64)
         if self.dense:
+            # the perm map is MADV_RANDOM too: a cold id->row lookup
+            # over an 8 B/entry file would fault one 4 KB page per ~512
+            # ids SYNCHRONOUSLY on the driver — queue the page ranges
+            # first (same coalescing as the vector gather)
+            # gap_rows 4096 = bridge 32 KB holes: at typical pool
+            # densities (~1 id per 270 entries) nearly every perm page
+            # is touched anyway, so the coalesced ranges collapse into
+            # long sequential readahead instead of per-page seeks
+            _willneed_rows(
+                os.path.join(self.dir, "perm.npy"),
+                np.sort(ids), 1, itemsize=8, gap_rows=4096,
+                offset=int(getattr(self._perm, "offset", 0)),
+            )
             return np.asarray(self._perm[ids], dtype=np.int64)
         pos = np.searchsorted(self._ids_sorted, ids)
         pos = np.clip(pos, 0, len(self._ids_sorted) - 1)

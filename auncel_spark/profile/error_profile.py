@@ -50,6 +50,7 @@ from pyspark.sql import functions as F
 
 from auncel_spark.config import ELP_STAGE_CAP_FRACTION, Metric
 from auncel_spark.index.ivf import IVFIndex
+from auncel_spark.index.refine_blob import REFINE_PAD
 from auncel_spark.profile.geometry import boundary_distances, sum_angle
 from auncel_spark.profile.traces import Trace, kscaling
 
@@ -107,8 +108,12 @@ class ErrorProfile:
         config's topk (≤ max_topk), so the extra tail columns feed ONLY
         the refine pool; flat-scan behavior is unchanged
         (state_k == max_topk when no codec is active)."""
-        _, codec = self.index.scan_source()
-        return self.max_topk + (self._REFINE_PAD if codec is not None else 0)
+        # cheap flag check — scan_source() builds a fresh DataFrame
+        # (driver file-listing + schema read) per call, and search()
+        # reads this property 4+ times per query batch (ADVICE r09)
+        return self.max_topk + (
+            self._REFINE_PAD if self.index.codec_active else 0
+        )
 
     def _coarse(self, queries: DataFrame):
         qpdf = queries.select("qid", "vec").toPandas()
@@ -605,8 +610,10 @@ class ErrorProfile:
     # top-k window turns the same SQ8 error into a deeper rank slip).
     # 64 covers that regime with margin; pool cost is linear and tiny
     # (positioned reads of nq·(k+64) rows; scan-state argpartition at
-    # width max_topk+64 is noise next to the GEMM).
-    _REFINE_PAD = 64
+    # width max_topk+64 is noise next to the GEMM). The value lives in
+    # refine_blob.REFINE_PAD (shared with IVFIndex.search — ADVICE r09:
+    # a retune must update every consumer through one constant).
+    _REFINE_PAD = REFINE_PAD
 
     def _refined_result(
         self,
@@ -624,8 +631,7 @@ class ErrorProfile:
         (eval/bound.cpp:404-414 — returned dist vs true k-th) intact on
         a compressed scan path: the scan pays 1 byte/dim, the contract
         is settled in fp32."""
-        _, codec = self.index.scan_source()
-        blob = self.index.refine_blob if codec is not None else None
+        blob = self.index.refine_blob if self.index.codec_active else None
         if blob is None:
             return self._state_to_df(qids, state_d, state_i, topk)
         pool = min(state_i.shape[1], topk + self._REFINE_PAD)

@@ -68,14 +68,20 @@ def margin_and_validate(ep, p: dict, k: int, bound: float, val_df, gt_kth,
         pp["margin_val_minf"] = round(minf, 4)
         if minf >= 1.0 - bound - 1e-9:
             break
-        gi = _MULT_GRID.index(pp["multipler"])
-        if gi + 1 < len(_MULT_GRID):
-            pp["multipler"] = _MULT_GRID[gi + 1]
+        # ADVICE r09: .index() raises ValueError off-grid (safe today
+        # only because _apply_margin stays on-grid) — step to the next
+        # STRICTLY LARGER grid member instead, and stamp the honest-miss
+        # case explicitly so the artifact distinguishes "held" from
+        # "grid ran out while still missing".
+        next_mult = [m for m in _MULT_GRID if m > pp["multipler"]]
+        if next_mult:
+            pp["multipler"] = next_mult[0]
         else:
-            si = _STD_GRID.index(pp["std_m"])
-            if si + 1 >= len(_STD_GRID):
+            next_std = [s for s in _STD_GRID if s > pp["std_m"]]
+            if not next_std:
+                pp["grid_exhausted"] = True
                 break  # grid exhausted; record the miss honestly
-            pp["std_m"] = _STD_GRID[si + 1]
+            pp["std_m"] = next_std[0]
         steps += 1
     return pp, steps
 

@@ -297,6 +297,76 @@ def _diskstats() -> dict | None:
         return None
 
 
+def calibration_microbench(cache_root: Path | None = None) -> dict:
+    """Fixed ~8 s host-speed fixture recorded at the top of every bench
+    record (VERDICT r09 Next #6): r09's cross-round deltas were
+    confounded by a container ~1.3-1.5x slower than r08's on identical
+    code, and the adjudication had to lean on prose. Three numbers pin
+    the host so the next verdict can separate container drift from code
+    regressions arithmetically:
+
+    - ``gemm_gflops``   — float64 1024x1024 matmul (numpy/BLAS, however
+      many threads BLAS uses here — the same BLAS the scan kernels use);
+    - ``seq_read_mbs``  — 256 MB sequential read of an uncached file;
+    - ``rand_read_ms``  — mean latency of 1000 uncached 4 KB preads at
+      random offsets in the same file (the refine-blob IO shape).
+
+    The scratch file persists under the scale cache and is re-evicted
+    with POSIX_FADV_DONTNEED per run, so repeat cost is IO only."""
+    import time as _t
+
+    out: dict = {}
+    rng = np.random.default_rng(7)
+    a = rng.standard_normal((1024, 1024))
+    b = rng.standard_normal((1024, 1024))
+    a @ b  # warm the BLAS path once
+    t0 = _t.perf_counter()
+    reps = 8
+    for _ in range(reps):
+        a @ b
+    dt = _t.perf_counter() - t0
+    out["gemm_gflops"] = round(reps * 2 * 1024**3 / dt / 1e9, 1)
+
+    root = cache_root or _cache_dir().parent
+    try:
+        root.mkdir(parents=True, exist_ok=True)
+        scratch = root / "calibration.scratch"
+        size = 256 * 1024 * 1024
+        if not scratch.exists() or scratch.stat().st_size != size:
+            blk = rng.integers(0, 256, size=1 << 20, dtype=np.uint8).tobytes()
+            with open(scratch, "wb") as f:
+                for _ in range(size // len(blk)):
+                    f.write(blk)
+                f.flush()
+                os.fsync(f.fileno())
+        fd = os.open(scratch, os.O_RDONLY)
+        try:
+            os.posix_fadvise(fd, 0, 0, os.POSIX_FADV_DONTNEED)
+            t0 = _t.perf_counter()
+            got = 0
+            while got < size:
+                chunk = os.pread(fd, 8 << 20, got)
+                if not chunk:
+                    break
+                got += len(chunk)
+            out["seq_read_mbs"] = round(
+                got / (_t.perf_counter() - t0) / 1e6, 1
+            )
+            os.posix_fadvise(fd, 0, 0, os.POSIX_FADV_DONTNEED)
+            offs = rng.integers(0, size // 4096, size=1000) * 4096
+            t0 = _t.perf_counter()
+            for o in offs:
+                os.pread(fd, 4096, int(o))
+            out["rand_read_ms"] = round(
+                (_t.perf_counter() - t0) / len(offs) * 1000.0, 3
+            )
+        finally:
+            os.close(fd)
+    except OSError as e:
+        out["io_error"] = f"{type(e).__name__}: {e}"
+    return out
+
+
 def ensure_index_big(spark, cache: Path, n: int):
     """Index build for BIG_N+ corpora with NO raw-base materialization
     and a light shuffle: the exchange moves only (id bigint, list_no
@@ -1493,7 +1563,13 @@ def run(spark, configs=None, n: int = N, budget_s: float | None = None) -> dict:
             # the builder's final record adds a nq=50000 point
             # (SPARK_GRAFT_TPUT_50K=1 — ~15 min, never in the driver's
             # light window; the knob is part of the duration signature)
-            nq_points = [5 * N_TEST if n == N else 2 * N_TEST]
+            # VERDICT r09 Next #5: the 100M ladder is {5k, 10k, 50k} —
+            # the 5k point shares the grid's batch size so the curve's
+            # left end anchors to the per-query latency regime, and the
+            # 50k point exposes the amortized ceiling
+            nq_points = (
+                [5 * N_TEST] if n == N else [N_TEST, 2 * N_TEST]
+            )
             if n == N100 and os.environ.get("SPARK_GRAFT_TPUT_50K", "0") == "1":
                 nq_points.append(10 * N_TEST)
             base_msq = results.get(f"k{k_t}_b{int(bound_t * 100)}", {}).get(

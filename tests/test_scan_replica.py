@@ -204,3 +204,48 @@ def test_manifest_restart(spark, tmp_path):
     assert stats["rows"] == 2000
     got = np.fromfile(os.path.join(rdir, "vectors.f32"), dtype=np.float32)
     np.testing.assert_array_equal(got, full)
+
+
+def test_interrupted_swap_refuses_partial_flat(spark, tmp_path):
+    """ADVICE r09 (medium): a delete_source swap that crashed mid-build
+    leaves a PARTIAL flat lists/ dir (some partitions already moved
+    into the blob and deleted) with refine/manifest.json recording
+    progress but no refine/meta.json. load() must refuse — the partial
+    flat scan would silently drop the swapped lists from results — and
+    point at the resumable sidecar build."""
+    import json
+    import shutil
+
+    idx, vec, ids = _mk(spark, tmp_path, n=2000, seed=5)
+    idx.build_scan_replica()
+    lists_root = os.path.join(idx.data_path, "lists")
+    rdir = os.path.join(idx.data_path, "refine")
+    # simulate the crash: run the full build (no delete), then roll the
+    # manifest back to a prefix, remove meta.json, and delete exactly
+    # the partitions the rolled-back manifest acknowledges
+    build_refine_blob(idx.data_path, lists_root, D)
+    man = json.load(open(os.path.join(rdir, "manifest.json")))
+    parts = sorted(man["done"])
+    keep = parts[: len(parts) // 2]
+    rows = max(man["done"][p][1] for p in keep)
+    with open(os.path.join(rdir, "manifest.json"), "w") as f:
+        json.dump({"done": {p: man["done"][p] for p in keep}, "rows": rows}, f)
+    os.remove(os.path.join(rdir, "meta.json"))
+    for p in keep:
+        shutil.rmtree(os.path.join(lists_root, p))
+    with pytest.raises(RuntimeError, match="interrupted refine-sidecar"):
+        IVFIndex.load(spark, idx.data_path)
+    # resuming the build completes the swap and load() works again
+    idx.build_refine_sidecar(delete_source=True)
+    idx2 = IVFIndex.load(spark, idx.data_path)
+    assert idx2._use_replica
+
+
+def test_refine_pad_single_source():
+    """The refine pad has exactly one definition (ADVICE r09 #3): the
+    ELP kept-state and the fixed-nprobe search path must both read
+    refine_blob.REFINE_PAD."""
+    from auncel_spark.index.refine_blob import REFINE_PAD
+    from auncel_spark.profile.error_profile import ErrorProfile
+
+    assert ErrorProfile._REFINE_PAD is REFINE_PAD
