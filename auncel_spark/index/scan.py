@@ -288,10 +288,17 @@ def scan_window(
     nlist: int,
     active: np.ndarray | None = None,
     codec=None,
+    hi_q: np.ndarray | None = None,
 ) -> DataFrame:
     """Partial top-k (qid, id, dist) over lists ranked [lo, hi) per
     query. Callers window-reduce with ``topk_per_query``. ``codec``:
-    scan SQ8 codes instead of fp32 vectors (see ``_batch_arrays``)."""
+    scan SQ8 codes instead of fp32 vectors (see ``_batch_arrays``).
+
+    ``hi_q``: optional per-query exclusive rank bound (clipped to the
+    scalar ``hi``) — one job scans each query exactly to its own
+    target, so callers whose per-query probe depths are already known
+    (LAET budgets, ELP post-stop extension targets) need ONE scan
+    instead of a log2-deep ladder of stage jobs."""
     spark = data.sparkSession
     nq = len(qids)
     hi = min(hi, ranked.shape[1], nlist)
@@ -301,13 +308,22 @@ def scan_window(
     if len(act) == 0 or hi <= lo:
         return spark.createDataFrame([], WINDOW_SCHEMA)
     inv = _inv_rank(ranked, nlist, hi)
-    probed = sorted({int(x) for x in np.unique(ranked[act, lo:hi])})
+    if hi_q is None:
+        probed = sorted({int(x) for x in np.unique(ranked[act, lo:hi])})
+        bhi = hi
+    else:
+        bhi = np.minimum(np.asarray(hi_q, dtype=np.int64), hi)
+        cols = ranked[act, lo:hi]
+        mask = np.arange(lo, hi)[None, :] < bhi[act, None]
+        if not mask.any():
+            return spark.createDataFrame([], WINDOW_SCHEMA)
+        probed = sorted({int(x) for x in np.unique(cols[mask])})
     bc = spark.sparkContext.broadcast(
-        (qids, np.asarray(qmat, dtype=np.float64), inv, active.copy(), codec)
+        (qids, np.asarray(qmat, dtype=np.float64), inv, active.copy(), codec, bhi)
     )
 
     def scan(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
-        bqids, bq, binv, bact, bcodec = bc.value
+        bqids, bq, binv, bact, bcodec, bbhi = bc.value
         if bcodec is not None:
             bq = bq.astype(np.float32)  # f32 GEMM against f32 codes
         qn = (bq * bq).sum(axis=1)
@@ -322,7 +338,7 @@ def scan_window(
             ids, mat, lns = _batch_arrays(batch, bcodec)
             for ln in np.unique(lns):
                 r = binv[:, int(ln)]
-                sel = np.where(bact & (r >= lo) & (r < hi))[0]
+                sel = np.where(bact & (r >= lo) & (r < bbhi))[0]
                 if len(sel) == 0:
                     continue
                 m = lns == ln

@@ -131,10 +131,13 @@ class ErrorProfile:
         active: np.ndarray,
         lo: int,
         hi: int,
+        hi_q: np.ndarray | None = None,
     ) -> pd.DataFrame:
         """Distributed scan of lists ranked [lo, hi) for active queries
         — broadcast-queries GEMM kernel; each pruned list vector crosses
-        Arrow once, not once per probing query."""
+        Arrow once, not once per probing query. ``hi_q``: per-query
+        exclusive bound (see scan_window) — used to scan every query to
+        its own known target in ONE job."""
         from auncel_spark.index.scan import scan_window
         from auncel_spark.operators.topk import topk_per_query
 
@@ -155,6 +158,7 @@ class ErrorProfile:
             self.index.nlist,
             active=active,
             codec=codec,
+            hi_q=hi_q,
         )
         # reduce distributed BEFORE collecting: per-partition partials
         # are nq·k rows EACH — at hundreds of partitions the raw
@@ -566,6 +570,30 @@ class ErrorProfile:
         while s <= self.index.nlist:
             if not active.any():
                 break
+            # extension collapse: once EVERY still-active query has its
+            # stop target fixed, no further stop decisions are made —
+            # the remaining ladder is pure scanning to per-query
+            # targets. One per-query-bounded scan (hi_q) replaces the
+            # log2(nlist/s) remaining stage jobs. The ladder retires a
+            # query at the first stage boundary >= its target, so the
+            # per-query bound is the target rounded UP to the next
+            # executed stage (capped at the ladder's last stage) — the
+            # scanned list set per query is identical, results bit-equal.
+            if si >= nbf and not (active & (target == 0)).any():
+                s_last = 1 << int(np.log2(self.index.nlist))
+                depth = np.minimum(
+                    np.exp2(np.ceil(np.log2(np.maximum(target, 1)))).astype(
+                        np.int64
+                    ),
+                    s_last,
+                )
+                hi_all = int(depth[active].max())
+                new = self._scan_delta(
+                    qids, qmat, ranked, active, prev, hi_all, hi_q=depth
+                )
+                self._merge_state(state_d, state_i, new, qpos)
+                active[:] = False
+                break
             if si < nbf:
                 rows = np.where(active)[0]
                 _merge_rows(state_d, state_i, rows, fused_d[rows, si], fused_i[rows, si])
@@ -845,7 +873,9 @@ class ErrorProfile:
         stages = self._all_stages()  # full ladder — see docstring
         prev = 0
         t0 = _time.perf_counter()
-        for s in stages:
+        s_idx = 0
+        while s_idx < len(stages):
+            s = stages[s_idx]
             if not active.any():
                 break
             new = self._scan_delta(qids, qmat, ranked, active, prev, s)
@@ -868,6 +898,21 @@ class ErrorProfile:
             retired_ms[act[done]] = elapsed_ms
             active[act[done]] = False
             prev = s
+            # batched ladder: every survivor affords the next boundary
+            # by the projection rule; with the SAME per-list estimate,
+            # jump directly to the largest boundary the tightest active
+            # budget still affords — one delta job instead of a chain
+            # of per-boundary jobs (a generous budget reaches nlist in
+            # one hop; tight budgets keep single steps and identical
+            # per-boundary decisions).
+            s_idx += 1
+            if active.any() and s_idx < len(stages) - 1:
+                min_b = float(budget[active].min()) * 0.95
+                while (
+                    s_idx < len(stages) - 1
+                    and elapsed_ms + per_list * (stages[s_idx + 1] - s) < min_b
+                ):
+                    s_idx += 1
         result = self._refined_result(qids, qmat, state_d, state_i, topk)
         if return_info:
             return result, {"qid": qids, "nprobe": chosen, "retired_ms": retired_ms}

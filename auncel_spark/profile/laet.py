@@ -131,16 +131,29 @@ class LearnedTermination:
             targets[pos[int(q)]] = np_
         state_d = np.full((len(qids), ep.max_topk), np.inf)
         state_i = np.full((len(qids), ep.max_topk), -1, dtype=np.int64)
+        # every per-query probe budget is known BEFORE any scan (the
+        # learned predictor fixes it), so the staged ladder collapses
+        # to ONE per-query-bounded scan job (scan_window hi_q). The
+        # ladder retired a query at the first stage boundary >= its
+        # target, so depths round up to the next power of two (capped
+        # at the ladder's last stage) — identical scanned list sets,
+        # log2(max nprobe) fewer Spark jobs per search.
+        s_last = 1
+        while (s_last << 1) <= self.index.nlist:
+            s_last <<= 1
+        depth = np.minimum(
+            np.exp2(np.ceil(np.log2(np.maximum(targets, 1)))).astype(np.int64),
+            s_last,
+        )
         active = np.ones(len(qids), dtype=bool)
-        prev = 0
-        s = 1
-        while s <= self.index.nlist and active.any():
-            ep._merge_state(
-                state_d, state_i, ep._scan_delta(qids, qmat, ranked, active, prev, s), pos
-            )
-            active &= ~(targets <= s)
-            prev = s
-            s <<= 1
+        ep._merge_state(
+            state_d,
+            state_i,
+            ep._scan_delta(
+                qids, qmat, ranked, active, 0, int(depth.max()), hi_q=depth
+            ),
+            pos,
+        )
         res = ep._state_to_df(qids, state_d, state_i, topk)
         if return_info:
             return res, {"qid": qids, "nprobe": targets}
