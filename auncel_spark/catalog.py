@@ -335,26 +335,68 @@ def q_bounded_bound_check(spark: SparkSession, sf_dir: str) -> DataFrame:
       — every query's threshold-recall must meet ITS OWN bound.
     The oracle states both criteria must hold; a hash mismatch means
     the engine broke its error contract."""
-    from auncel_spark.operators.recall import threshold_recall, worst_case_bound_holds
-
     ep, q = _fitted_profile(spark, sf_dir)
-    gt = knn_exact(q, _emb_base(spark, sf_dir), K, Metric.L2, STRATEGY).select(
-        "qid", "pos", F.col("id").alias("gt_id"), F.col("dist").alias("gt_dist")
-    )
-    n = q.count()
-    res_f = ep.search(q, K, require_acc=1.0 - BOUND)
-    holds_f = worst_case_bound_holds(threshold_recall(res_f, gt, K), BOUND)
-    # mixed: require_acc varies per query — compare each query's
-    # threshold-recall against its own required recall
+    # one qid collect serves both the query count and the mixed-bound
+    # assignment (r09 ran a separate q.count() job for the same number)
     qids = [r["qid"] for r in q.select("qid").orderBy("qid").collect()]
-    accs = np.array([0.1 + 0.1 * (i % 9) for i in range(len(qids))])
-    res_m = ep.search(q.orderBy("qid"), K, require_acc=accs)
-    rec_m = threshold_recall(res_m, gt, K).toPandas()
+    n = len(qids)
+    accs = np.array([0.1 + 0.1 * (i % 9) for i in range(n)])
+
+    # the exact GT scan and the two bounded searches are independent
+    # jobs — overlap them from a small driver thread pool (guide §2.6)
+    # so the GT GEMM back-fills executors idled by the searches' stage
+    # tails. GT is collected ONCE and both criteria evaluate against it
+    # in numpy — r09's plan recomputed the full GT scan for each of the
+    # two threshold_recall actions (the heaviest stage, twice).
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _gt_pdf():
+        return (
+            knn_exact(q, _emb_base(spark, sf_dir), K, Metric.L2, STRATEGY)
+            .select("qid", "pos", "dist")
+            .toPandas()
+        )
+
+    def _search_fixed():
+        return ep.search(q, K, require_acc=1.0 - BOUND).select("qid", "dist").toPandas()
+
+    def _search_mixed():
+        return (
+            ep.search(q.orderBy("qid"), K, require_acc=accs)
+            .select("qid", "dist")
+            .toPandas()
+        )
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        f_gt, f_f, f_m = (
+            pool.submit(_gt_pdf),
+            pool.submit(_search_fixed),
+            pool.submit(_search_mixed),
+        )
+        gt, res_f, res_m = f_gt.result(), f_f.result(), f_m.result()
+
+    # threshold recall (inter_sec, eval/bound.cpp:117-128) in numpy —
+    # identical arithmetic to operators.recall.threshold_recall (same
+    # eps, same count/K division), evaluated on the collected frames
+    gt_kth = gt[gt["pos"] < K].groupby("qid")["dist"].max()
+
+    def _recall(pdf):
+        kth = pdf["qid"].map(gt_kth).to_numpy()
+        ok = (pdf["dist"].to_numpy() <= kth + 1e-6).astype(np.int64)
+        import pandas as pd
+
+        return pd.Series(ok).groupby(pdf["qid"].to_numpy()).sum() / float(K)
+
+    rec_f = _recall(res_f)
+    # worst_case_bound_holds semantics: min over queries present in the
+    # result ≥ 1 − bound, empty result fails
+    holds_f = bool(len(rec_f) > 0 and rec_f.min() >= 1.0 - BOUND)
+    rec_m = _recall(res_m)
     acc_of = {int(qid): float(a) for qid, a in zip(qids, accs)}
-    margin = rec_m["recall"].to_numpy() - rec_m["qid"].map(acc_of).to_numpy()
-    holds_m = bool(len(rec_m) == len(qids) and margin.min() >= -1e-9)
+    margin = rec_m.to_numpy() - np.array([acc_of[int(i)] for i in rec_m.index])
+    holds_m = bool(len(rec_m) == n and margin.min() >= -1e-9)
     return spark.createDataFrame(
-        [("fixed", int(n), bool(holds_f)), ("mixed", int(n), holds_m)],
+        [("fixed", int(n), holds_f), ("mixed", int(n), holds_m)],
         "variant string, n_queries bigint, bound_holds boolean",
     )
 
@@ -1241,6 +1283,43 @@ def _laet_model(spark: SparkSession, sf_dir: str):
 LAET_TARGET = 0.9  # fit target_recall; the entry's asserted floor
 
 
+def _overlap_contract_jobs(spark, q, search_fn, sf_dir):
+    """Shared shape of the assertion-row ANN contracts (laet/hnsw):
+    the method's search, the exact-GT scan, and the query count are
+    independent Spark jobs — run them from a driver thread pool so each
+    job's stage tail back-fills the executors (guide §2.6). Returns
+    (n_queries, result_pdf(qid, dist), gt_pdf(qid, pos, dist))."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _gt_pdf():
+        return (
+            knn_exact(q, _emb_base(spark, sf_dir), K, Metric.L2, STRATEGY)
+            .select("qid", "pos", "dist")
+            .toPandas()
+        )
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        f_res = pool.submit(lambda: search_fn().select("qid", "dist").toPandas())
+        f_gt = pool.submit(_gt_pdf)
+        f_n = pool.submit(q.count)
+        return f_n.result(), f_res.result(), f_gt.result()
+
+
+def _mean_threshold_recall(res_pdf, gt_pdf) -> float:
+    """Mean per-query threshold recall (inter_sec,
+    eval/bound.cpp:117-128) over collected frames — the same
+    count(dist ≤ gt_kth + 1e-6)/K arithmetic as
+    operators.recall.threshold_recall, without re-running the GT scan
+    per consumer."""
+    import pandas as pd
+
+    gt_kth = gt_pdf[gt_pdf["pos"] < K].groupby("qid")["dist"].max()
+    kth = res_pdf["qid"].map(gt_kth).to_numpy()
+    ok = (res_pdf["dist"].to_numpy() <= kth + 1e-6).astype(np.int64)
+    rec = pd.Series(ok).groupby(res_pdf["qid"].to_numpy()).sum() / float(K)
+    return float(rec.mean())
+
+
 def q_laet_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B18: LAET-style learned termination — GBT-predicted per-query
     probe budgets. The per-query result rows aren't SQL-replayable (a
@@ -1252,19 +1331,19 @@ def q_laet_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     target and reports achieved recall), plus the row-production
     invariant n_result_rows = n_queries · K. Measured margin: mean
     recall 1.0 at sf0.01 AND sf0.1 vs the 0.9 floor."""
-    from auncel_spark.operators.recall import threshold_recall
-
     q = _emb_queries(spark, sf_dir)
     lt = _laet_model(spark, sf_dir)
-    res = lt.search(q, K)
-    gt = knn_exact(q, _emb_base(spark, sf_dir), K, Metric.L2, STRATEGY).select(
-        "qid", "pos", F.col("id").alias("gt_id"), F.col("dist").alias("gt_dist")
+    # search / GT / count are independent — overlap them (guide §2.6);
+    # the collected GT serves the recall criterion in numpy, and the
+    # collected result frame serves BOTH the recall and the row-count
+    # invariant (r09 ran threshold_recall and res.count() as separate
+    # actions, materializing the search result twice)
+    n, res, gt = _overlap_contract_jobs(
+        spark, q, lambda: lt.search(q, K), sf_dir
     )
-    mean_rec = threshold_recall(res, gt, K).agg(F.avg("recall")).first()[0]
-    n = q.count()
-    nrows = res.count()
+    mean_rec = _mean_threshold_recall(res, gt)
     return spark.createDataFrame(
-        [(int(n), int(nrows), bool(mean_rec >= LAET_TARGET))],
+        [(int(n), int(len(res)), bool(mean_rec >= LAET_TARGET))],
         "n_queries bigint, n_result_rows bigint, recall_target_met boolean",
     )
 
@@ -1284,7 +1363,6 @@ def q_hnsw_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     from auncel_spark.index.hnsw import ShardedHNSWIndex
-    from auncel_spark.operators.recall import threshold_recall
 
     def _build():
         path = tempfile.mkdtemp(prefix="auncel_hnsw_")
@@ -1294,15 +1372,13 @@ def q_hnsw_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     h = _cached(sf_dir, "hnsw_sharded", _build)
     q = _emb_queries(spark, sf_dir)
-    res = h.search(q, K, ef_search=64)
-    gt = knn_exact(q, _emb_base(spark, sf_dir), K, Metric.L2, STRATEGY).select(
-        "qid", "pos", F.col("id").alias("gt_id"), F.col("dist").alias("gt_dist")
+    # overlapped contract jobs + single GT collect (see q_laet_knn)
+    n, res, gt = _overlap_contract_jobs(
+        spark, q, lambda: h.search(q, K, ef_search=64), sf_dir
     )
-    mean_rec = threshold_recall(res, gt, K).agg(F.avg("recall")).first()[0]
-    n = q.count()
-    nrows = res.count()
+    mean_rec = _mean_threshold_recall(res, gt)
     return spark.createDataFrame(
-        [(int(n), int(nrows), bool(mean_rec >= HNSW_RECALL_FLOOR))],
+        [(int(n), int(len(res)), bool(mean_rec >= HNSW_RECALL_FLOOR))],
         "n_queries bigint, n_result_rows bigint, recall_target_met boolean",
     )
 
@@ -2376,7 +2452,10 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from auncel_spark.operators.sampling import hash_sample, source_cap
 
     docs = load(spark, sf_dir, "documents")
-    k1 = dedup_keep_first(docs)
+    # k1 feeds BOTH the repetition gate and the survivor join below —
+    # checkpoint it (lazy, invocation-private; see q_minhash_dedup) so
+    # the md5-dedup window runs once instead of once per consumer
+    k1 = dedup_keep_first(docs).localCheckpoint(eager=False)
     gate = repetition_filter(k1, 2, PIPE_DUP_FRAC, PIPE_TOP_FRAC).where(
         F.col("keep") == 1
     )
@@ -2990,11 +3069,23 @@ def _parts_oracle(colname: str, *parts) -> str:
 
 
 def q_exact_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """O1+O2 merged: exact kNN under L2 and IP metrics (tag-union)."""
-    return _tag_union("metric", [
-        ("l2", q_exact_knn_l2(spark, sf_dir)),
-        ("ip", q_exact_knn_ip(spark, sf_dir)),
-    ])
+    """O1+O2 merged: exact kNN under L2 and IP metrics.
+
+    Single base scan since r10 (knn_exact_multi): the GEMM dot block is
+    shared and both metrics' distances derive from it — r09's tag-union
+    ran two full corpus scans for one workload. Per-metric rows are
+    bit-identical to the per-metric calls (same arithmetic)."""
+    from auncel_spark.operators.knn import knn_exact_multi
+
+    res = knn_exact_multi(
+        _emb_queries(spark, sf_dir),
+        _emb_base(spark, sf_dir),
+        K,
+        [Metric.L2, Metric.IP],
+    )
+    return res.select(
+        "metric", "qid", F.col("pos").cast("bigint").alias("pos"), "id"
+    )
 
 
 _ORACLE_EXACT_KNN = _parts_oracle(
@@ -3056,12 +3147,44 @@ def q_embedding_near_dup_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Text-analysis merged (id join): per-doc stats + quality,
-    language-ID, and min-shingle fingerprint in one wide frame."""
-    return (
-        q_text_stats(spark, sf_dir)
-        .join(q_langid(spark, sf_dir), "id")
-        .join(q_doc_fingerprint(spark, sf_dir), "id")
+    """Text-analysis merged: per-doc stats + quality, language-ID, and
+    min-shingle fingerprint in one wide frame.
+
+    Single-pass since r10: all three parts are row-wise projections of
+    the same table, so ONE scan with a materialized token array feeds
+    every feature — r09's shape was 3 scans + 2 id joins, and each part
+    re-ran the lower/trim/split tokenizer (langid alone splits once per
+    language). Expression trees per output column are unchanged, so
+    values are bit-identical to the joined form (guide §2.4: remove
+    shuffles outright; §1.2: don't compute things twice)."""
+    from auncel_spark.functions.text import (
+        bpe_token_estimate,
+        langid,
+        quality_score,
+    )
+    from auncel_spark.operators.dedup import _shingles_of_tokens, tokens
+
+    docs = load(spark, sf_dir, "documents")
+    toked = docs.select(
+        F.col("doc_id").alias("id"),
+        F.col("text").alias("_text"),
+        tokens("text").alias("_tok"),
+    )
+    t, tok = F.col("_text"), F.col("_tok")
+    fp_sh = _shingles_of_tokens(tok, 5)
+    return toked.select(
+        "id",
+        F.size(tok).cast("bigint").alias("n_tokens"),
+        F.size(F.array_distinct(tok)).cast("bigint").alias("n_distinct"),
+        F.size(F.regexp_extract_all(t, F.lit(r"[.,!?;:]"), 0))
+        .cast("bigint")
+        .alias("n_punct"),
+        bpe_token_estimate(t).cast("bigint").alias("bpe_tokens"),
+        F.floor(quality_score(t, tok) * 1e6).cast("bigint").alias("quality_u"),
+        langid(t, tok).alias("lang_pred"),
+        F.coalesce(
+            F.array_min(F.transform(fp_sh, lambda s: F.md5(s))), F.md5(t)
+        ).alias("fp"),
     )
 
 
@@ -3073,8 +3196,18 @@ def q_doc_chunks_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash merged: per-doc signatures (melted to rows) and the
-    banded LSH candidate pairs in one tagged frame."""
-    sig = q_minhash_signatures(spark, sf_dir)
+    banded LSH candidate pairs in one tagged frame. The signature frame
+    is checkpointed and SHARED by both parts — the corpus scan + shingle +
+    md5 pipeline (the heavy stage at any scale) runs once, not once per
+    part (guide §2.4: two operations keyed the same way share one
+    subtree; r09's plan evaluated it twice). localCheckpoint(lazy), not
+    persist(): a persisted plan is served by Spark's plan-matching
+    CacheManager to the NEXT invocation too, which would turn warm
+    bench passes into cache reads — the checkpointed RDD is private to
+    this invocation, so every run still computes from parquet."""
+    from auncel_spark.operators.dedup import minhash_lsh_pairs
+
+    sig = q_minhash_signatures(spark, sf_dir).localCheckpoint(eager=False)
     melted = sig.select(
         "id",
         F.posexplode(F.array(*[F.col(f"mh{i}") for i in range(N_MINHASH)])).alias(
@@ -3086,7 +3219,9 @@ def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("b").cast("bigint").alias("b"),
         "v",
     )
-    pairs = q_minhash_lsh_pairs(spark, sf_dir).select(
+    pairs = minhash_lsh_pairs(
+        load(spark, sf_dir, "documents"), n_hashes=N_MINHASH, bands=4, sig=sig
+    ).select(
         F.lit("pair").alias("part"),
         F.col("id_a").alias("a"),
         F.col("id_b").alias("b"),
@@ -3109,14 +3244,23 @@ _ORACLE_MINHASH_DEDUP = _parts_oracle(
 
 def q_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash merged: per-doc fingerprints and pigeonhole-segment
-    near-pairs (Hamming <= 3) in one tagged frame."""
-    fp = q_simhash(spark, sf_dir).select(
+    near-pairs (Hamming <= 3) in one tagged frame. The fingerprint
+    frame is checkpointed (lazy, invocation-private — see
+    q_minhash_dedup on why not persist()) and SHARED by both parts —
+    the exploded token-vote aggregation (the heavy stage at any scale)
+    runs once, not once per part (guide §2.4)."""
+    from auncel_spark.operators.dedup import simhash_near_pairs
+
+    base_fp = q_simhash(spark, sf_dir).localCheckpoint(eager=False)
+    fp = base_fp.select(
         F.lit("fp").alias("part"),
         F.col("id").alias("a"),
         F.lit(0).cast("bigint").alias("b"),
         F.col("simhash").alias("v"),
     )
-    pairs = q_simhash_near_pairs(spark, sf_dir).select(
+    pairs = simhash_near_pairs(
+        load(spark, sf_dir, "documents"), max_hamming=3, fp=base_fp
+    ).select(
         F.lit("pair").alias("part"),
         F.col("id_a").alias("a"),
         F.col("id_b").alias("b"),
@@ -3255,18 +3399,56 @@ def q_relational_reports(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O17+O29 merged: per-query IP-vs-L2 intersection hits (exact
     integer, recall*K) and the worst-case intersection criterion of
-    the fixed-nprobe config."""
-    per_q = q_recall_eval(spark, sf_dir).select(
-        F.lit("per_query").alias("part"),
-        F.col("qid").alias("k"),
-        F.round(F.col("recall") * K).cast("bigint").alias("v"),
-    )
-    worst = q_ivf_recall_worst_case(spark, sf_dir).select(
-        F.lit("worst_case").alias("part"),
-        F.col("nprobe").alias("k"),
-        F.col("minf_u").alias("v"),
-    )
-    return per_q.unionByName(worst)
+    the fixed-nprobe config.
+
+    r10 plan: ONE multi-metric exact scan provides both the IP approx
+    result and the L2 ground truth (r09 ran the L2 exact scan twice
+    and the IP scan once — three corpus scans for one workload); it
+    overlaps with the IVF probe scan from a driver thread pool (guide
+    §2.6), and the intersection criteria are evaluated in numpy over
+    the collected nq·k frames. The per-query value round(round(n_hit/K,
+    6)·K) equals n_hit exactly for every n_hit in 0..K (verified over
+    the whole domain), so rows are bit-identical to the relational
+    chain."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from auncel_spark.operators.knn import knn_exact_multi
+
+    q = _emb_queries(spark, sf_dir)
+    idx = _seed_ivf(spark, sf_dir)
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_both = pool.submit(
+            lambda: knn_exact_multi(
+                q, _emb_base(spark, sf_dir), K, [Metric.L2, Metric.IP]
+            )
+            .select("metric", "qid", "id")
+            .toPandas()
+        )
+        f_res = pool.submit(
+            lambda: idx.search(q, K, nprobe=NPROBE).select("qid", "id").toPandas()
+        )
+        both, res = f_both.result(), f_res.result()
+
+    gt_ids = both[both["metric"] == "l2"].groupby("qid")["id"].agg(set)
+    ap = both[both["metric"] == "ip"]
+    # per-query hits = |approx ids ∩ gt ids| (intersection_recall's
+    # (qid, id) equi-join; ids are unique per query)
+    per_hit = {
+        int(qid): len(set(ids) & gt_ids[qid])
+        for qid, ids in ap.groupby("qid")["id"]
+    }
+    per_rows = [
+        ("per_query", int(qid), int(hit)) for qid, hit in sorted(per_hit.items())
+    ]
+    # worst-case criterion of the fixed-nprobe config: min over queries
+    # (zero-hit queries included via the all_q left join → coalesce 0)
+    res_hit = {
+        int(qid): len(set(ids) & gt_ids[qid])
+        for qid, ids in res.groupby("qid")["id"]
+    }
+    minf = min(res_hit.values()) / float(K) if res_hit else 0.0
+    rows = per_rows + [("worst_case", NPROBE, int(np.floor(minf * 1e6)))]
+    return spark.createDataFrame(rows, "part string, k bigint, v bigint")
 
 
 def q_sampling_suite(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -21,10 +21,12 @@ STOPWORDS: dict[str, tuple[str, ...]] = {
 }
 
 
-def token_count(text_col: Column | str) -> Column:
+def token_count(text_col: Column | str, tok: Column | None = None) -> Column:
     """Whitespace token count (the BPE-ish regex variant is
-    ``bpe_token_estimate``)."""
-    return F.size(tokens(text_col))
+    ``bpe_token_estimate``). ``tok``: an already-materialized token
+    array column — single-pass profiles tokenize once and feed every
+    feature from that column instead of re-splitting per feature."""
+    return F.size(tokens(text_col) if tok is None else tok)
 
 
 def bpe_token_estimate(text_col: Column | str) -> Column:
@@ -42,42 +44,50 @@ def punct_ratio(text_col: Column | str) -> Column:
     return n_punct / F.greatest(F.length(c), F.lit(1))
 
 
-def stopword_count(text_col: Column | str, lang: str) -> Column:
-    tok = tokens(text_col)
+def stopword_count(
+    text_col: Column | str, lang: str, tok: Column | None = None
+) -> Column:
+    if tok is None:
+        tok = tokens(text_col)
     stops = F.array(*[F.lit(s) for s in STOPWORDS[lang]])
     return F.size(F.filter(tok, lambda t: F.array_contains(stops, t)))
 
 
-def stopword_ratio(text_col: Column | str, lang: str = "en") -> Column:
-    return stopword_count(text_col, lang) / F.greatest(token_count(text_col), F.lit(1))
+def stopword_ratio(
+    text_col: Column | str, lang: str = "en", tok: Column | None = None
+) -> Column:
+    return stopword_count(text_col, lang, tok) / F.greatest(
+        token_count(text_col, tok), F.lit(1)
+    )
 
 
-def uniqueness_ratio(text_col: Column | str) -> Column:
-    tok = tokens(text_col)
+def uniqueness_ratio(text_col: Column | str, tok: Column | None = None) -> Column:
+    if tok is None:
+        tok = tokens(text_col)
     return F.size(F.array_distinct(tok)) / F.greatest(F.size(tok), F.lit(1))
 
 
-def quality_score(text_col: Column | str) -> Column:
+def quality_score(text_col: Column | str, tok: Column | None = None) -> Column:
     """Composite quality in [0,1]: length sweet-spot, low punctuation
     noise, vocabulary diversity, some stopword structure — the standard
     cheap pretraining-filter features (C4/Gopher-style ratios)."""
     c = F.col(text_col) if isinstance(text_col, str) else text_col
-    n_tok = token_count(c)
+    n_tok = token_count(c, tok)
     len_score = F.least(n_tok / F.lit(64.0), F.lit(1.0))
     punct_score = F.lit(1.0) - F.least(punct_ratio(c) * 10.0, F.lit(1.0))
-    uniq = uniqueness_ratio(c)
-    stop_score = F.least(stopword_ratio(c, "en") * 5.0, F.lit(1.0))
+    uniq = uniqueness_ratio(c, tok)
+    stop_score = F.least(stopword_ratio(c, "en", tok) * 5.0, F.lit(1.0))
     return (
         0.3 * len_score + 0.2 * punct_score + 0.3 * uniq + 0.2 * stop_score
     )
 
 
-def langid(text_col: Column | str) -> Column:
+def langid(text_col: Column | str, tok: Column | None = None) -> Column:
     """Stopword-vote language ID; deterministic tie-break by language
     code ascending (so results hash-match any SQL oracle)."""
     scores = [
         F.struct(
-            (-stopword_count(text_col, lang)).alias("neg"),
+            (-stopword_count(text_col, lang, tok)).alias("neg"),
             F.lit(lang).alias("lang"),
         )
         for lang in sorted(STOPWORDS)

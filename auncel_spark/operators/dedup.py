@@ -171,14 +171,21 @@ def minhash_lsh_pairs(
     shingle_n: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    sig: DataFrame | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs via LSH banding: docs agreeing on all
     rows of any band collide. Returns distinct (id_a, id_b), id_a<id_b.
 
     The only shuffle is groupBy(band, band_key); bucket sizes stay
     small under skew because identical-content floods collapse to one
-    key per band (AQE skew split handles the rest)."""
-    sig = minhash_signatures(df, n_hashes, shingle_n, text_col, id_col)
+    key per band (AQE skew split handles the rest).
+
+    ``sig``: precomputed (id, mh0..mh{n-1}) signature frame — callers
+    that also emit the signatures themselves pass the SAME (persisted)
+    frame so the corpus-scan + shingle + md5 pipeline runs once, not
+    once per consumer."""
+    if sig is None:
+        sig = minhash_signatures(df, n_hashes, shingle_n, text_col, id_col)
     rows_per_band = n_hashes // bands
     band_cols = []
     for b in range(bands):
@@ -332,12 +339,18 @@ def simhash_near_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     bits: int = SIMHASH_BITS,
+    fp: DataFrame | None = None,
 ) -> DataFrame:
     """Pairs with SimHash Hamming distance ≤ max_hamming. Candidate
     pruning: split the fingerprint into max_hamming+1 segments — any
     pair within the distance agrees on ≥1 whole segment (pigeonhole),
-    so a groupBy(segment value) join finds all candidates without n²."""
-    fp = simhash(df, text_col, id_col, bits)
+    so a groupBy(segment value) join finds all candidates without n².
+
+    ``fp``: precomputed (id, simhash) frame — callers that also emit
+    the fingerprints pass the SAME (persisted) frame so the exploded
+    token-vote aggregation runs once, not once per consumer."""
+    if fp is None:
+        fp = simhash(df, text_col, id_col, bits)
     nseg = max_hamming + 1
     seg_bits = bits // nseg
     segs = []

@@ -145,6 +145,107 @@ def _gemm_partial_topk(q: DataFrame, b: DataFrame, k: int, metric: Metric) -> Da
     return b.mapInPandas(scan, schema=RESULT_SCHEMA)
 
 
+MULTI_SCHEMA = "metric string, qid bigint, id bigint, dist double"
+
+
+def knn_exact_multi(
+    queries: DataFrame,
+    base: DataFrame,
+    k: int,
+    metrics: list[Metric],
+    qid_col: str = "qid",
+    q_vec_col: str = "vec",
+    id_col: str = "id",
+    vec_col: str = "vec",
+) -> DataFrame:
+    """Exact top-k under SEVERAL metrics from ONE base scan: the GEMM
+    dot-product block is computed once per (query tile × base block)
+    and every metric's distance derives from it (L2 = |q|²+|b|²−2·dots,
+    IP/COSINE = ±dots scaling) — the same arithmetic as per-metric
+    ``knn_exact(strategy="gemm")``, so each metric's rows are
+    bit-identical to the single-metric call. Returns
+    (metric, qid, pos, id, dist); metric values are the enum values
+    ("l2", "ip", "cosine"). A two-metric workload halves the corpus
+    scan and the shuffle (guide §1.2: don't compute things twice)."""
+    q = _prep_queries(queries, qid_col, q_vec_col)
+    b = _prep_base(base, id_col, vec_col)
+    spark = q.sparkSession
+    qpdf = q.toPandas()
+    qids = qpdf["qid"].to_numpy(dtype=np.int64)
+    qmat = np.array(list(qpdf["_qvec"]), dtype=np.float64)
+    mvals = [m.value for m in metrics]
+    bc = spark.sparkContext.broadcast((qids, qmat, mvals))
+
+    def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from auncel_spark.index.scan import _group_topk, _merge_rows
+
+        bqids, bq, bmv = bc.value
+        bms = [Metric(v) for v in bmv]
+        nq = len(bqids)
+        q_norms = (bq * bq).sum(axis=1)[:, None]
+        block = max(64, 4_000_000 // max(nq, 1))
+        states = None
+        rows_all = np.arange(nq)
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            if states is None:
+                states = {
+                    m.value: (
+                        np.full((nq, k), np.inf),
+                        np.full((nq, k), -1, dtype=np.int64),
+                    )
+                    for m in bms
+                }
+            ids_b = pdf["id"].to_numpy(dtype=np.int64)
+            mat_b = np.array(list(pdf["_bvec"]), dtype=np.float64)
+            for s0 in range(0, len(ids_b), block):
+                ids = ids_b[s0 : s0 + block]
+                mat = mat_b[s0 : s0 + block]
+                dots = bq @ mat.T  # shared across metrics
+                for m in bms:
+                    if m == Metric.L2:
+                        dist = (
+                            q_norms + (mat * mat).sum(axis=1)[None, :] - 2.0 * dots
+                        )
+                    elif m == Metric.COSINE:
+                        denom = np.sqrt(q_norms) * np.sqrt(
+                            (mat * mat).sum(axis=1)[None, :]
+                        )
+                        denom[denom == 0] = 1.0
+                        dist = -dots / denom
+                    else:
+                        dist = -dots
+                    nd, ni = _group_topk(dist, ids, k)
+                    sd, si = states[m.value]
+                    _merge_rows(sd, si, rows_all, nd, ni)
+        if states is None:
+            return
+        for mv in bmv:
+            sd, si = states[mv]
+            keep = (si >= 0).ravel()
+            yield pd.DataFrame(
+                {
+                    "metric": np.repeat(mv, int(keep.sum())),
+                    "qid": np.repeat(bqids, k)[keep],
+                    "id": si.ravel()[keep],
+                    "dist": sd.ravel()[keep],
+                }
+            )
+
+    partial = b.mapInPandas(scan, schema=MULTI_SCHEMA)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("metric", "qid").orderBy(
+        F.col("dist").asc(), F.col("id").asc()
+    )
+    return (
+        partial.withColumn("pos", F.row_number().over(w) - 1)
+        .filter(F.col("pos") < k)
+        .select("metric", "qid", "pos", "id", "dist")
+    )
+
+
 def range_search(
     queries: DataFrame,
     base: DataFrame,
@@ -154,13 +255,63 @@ def range_search(
     q_vec_col: str = "vec",
     id_col: str = "id",
     vec_col: str = "vec",
+    strategy: str = "gemm",
 ) -> DataFrame:
     """All base rows with dist < radius (L2: squared-L2 < radius; IP:
     dot > radius, per ``Index.h:146-147`` semantics). Returns
     (qid, id, dist) with dist in the metric's native sign (L2sq or dot).
+
+    ``strategy="gemm"`` (default since r10): broadcast the query matrix
+    and evaluate the radius filter on BLAS GEMM blocks inside
+    mapInPandas — one shuffle-free base scan emitting only qualifying
+    pairs (``range_search_L2sqr``'s BLAS path). r09's shape was a
+    broadcast nested-loop join materializing every (query, base) pair
+    through the row-at-a-time JVM array expression — nq× the scan width
+    before the filter. ``strategy="join"`` keeps that plan (the SQL
+    oracle shape). Same float64 arithmetic as ``knn_exact`` GEMM.
     """
     q = _prep_queries(queries, qid_col, q_vec_col)
     b = _prep_base(base, id_col, vec_col)
+    if strategy == "gemm":
+        spark = q.sparkSession
+        qpdf = q.toPandas()
+        qids = qpdf["qid"].to_numpy(dtype=np.int64)
+        qmat = np.array(list(qpdf["_qvec"]), dtype=np.float64)
+        bc = spark.sparkContext.broadcast((qids, qmat))
+
+        def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            bqids, bq = bc.value
+            nq = len(bqids)
+            q_norms = (bq * bq).sum(axis=1)[:, None]
+            block = max(64, 4_000_000 // max(nq, 1))
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                ids_b = pdf["id"].to_numpy(dtype=np.int64)
+                mat_b = np.array(list(pdf["_bvec"]), dtype=np.float64)
+                for s0 in range(0, len(ids_b), block):
+                    ids = ids_b[s0 : s0 + block]
+                    mat = mat_b[s0 : s0 + block]
+                    dots = bq @ mat.T
+                    if metric == Metric.L2:
+                        dist = (
+                            q_norms + (mat * mat).sum(axis=1)[None, :] - 2.0 * dots
+                        )
+                        qi, bi = np.where(dist < radius)
+                    else:
+                        dist = dots  # native sign: the dot product
+                        qi, bi = np.where(dist > radius)
+                    if len(qi) == 0:
+                        continue
+                    yield pd.DataFrame(
+                        {
+                            "qid": bqids[qi],
+                            "id": ids[bi],
+                            "dist": dist[qi, bi],
+                        }
+                    )
+
+        return b.mapInPandas(scan, schema=RESULT_SCHEMA)
     pairs = b.join(F.broadcast(q))
     d = dist_expr("_qvec", "_bvec", metric)
     if metric == Metric.L2:
