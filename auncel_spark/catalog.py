@@ -3190,8 +3190,26 @@ def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_doc_chunks_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Chunking + repetition merged (id join): stride chunks annotated
-    with the doc-level Gopher repetition metrics."""
-    return q_doc_chunks(spark, sf_dir).join(q_repetition_stats(spark, sf_dir), "id")
+    with the doc-level Gopher repetition metrics.
+
+    r10: both branches (and the repetition operator's internal all-ids
+    frame) read the SHARED tokenized corpus table (_toked_docs — the
+    same materialize-once tokenization ngram_jaccard and
+    decontamination already use), so the scan + lower/trim/split
+    pipeline runs once per corpus refresh instead of three times per
+    query. Expressions over the token array are unchanged —
+    bit-identical output."""
+    from auncel_spark.operators.repetition import (
+        ngram_repetition_stats,
+        word_chunks,
+    )
+
+    toked = _toked_docs(spark, sf_dir)
+    chunks = word_chunks(
+        toked, CHUNK_SIZE, CHUNK_STRIDE, id_col="id", tokens_col="_tok"
+    )
+    rep = ngram_repetition_stats(toked, REP_N, id_col="id", tokens_col="_tok")
+    return chunks.join(rep, "id")
 
 
 def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:

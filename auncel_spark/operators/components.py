@@ -60,6 +60,7 @@ def connected_components(
     src: str = "id_a",
     dst: str = "id_b",
     max_iter: int = 30,
+    driver_max_edges: int = 100_000,
 ) -> DataFrame:
     """Return (node, cluster_id) for every node appearing in `edges`,
     where cluster_id = min node id of the connected component.
@@ -69,6 +70,16 @@ def connected_components(
     node. No driver-side collection of nodes or edges — the only
     driver traffic is one 2-value aggregate per round for the
     convergence check.
+
+    Size routing (the embedding_near_dup brute/LSH pattern): a distinct
+    edge set at or below ``driver_max_edges`` (~1.6 MB of longs — far
+    under any driver budget) is solved by a single union-find pass on
+    the driver instead of O(log n) two-shuffle rounds; the labelling
+    (node -> min id of its component) is identical by construction.
+    Near-dup edge sets are tiny relative to the corpus, so at 100 TB
+    this route is usually taken AFTER the distributed rounds have
+    shrunk nothing — the distributed path stays the default for
+    anything larger. Pass ``driver_max_edges=0`` to force it off.
     """
     e = (
         edges.select(
@@ -78,6 +89,28 @@ def connected_components(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    if driver_max_edges and e.limit(driver_max_edges + 1).count() <= driver_max_edges:
+        spark = e.sparkSession
+        pdf = e.toPandas()
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            r = x
+            while parent.get(r, r) != r:
+                r = parent[r]
+            while parent.get(x, x) != x:  # path compression
+                parent[x], x = r, parent[x]
+            return r
+
+        for u, v in zip(pdf["u"].to_numpy(), pdf["v"].to_numpy()):
+            ru, rv = find(int(u)), find(int(v))
+            if ru != rv:  # min id becomes the root = the cluster id
+                hi, lo = (ru, rv) if ru > rv else (rv, ru)
+                parent[hi] = lo
+        rows = sorted(
+            {(int(n), int(find(int(n)))) for col in ("u", "v") for n in pdf[col]}
+        )
+        return spark.createDataFrame(rows, "node long, cluster_id long")
     prev = None
     for _ in range(max_iter):
         e = _small_star(_large_star(e)).localCheckpoint(eager=True)

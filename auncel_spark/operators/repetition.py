@@ -45,6 +45,7 @@ def ngram_repetition_stats(
     n: int = 2,
     text_col: str = "text",
     id_col: str = "doc_id",
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """Per-document n-gram repetition metrics.
 
@@ -60,9 +61,19 @@ def ngram_repetition_stats(
     fractions (nothing to repeat).
     """
     ids = df.select(F.col(id_col).alias("id"))
-    exploded = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(_ngrams_all(tokens(text_col), n)).alias("ng"),
+    # materialize the token array in its own projection BEFORE the
+    # n-gram transform: expressions inside higher-order-function
+    # lambdas re-evaluate per element, so an inline tokens(text) runs
+    # the whole lower/trim/split pipeline once per n-gram (~100×
+    # blowup — the word_shingles perf note; measured 3.7 s → 1.0 s for
+    # the curation gate at sf0.1)
+    if tokens_col is not None:
+        toked = df.select(F.col(id_col).alias("id"), F.col(tokens_col).alias("_tok"))
+    else:
+        toked = df.select(F.col(id_col).alias("id"), tokens(text_col).alias("_tok"))
+    exploded = toked.select(
+        "id",
+        F.explode(_ngrams_all(F.col("_tok"), n)).alias("ng"),
     )
     per_ng = exploded.groupBy("id", "ng").agg(F.count(F.lit(1)).alias("cnt"))
     per_doc = per_ng.groupBy("id").agg(
@@ -120,6 +131,7 @@ def word_chunks(
     stride: int | None = None,
     text_col: str = "text",
     id_col: str = "doc_id",
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """Split each document into token chunks of ``chunk_size`` words,
     stepping ``stride`` words between chunk starts (stride <
@@ -129,7 +141,12 @@ def word_chunks(
         stride = chunk_size
     if stride <= 0 or chunk_size <= 0:
         raise ValueError("chunk_size and stride must be positive")
-    toked = df.select(F.col(id_col).alias("id"), tokens(text_col).alias("_tok"))
+    # tokens_col: reuse an already-materialized token array (shared
+    # corpus tokenization) instead of re-splitting the text
+    tok_expr = (
+        F.col(tokens_col) if tokens_col is not None else tokens(text_col)
+    )
+    toked = df.select(F.col(id_col).alias("id"), tok_expr.alias("_tok"))
     starts = F.sequence(F.lit(0), F.size("_tok") - 1, F.lit(stride))
     chunked = toked.select(
         "id", "_tok", F.posexplode(starts).alias("chunk_id", "_start")
