@@ -73,13 +73,48 @@ def _pair_counts(wf: DataFrame) -> DataFrame:
 
 
 def bpe_train(
-    words: DataFrame, n_merges: int
+    words: DataFrame, n_merges: int, driver_max_types: int = 1_000_000
 ) -> list[tuple[str, str, int]]:
     """Run ``n_merges`` BPE iterations over a (w, freq) word table.
     Returns the learned merge list [(left, right, pair_count)], in
     merge order, tie-broken (count desc, left asc, right asc) so the
     result is deterministic and oracle-replayable. Stops early if no
-    pair remains."""
+    pair remains.
+
+    Size routing (the connected-components pattern): a word-TYPE table
+    at or below ``driver_max_types`` rows is trained in one driver
+    pass over the SAME double-separator encoding — Python
+    ``str.replace`` shares Spark/SQL's left-to-right non-overlapping
+    semantics, so the merge list is identical by construction — which
+    replaces 2 Spark jobs per merge round with zero. The distributed
+    loop stays the default for vocabularies above the gate."""
+    if (
+        driver_max_types
+        and words.limit(driver_max_types + 1).count() <= driver_max_types
+    ):
+        pdf = words.select("w", "freq").toPandas()
+        enc = [
+            (SEP2 + "".join(c + SEP2 for c in w), int(f))
+            for w, f in zip(pdf["w"], pdf["freq"])
+        ]
+        merges: list[tuple[str, str, int]] = []
+        for _ in range(n_merges):
+            counts: dict[tuple[str, str], int] = {}
+            for s, f in enc:
+                sym = [x for x in s.split(SEP2) if x]
+                for j in range(len(sym) - 1):
+                    key = (sym[j], sym[j + 1])
+                    counts[key] = counts.get(key, 0) + f
+            if not counts:
+                break
+            (a, b), cnt = min(
+                counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+            )
+            merges.append((a, b, int(cnt)))
+            pat = SEP + a + SEP2 + b + SEP
+            rep = SEP + a + b + SEP
+            enc = [(s.replace(pat, rep), f) for s, f in enc]
+        return merges
     wf = words.select(_sym_encode("w").alias("s"), "freq").persist()
     wf.count()
     merges: list[tuple[str, str, int]] = []
