@@ -410,7 +410,17 @@ def embedding_near_dup(
     bounded: only the first ``brute_max_rows + 1`` rows are touched —
     enough to decide the route without scanning a 100 TB corpus."""
     if n_rows is None:
-        n_rows = df.limit(brute_max_rows + 1).count()
+        # ONE bounded collect decides the route AND (when small) feeds
+        # the brute kernel's broadcast matrix — r09 ran a limit-count
+        # job and then a second full collect of the same rows
+        head = df.select(id_col, vec_col).limit(brute_max_rows + 1).collect()
+        if len(head) > brute_max_rows:
+            return embedding_near_dup_lsh(
+                df, threshold=threshold, id_col=id_col, vec_col=vec_col
+            )
+        return embedding_near_dup_brute(
+            df, threshold, id_col, vec_col, _rows=head
+        )
     if n_rows > brute_max_rows:
         return embedding_near_dup_lsh(
             df, threshold=threshold, id_col=id_col, vec_col=vec_col
@@ -423,16 +433,20 @@ def embedding_near_dup_brute(
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    _rows: list | None = None,
 ) -> DataFrame:
     """All pairs with cosine ≥ threshold (brute pairwise — the
     small-corpus oracle path; ``embedding_near_dup_lsh`` is the scale
     path). One float64 GEMM per partition against the broadcast matrix,
-    i < j filtered in the kernel. Returns (id_a, id_b, cos)."""
+    i < j filtered in the kernel. Returns (id_a, id_b, cos).
+
+    ``_rows``: the already-collected (id, vec) rows, when the router
+    has them in hand."""
     import pandas as pd
     from typing import Iterator
 
     spark = df.sparkSession
-    rows = df.select(id_col, vec_col).collect()
+    rows = _rows if _rows is not None else df.select(id_col, vec_col).collect()
     ids = np.array([r[id_col] for r in rows], dtype=np.int64)
     mat = np.array([r[vec_col] for r in rows], dtype=np.float64)
     norms = np.linalg.norm(mat, axis=1)
