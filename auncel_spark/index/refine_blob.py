@@ -72,8 +72,16 @@ def _willneed_rows(path: str, rows_sorted: np.ndarray, d: int,
     readahead of a skipped 96 KB costs less than a second seek), and
     one POSIX_FADV_WILLNEED per range queues the batch asynchronously
     ahead of the gather. No-op without posix_fadvise or on warm pages
-    (the kernel skips resident ranges)."""
-    if len(rows_sorted) == 0 or not hasattr(os, "posix_fadvise"):
+    (the kernel skips resident ranges).
+
+    SPARK_GRAFT_REFINE_WILLNEED=0 disables the hint — the measurement
+    kill-switch for the r10 cold-IO A/B (VERDICT r09 Next #1: the fix
+    landed post-bench and unmeasured)."""
+    if (
+        len(rows_sorted) == 0
+        or not hasattr(os, "posix_fadvise")
+        or os.environ.get("SPARK_GRAFT_REFINE_WILLNEED", "1") == "0"
+    ):
         return
     rb = d * itemsize
     rows = np.asarray(rows_sorted, dtype=np.int64)

@@ -579,7 +579,11 @@ class ErrorProfile:
             # per-query bound is the target rounded UP to the next
             # executed stage (capped at the ladder's last stage) — the
             # scanned list set per query is identical, results bit-equal.
-            if si >= nbf and not (active & (target == 0)).any():
+            if (
+                si >= nbf
+                and not (active & (target == 0)).any()
+                and os.environ.get("SPARK_GRAFT_EXT_COLLAPSE", "1") != "0"
+            ):
                 s_last = 1 << int(np.log2(self.index.nlist))
                 depth = np.minimum(
                     np.exp2(np.ceil(np.log2(np.maximum(target, 1)))).astype(
