@@ -165,3 +165,20 @@ def test_embedding_lsh_recall_vs_brute_on_near_identical(spark):
     lsh = {(r["id_a"], r["id_b"]) for r in embedding_near_dup_lsh(df, 0.99).collect()}
     assert lsh <= brute  # exact verify: no false positives
     assert len(lsh) >= 0.9 * len(brute)  # multi-probe recall on near-identicals
+
+
+def test_simhash_packed_lanes_match_reference(docs, monkeypatch):
+    """The 21-bit-lane packed vote aggregation (r10) must be
+    bit-identical to the reference one-sum-per-bit shape, including a
+    partial final lane (bits=32 -> 11 lanes, last holding 2 bits)."""
+    monkeypatch.setenv("SPARK_GRAFT_SIMHASH_PACK", "0")
+    ref = sorted(map(tuple, simhash(docs).collect()))
+    monkeypatch.setenv("SPARK_GRAFT_SIMHASH_PACK", "1")
+    packed = sorted(map(tuple, simhash(docs).collect()))
+    assert packed == ref
+    # non-default bit width: full lanes only (30 bits / 3 per lane)
+    monkeypatch.setenv("SPARK_GRAFT_SIMHASH_PACK", "0")
+    ref30 = sorted(map(tuple, simhash(docs, bits=30).collect()))
+    monkeypatch.setenv("SPARK_GRAFT_SIMHASH_PACK", "1")
+    packed30 = sorted(map(tuple, simhash(docs, bits=30).collect()))
+    assert packed30 == ref30
