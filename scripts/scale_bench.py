@@ -492,8 +492,18 @@ MARGIN = 1  # grid steps of headroom above the cheapest passing config:
 # queries; one multiplier step up buys the tail at ~2× nprobe cost
 # (still ≪ the distributed baseline's latency)
 MV_SLACK = 2.0  # results of worst-case headroom required on the margin-val draw
+# r10: the tightest bounds validate against MULTIPLE independent fresh
+# draws (consecutive primes from the original seed 23). One draw's
+# zero-fail is itself an extreme-value sample: the r10 fresh 1M build
+# passed seed 23 at 1.0000 with (mult 8, std 4) yet the unseen test
+# draw landed 0.98 on one query — and probing 5 fresh draws at those
+# params showed 1 in 5 (seed 31) reproducing the 0.98 tail, while one
+# multiplier step (16) held 1.0000 on all five. Three draws make the
+# validation tail-rate ~(1/5)^3 per config instead of 1/5, at
+# fit/first-load time only (escalations replay from the cache).
+MV_SEEDS = (23, 29, 31)
 # policy stamp: escalations persisted under a different policy recompute once
-MV_POLICY = "zero-fail-b5+slack-clamped+cap8/4x"
+MV_POLICY = "zero-fail-b5+slack-clamped+cap8/4x+draws3"
 _MULT_GRID = (1.0, 2.0, 4.0, 8.0, 16.0, 32.0)
 _STD_GRID = (1.0, 2.0, 4.0)
 # r07: the grid extends past the r04-r06 cap of 8. The 1M rebuild drew
@@ -584,11 +594,15 @@ def _escalate_on_margin_val(ep, params: dict, saved_esc: dict | None) -> dict:
                 bump(p)
         return params
 
-    mv = ep.index.spark.createDataFrame(
-        _gen_queries_pdf(23, N_TEST, 30_000_000)
-    )
-    sweep = ep._sweep_states(mv, ep._all_stages())
-    gt = sweep["states_d"][-1]  # exhaustive stage == exact top-k
+    # r10 (MV_SEEDS): one sweep per independent fresh draw — each
+    # exhaustive last stage doubles as that draw's exact GT
+    draws = []
+    for seed in MV_SEEDS:
+        mv = ep.index.spark.createDataFrame(
+            _gen_queries_pdf(seed, N_TEST, 30_000_000)
+        )
+        sweep = ep._sweep_states(mv, ep._all_stages())
+        draws.append((sweep, sweep["states_d"][-1]))
     saved = (ep.multipler, ep.std_m)
     esc: dict[str, int] = {}
     for (k, bound), p in params.items():
@@ -615,10 +629,21 @@ def _escalate_on_margin_val(ep, params: dict, saved_esc: dict | None) -> dict:
         steps = 0
         while True:
             ep.multipler, ep.std_m = p["multipler"], p["std_m"]
-            chosen = ep._simulate_targets(
-                sweep, k, 1.0 - bound, sweep.setdefault("_pred_cache", {})
-            )
-            minf, _cost = ep._simulated_quality(sweep, chosen, k, gt[:, k - 1])
+            # worst case across EVERY draw must meet the target — a
+            # single draw clearing it is itself a tail sample (see
+            # MV_SEEDS). Evaluate lazily: the first failing draw
+            # already forces the escalation.
+            minf = 1.0
+            for sweep, gt in draws:
+                chosen = ep._simulate_targets(
+                    sweep, k, 1.0 - bound, sweep.setdefault("_pred_cache", {})
+                )
+                d_minf, _cost = ep._simulated_quality(
+                    sweep, chosen, k, gt[:, k - 1]
+                )
+                minf = min(minf, float(d_minf))
+                if minf < target - 1e-9:
+                    break
             p["margin_val_minf"] = round(float(minf), 4)
             if minf >= target - 1e-9 or not bump(copy.copy(p)):
                 break

@@ -156,3 +156,50 @@ def test_stale_escalation_cache_recomputes(monkeypatch, tmp_path):
     rewritten = json.loads((tmp_path / "params.json").read_text())
     assert rewritten["mv_slack"] == sb.MV_POLICY
     assert rewritten["escalations"] == {}
+
+
+def test_multi_draw_margin_val_escalates_on_any_failing_draw():
+    """r10 (MV_SEEDS): the margin-val criterion is the WORST case over
+    every independent draw — the fresh 1M build passed the single
+    seed-23 draw at 1.0000 yet 1-in-5 fresh draws reproduced the 0.98
+    test tail at the same params, so one clean draw must not validate
+    a tight-bound config on its own."""
+    import types
+
+    import numpy as np
+
+    import scripts.scale_bench as sb
+
+    draws_seen = []
+
+    class _EP:
+        multipler = std_m = None
+        index = types.SimpleNamespace(
+            spark=types.SimpleNamespace(createDataFrame=lambda pdf: pdf)
+        )
+
+        def _all_stages(self):
+            return []
+
+        def _sweep_states(self, mv, stages):
+            s = {"draw": len(draws_seen), "states_d": [np.zeros((1, 100))]}
+            draws_seen.append(s)
+            return s
+
+        def _simulate_targets(self, sweep, k, acc, cache):
+            return None
+
+        def _simulated_quality(self, sweep, chosen, k, gtcol):
+            # second draw fails until the multiplier escalates — the
+            # first (and any later) draw always passes
+            if sweep["draw"] == 1 and self.multipler < 16.0:
+                return 0.98, 0.0
+            return 1.0, 0.0
+
+    params = {(50, 0.01): {"multipler": 8.0, "std_m": 4.0}}
+    out = sb._escalate_on_margin_val(_EP(), params, None)
+    esc = out.pop("_escalations")
+    assert len(draws_seen) == len(sb.MV_SEEDS)
+    assert out[(50, 0.01)]["multipler"] == 16.0  # escalated by draw 2
+    assert esc == {json.dumps([50, 0.01]): 1}
+    assert out[(50, 0.01)]["margin_val_minf"] == 1.0
