@@ -18,6 +18,7 @@ the reference's recall evaluation convention.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -103,12 +104,35 @@ def q_knn_rerank_subset(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_shard_merge_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O16/O20: shard by id parity, search shards independently, merge.
-    Semantically equal to the global top-k — the oracle states that."""
+    Semantically equal to the global top-k — the oracle states that.
+
+    Single-scan since r10: both parity shards are filtered views of ONE
+    table, so one pass keeps an independent top-k state per shard
+    (``knn_exact_shard_partials``) instead of scanning the corpus once
+    per shard — 2 corpus scans → 1, and the per-shard pre-merge windows
+    fold into ``merge_topk``'s own window (task partials are a superset
+    of each shard's top-k, so the merged winners are identical — see
+    the kernel's docstring). The partials frame is localCheckpoint'd
+    (lazy) because the two shard filters would otherwise re-evaluate
+    the scan subtree once each. ``SPARK_GRAFT_SHARD_SINGLESCAN=0``
+    restores the per-shard scans."""
     q = _emb_queries(spark, sf_dir)
     b = _emb_base(spark, sf_dir)
-    r0 = knn_exact(q, b.filter("id % 2 = 0"), K, Metric.L2, STRATEGY)
-    r1 = knn_exact(q, b.filter("id % 2 = 1"), K, Metric.L2, STRATEGY)
-    res = merge_topk(K, r0, r1)
+    if os.environ.get("SPARK_GRAFT_SHARD_SINGLESCAN", "1") == "0":
+        r0 = knn_exact(q, b.filter("id % 2 = 0"), K, Metric.L2, STRATEGY)
+        r1 = knn_exact(q, b.filter("id % 2 = 1"), K, Metric.L2, STRATEGY)
+        res = merge_topk(K, r0, r1)
+        return res.select("qid", F.col("pos").cast("bigint").alias("pos"), "id")
+    from auncel_spark.operators.knn import knn_exact_shard_partials
+
+    partials = knn_exact_shard_partials(q, b, K, 2, Metric.L2).localCheckpoint(
+        eager=False
+    )
+    res = merge_topk(
+        K,
+        partials.filter("shard = 0").select("qid", "id", "dist"),
+        partials.filter("shard = 1").select("qid", "id", "dist"),
+    )
     return res.select("qid", F.col("pos").cast("bigint").alias("pos"), "id")
 
 

@@ -246,6 +246,111 @@ def knn_exact_multi(
     )
 
 
+SHARD_SCHEMA = "shard int, qid bigint, id bigint, dist double"
+
+
+def knn_exact_shard_partials(
+    queries: DataFrame,
+    base: DataFrame,
+    k: int,
+    n_shards: int,
+    metric: Metric = Metric.L2,
+    qid_col: str = "qid",
+    q_vec_col: str = "vec",
+    id_col: str = "id",
+    vec_col: str = "vec",
+) -> DataFrame:
+    """Per-task top-k per id-modulo shard from ONE base scan.
+
+    ``shard = id % n_shards``; each task keeps an independent
+    (dist, id)-ordered top-k state PER SHARD (the per-shard searches of
+    ``knn_exact(q, b.filter(id % n == s))`` folded into one pass), so n
+    parity shards cost one corpus read instead of n (guide §1.2/§2.4).
+    Rows within a batch are split by shard BEFORE blocking, so each
+    shard's blocks see exactly the rows (in scan order) the filtered
+    scan would have seen; the distance arithmetic per (query, row) is
+    the elementwise GEMM formula and is independent of which other rows
+    share a block. Returns task-level partials (shard, qid, id, dist) —
+    a superset of each shard's global top-k, suitable for
+    ``merge_topk`` (union + min-agg + window keeps the same winners as
+    merging the per-shard exact top-k tables, because every per-shard
+    top-k member is present in the partials).
+    """
+    q = _prep_queries(queries, qid_col, q_vec_col)
+    b = _prep_base(base, id_col, vec_col)
+    spark = q.sparkSession
+    qpdf = q.toPandas()
+    qids = qpdf["qid"].to_numpy(dtype=np.int64)
+    qmat = np.array(list(qpdf["_qvec"]), dtype=np.float64)
+    bc = spark.sparkContext.broadcast((qids, qmat, int(n_shards)))
+
+    def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from auncel_spark.index.scan import _group_topk, _merge_rows
+
+        bqids, bq, ns = bc.value
+        nq = len(bqids)
+        q_norms = (bq * bq).sum(axis=1)[:, None]
+        block = max(64, 4_000_000 // max(nq, 1))
+        states = None
+        rows_all = np.arange(nq)
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            if states is None:
+                states = [
+                    (
+                        np.full((nq, k), np.inf),
+                        np.full((nq, k), -1, dtype=np.int64),
+                    )
+                    for _ in range(ns)
+                ]
+            ids_b = pdf["id"].to_numpy(dtype=np.int64)
+            mat_b = np.array(list(pdf["_bvec"]), dtype=np.float64)
+            shard_b = ids_b % ns
+            for s in range(ns):
+                mask = shard_b == s
+                if not mask.any():
+                    continue
+                ids_s = ids_b[mask]
+                mat_s = mat_b[mask]
+                sd, si = states[s]
+                for s0 in range(0, len(ids_s), block):
+                    ids = ids_s[s0 : s0 + block]
+                    mat = mat_s[s0 : s0 + block]
+                    dots = bq @ mat.T
+                    if metric == Metric.L2:
+                        dist = (
+                            q_norms + (mat * mat).sum(axis=1)[None, :] - 2.0 * dots
+                        )
+                    elif metric == Metric.COSINE:
+                        denom = np.sqrt(q_norms) * np.sqrt(
+                            (mat * mat).sum(axis=1)[None, :]
+                        )
+                        denom[denom == 0] = 1.0
+                        dist = -dots / denom
+                    else:
+                        dist = -dots
+                    nd, ni = _group_topk(dist, ids, k)
+                    _merge_rows(sd, si, rows_all, nd, ni)
+        if states is None:
+            return
+        for s in range(ns):
+            sd, si = states[s]
+            keep = (si >= 0).ravel()
+            if not keep.any():
+                continue
+            yield pd.DataFrame(
+                {
+                    "shard": np.repeat(np.int32(s), int(keep.sum())),
+                    "qid": np.repeat(bqids, k)[keep],
+                    "id": si.ravel()[keep],
+                    "dist": sd.ravel()[keep],
+                }
+            )
+
+    return b.mapInPandas(scan, schema=SHARD_SCHEMA)
+
+
 def range_search(
     queries: DataFrame,
     base: DataFrame,

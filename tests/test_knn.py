@@ -71,6 +71,44 @@ def test_merge_topk_equals_global(base_df, query_df, tiny_vectors):
             assert got[(qi, pos)] == ids[qi, pos]
 
 
+def test_shard_partials_single_scan_matches_per_shard_scans(
+    base_df, query_df, tiny_vectors
+):
+    """The one-scan per-shard kernel must reproduce, through merge_topk,
+    exactly the rows of the two filtered-scan searches (r10 single-scan
+    rewrite of q_shard_merge_topk; kill-switch
+    SPARK_GRAFT_SHARD_SINGLESCAN=0)."""
+    from auncel_spark.operators.knn import knn_exact_shard_partials
+
+    xb, xq = tiny_vectors
+    r0 = knn_exact(query_df, base_df.filter("id % 2 = 0"), K, strategy="gemm")
+    r1 = knn_exact(query_df, base_df.filter("id % 2 = 1"), K, strategy="gemm")
+    want = (
+        merge_topk(K, r0, r1)
+        .toPandas()
+        .sort_values(["qid", "pos"])
+        .reset_index(drop=True)
+    )
+    p = knn_exact_shard_partials(query_df, base_df, K, 2).localCheckpoint(
+        eager=False
+    )
+    got = (
+        merge_topk(
+            K,
+            p.filter("shard = 0").select("qid", "id", "dist"),
+            p.filter("shard = 1").select("qid", "id", "dist"),
+        )
+        .toPandas()
+        .sort_values(["qid", "pos"])
+        .reset_index(drop=True)
+    )
+    assert got.equals(want)
+    # and the merged result is the global exact top-k
+    ids, _ = np_knn(xq, xb, K, "l2")
+    for row in got.itertuples(index=False):
+        assert row.id == ids[row.qid, row.pos]
+
+
 def test_recall_and_bound(base_df, query_df, tiny_vectors, spark):
     xb, xq = tiny_vectors
     res = knn_exact(query_df, base_df, K)
