@@ -367,11 +367,25 @@ def q_bounded_bound_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     The oracle states both criteria must hold; a hash mismatch means
     the engine broke its error contract."""
     ep, q = _fitted_profile(spark, sf_dir)
-    # one qid collect serves both the query count and the mixed-bound
-    # assignment (r09 ran a separate q.count() job for the same number)
-    qids = [r["qid"] for r in q.select("qid").orderBy("qid").collect()]
+    # ONE pruned collect (the query set is nq rows) serves the query
+    # count, the mixed-bound assignment AND the query frame of all
+    # three overlapped jobs below. r10 earlier shape: a qid collect
+    # through a distributed orderBy (range-sampling pass) plus a second
+    # orderBy inside the mixed search, and each branch re-scanned the
+    # query parquet for its own toPandas. The driver sort is exact and
+    # the local-relation frame preserves row order, so the mixed accs
+    # stay aligned to sorted qid exactly as before; values are the
+    # float32 embeddings widened to float64 (exact), the same widening
+    # every GEMM kernel applies when it builds qmat.
+    qrows = q.select("qid", "vec").collect()
+    qrows.sort(key=lambda r: r["qid"])
+    qids = [r["qid"] for r in qrows]
     n = len(qids)
     accs = np.array([0.1 + 0.1 * (i % 9) for i in range(n)])
+    q_local = spark.createDataFrame(
+        [(int(r["qid"]), [float(x) for x in r["vec"]]) for r in qrows],
+        "qid bigint, vec array<double>",
+    )
 
     # the exact GT scan and the two bounded searches are independent
     # jobs — overlap them from a small driver thread pool (guide §2.6)
@@ -383,17 +397,21 @@ def q_bounded_bound_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def _gt_pdf():
         return (
-            knn_exact(q, _emb_base(spark, sf_dir), K, Metric.L2, STRATEGY)
+            knn_exact(q_local, _emb_base(spark, sf_dir), K, Metric.L2, STRATEGY)
             .select("qid", "pos", "dist")
             .toPandas()
         )
 
     def _search_fixed():
-        return ep.search(q, K, require_acc=1.0 - BOUND).select("qid", "dist").toPandas()
+        return (
+            ep.search(q_local, K, require_acc=1.0 - BOUND)
+            .select("qid", "dist")
+            .toPandas()
+        )
 
     def _search_mixed():
         return (
-            ep.search(q.orderBy("qid"), K, require_acc=accs)
+            ep.search(q_local, K, require_acc=accs)
             .select("qid", "dist")
             .toPandas()
         )
