@@ -1103,9 +1103,10 @@ def _seed_pq(spark: SparkSession, sf_dir: str):
     rows = (
         load(spark, sf_dir, "embeddings")
         .filter(F.col("vec_id") < NLIST + 2 * PQ_KSUB)
-        .orderBy("vec_id")
+        .select("vec_id", "embedding")
         .collect()
     )
+    rows.sort(key=lambda r: r["vec_id"])  # driver sort, no sampling pass
     mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
     cents = mat[:NLIST]
     s1 = mat[NLIST : NLIST + PQ_KSUB]
@@ -1444,9 +1445,10 @@ def q_imi_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows = (
             load(spark, sf_dir, "embeddings")
             .filter(F.col("vec_id") < IMI_KSUB)
-            .orderBy("vec_id")
+            .select("vec_id", "embedding")
             .collect()
         )
+        rows.sort(key=lambda r: r["vec_id"])  # driver sort, no sampling pass
         full = np.array([r["embedding"] for r in rows], dtype=np.float64)
         dsub = full.shape[1] // 2
         subc = np.stack([full[:, :dsub], full[:, dsub:]])
