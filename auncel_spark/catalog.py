@@ -606,10 +606,12 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents")
     mm = attach_binary_payload(docs)
-    feats = extract_byte_features(mm)
+    # n_bytes comes out of the extraction kernel itself (it IS the
+    # histogram total) — the former join back onto mm re-scanned and
+    # re-encoded the whole source just to fetch a length (r10 §11)
+    feats = extract_byte_features(mm, with_n_bytes=True)
     return (
-        feats.join(mm.select("id", F.col("meta.n_bytes").alias("nb")), "id")
-        .select("id", "nb", F.posexplode("feature").alias("dim", "v"))
+        feats.select("id", F.col("n_bytes").alias("nb"), F.posexplode("feature").alias("dim", "v"))
         .select(
             "id",
             F.col("dim").cast("bigint").alias("dim"),
@@ -1006,13 +1008,17 @@ def q_corpus_curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     from auncel_spark.functions.text import fingerprint_df, quality_score, token_count
 
     docs = load(spark, sf_dir, "documents")
-    fps = fingerprint_df(docs)
-    per_doc = docs.select(
-        F.col("doc_id").alias("id"),
-        "lang",
-        token_count(F.col("text")).cast("bigint").alias("n_tok"),
-        (F.floor(quality_score(F.col("text")) * 1e6) >= 500_000).alias("keep"),
-    ).join(fps, "id")
+    # fp + the per-doc metrics threaded through ONE scan (carry=) —
+    # the former second scan + join back on id was pure redundancy
+    # (doc_id is unique, so the inner join equals a projection carry)
+    per_doc = fingerprint_df(
+        docs,
+        carry=[
+            F.col("lang"),
+            token_count(F.col("text")).cast("bigint").alias("n_tok"),
+            (F.floor(quality_score(F.col("text")) * 1e6) >= 500_000).alias("keep"),
+        ],
+    )
     return per_doc.groupBy("lang").agg(
         F.count("*").alias("n_docs"),
         F.sum(F.col("keep").cast("bigint")).alias("n_kept"),

@@ -462,29 +462,41 @@ def extract_byte_features(
     payload_col: str = "payload",
     id_col: str = "id",
     n_features: int = N_FEATURES,
+    with_n_bytes: bool = False,
 ) -> DataFrame:
     """DETERMINISTIC FAKE feature extractor: L1-normalized histogram of
     payload bytes folded into n_features buckets. Exercises the exact
     batch shape a real embedding model would use (Arrow batches in,
-    fixed-width float vectors out)."""
-    schema = T.StructType(
-        [
-            T.StructField("id", T.LongType()),
-            T.StructField("feature", T.ArrayType(T.FloatType())),
-        ]
-    )
+    fixed-width float vectors out).
+
+    ``with_n_bytes=True`` adds the payload byte length (== the
+    histogram total the kernel already computes) as an ``n_bytes``
+    column — callers that need it alongside the features avoid a
+    join back onto the payload frame (a second scan of the source)."""
+    fields = [
+        T.StructField("id", T.LongType()),
+        T.StructField("feature", T.ArrayType(T.FloatType())),
+    ]
+    if with_n_bytes:
+        fields.append(T.StructField("n_bytes", T.LongType()))
+    schema = T.StructType(fields)
 
     def work(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if pdf.empty:
                 continue
             feats = []
+            sizes = []
             for b in pdf[payload_col]:
                 arr = np.frombuffer(bytes(b), dtype=np.uint8)
                 hist = np.bincount(arr % n_features, minlength=n_features).astype(np.float64)
                 total = hist.sum()
                 feats.append((hist / total if total else hist).astype(np.float32))
-            yield pd.DataFrame({"id": pdf[id_col].to_numpy(), "feature": feats})
+                sizes.append(arr.size)
+            out = {"id": pdf[id_col].to_numpy(), "feature": feats}
+            if with_n_bytes:
+                out["n_bytes"] = np.asarray(sizes, dtype=np.int64)
+            yield pd.DataFrame(out)
 
     return bound_payload_partitions(
         df.select(id_col, payload_col), payload_col

@@ -335,3 +335,24 @@ def test_decode_image_dispatches_by_magic(spark):
     assert abs(got[1]["px_sum"] - int(jpg_px.astype(np.int64).sum())) < 2.0 * jpg_px.size
     assert got[2]["ok"] and got[2]["px_sum"] == int(bmp_px.astype(np.int64).sum())
     assert not got[3]["ok"]
+
+
+def test_extract_byte_features_n_bytes_matches_payload_length(spark):
+    """with_n_bytes=True must emit the exact payload byte length (what
+    q_multimodal_features formerly fetched via a join back onto the
+    payload frame) and leave the feature column bit-identical to the
+    default-schema path."""
+    from pyspark.sql import functions as F
+
+    from auncel_spark.operators.multimodal import extract_byte_features
+
+    df = spark.range(8).select(
+        F.col("id"),
+        F.encode(F.concat(F.lit("payload-"), F.col("id")), "utf-8").alias("payload"),
+    )
+    base = {r["id"]: r["feature"] for r in extract_byte_features(df).collect()}
+    rows = extract_byte_features(df, with_n_bytes=True).collect()
+    assert len(rows) == 8
+    for r in rows:
+        assert r["n_bytes"] == len(f"payload-{r['id']}".encode())
+        assert r["feature"] == base[r["id"]]
