@@ -22,6 +22,8 @@ from __future__ import annotations
 from typing import Iterator
 
 import numpy as np
+
+from auncel_spark.functions.vector import as_matrix
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -52,7 +54,7 @@ def float_to_binary(
         for pdf in batches:
             if pdf.empty:
                 continue
-            mat = np.array(list(pdf[vec_col]), dtype=np.float64)
+            mat = as_matrix(pdf[vec_col])
             packed = pack_bits_np(mat > threshold)
             yield pdf.assign(**{out_col: [bytes(p) for p in packed]})
 
@@ -85,7 +87,7 @@ def lsh_sketch(
         for pdf in batches:
             if pdf.empty:
                 continue
-            mat = np.array(list(pdf[vec_col]), dtype=np.float64)
+            mat = as_matrix(pdf[vec_col])
             packed = pack_bits_np((mat @ P.T) >= 0)
             yield pdf.assign(**{out_col: [bytes(p) for p in packed]})
 

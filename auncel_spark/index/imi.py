@@ -16,6 +16,8 @@ multi-sequence scan, here exact since nq·ksub² is small driver-side).
 from __future__ import annotations
 
 import numpy as np
+
+from auncel_spark.functions.vector import as_matrix
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -91,7 +93,7 @@ class IMIIndex(IVFIndex):
             for pdf in batches:
                 if pdf.empty:
                     continue
-                mat = np.array(list(pdf["vec"]), dtype=np.float64)
+                mat = as_matrix(pdf["vec"])
                 d0 = ((mat[:, None, :ds] - a0[None, :, :]) ** 2).sum(-1)
                 d1 = ((mat[:, None, ds:] - a1[None, :, :]) ** 2).sum(-1)
                 lab = d0.argmin(1) * ks + d1.argmin(1)

@@ -30,6 +30,8 @@ import os
 from typing import Iterator
 
 import numpy as np
+
+from auncel_spark.functions.vector import as_matrix
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -662,7 +664,7 @@ class IVFIndex:
     ) -> tuple[DataFrame, np.ndarray, np.ndarray, list[int]]:
         qpdf = queries.select("qid", "vec").toPandas()
         qids = qpdf["qid"].to_numpy(dtype=np.int64)
-        qmat = np.array(list(qpdf["vec"]), dtype=np.float64)
+        qmat = as_matrix(qpdf["vec"])
         if self.rotation is not None:
             qmat = qmat @ self.rotation.T
         lists, _ = self.coarse_rank(qids, qmat, nprobe)
@@ -710,7 +712,7 @@ class IVFIndex:
 
             qpdf = q.toPandas()
             qids = qpdf["qid"].to_numpy(dtype=np.int64)
-            qmat = np.array(list(qpdf["vec"]), dtype=np.float64)
+            qmat = as_matrix(qpdf["vec"])
             ranked, _ = self.coarse_rank(qids, qmat, nprobe)
             self.prefetch(np.unique(ranked[:, :nprobe]))
             sdf, codec = self.scan_source()
@@ -813,7 +815,7 @@ class IVFIndex:
                 out_q, out_i, out_d = [], [], []
                 for qid, grp in pdf.groupby("qid"):
                     qv = bq[qpos[int(qid)]]
-                    mat = np.array(list(grp["vec"]), dtype=np.float64)
+                    mat = as_matrix(grp["vec"])
                     dots = mat @ qv
                     if is_l2:
                         dist = (mat * mat).sum(axis=1) + (qv @ qv) - 2.0 * dots

@@ -20,6 +20,8 @@ import os
 from typing import Iterator
 
 import numpy as np
+
+from auncel_spark.functions.vector import as_matrix
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -317,7 +319,7 @@ class IVFPQIndex(IVFIndex):
         q = queries.select(F.col(qid_col).alias("qid"), F.col(vec_col).alias("vec"))
         qpdf = q.toPandas()
         qids = qpdf["qid"].to_numpy(dtype=np.int64)
-        qmat = np.array(list(qpdf["vec"]), dtype=np.float64)
+        qmat = as_matrix(qpdf["vec"])
         if self.rotation is not None:
             qmat = qmat @ self.rotation.T  # into code space (see __init__)
         ranked, _ = self.coarse_rank(qids, qmat, nprobe)
@@ -488,7 +490,7 @@ class IVFPQIndex(IVFIndex):
             q = queries.select("qid", "vec")
             qpdf = q.toPandas()
             qids = qpdf["qid"].to_numpy(dtype=np.int64)
-            qmat = np.array(list(qpdf["vec"]), dtype=np.float64)
+            qmat = as_matrix(qpdf["vec"])
             cand = (
                 self.search(queries, k * k_factor, nprobe)
                 .select("qid", "id")
@@ -516,7 +518,7 @@ class IVFPQIndex(IVFIndex):
         q = queries.select("qid", "vec")
         qpdf = q.toPandas()
         qids = qpdf["qid"].to_numpy(dtype=np.int64)
-        qmat = np.array(list(qpdf["vec"]), dtype=np.float64)
+        qmat = as_matrix(qpdf["vec"])
         cand = self.search(queries, k * k_factor, nprobe).select("qid", "id").toPandas()
         if len(cand) == 0:
             # empty candidate set (e.g. empty query frame or all-empty
@@ -707,7 +709,7 @@ class IVFPQRIndex(IVFPQIndex):
 
         qpdf = queries.toPandas()
         qids = qpdf["qid"].to_numpy(dtype=np.int64)
-        qmat = np.array(list(qpdf["vec"]), dtype=np.float64)
+        qmat = as_matrix(qpdf["vec"])
         rows = self.data.join(F.broadcast(cand), "id").select(
             "qid", "id", "code", "rcode", "list_no"
         )
@@ -777,7 +779,7 @@ def _residual2_df(coded: DataFrame, pq: ProductQuantizer) -> DataFrame:
         for pdf in batches:
             if pdf.empty:
                 continue
-            rv = np.array(list(pdf["rvec"]), dtype=np.float64)
+            rv = as_matrix(pdf["rvec"])
             codes = np.array([np.frombuffer(c, dtype=np.uint8) for c in pdf["code"]])
             r2 = rv - kernel.decode_np(codes)
             yield pdf.assign(r2=list(r2.astype(np.float32)))
@@ -846,7 +848,7 @@ def split_ivfpq_lists(
     for p in range(nlist):
         rows = np.where(lns == p)[0]
         if len(rows) >= split:
-            x = np.array(list(samp["vec"].iloc[rows]), dtype=np.float64)
+            x = as_matrix(samp["vec"].iloc[rows])
             children[p] = _lloyd_np(x, split, kmeans_iter, seed + p)
         else:
             # empty/thin parent: children collapse onto the parent cell
@@ -867,7 +869,7 @@ def split_ivfpq_lists(
                 continue
             ids = pdf["id"].to_numpy()
             lns_b = pdf["list_no"].to_numpy()
-            mat = np.array(list(pdf["vec"]), dtype=np.float64)
+            mat = as_matrix(pdf["vec"])
             rl = np.empty(len(ids), dtype=np.int32)
             for ln in np.unique(lns_b):
                 m = lns_b == ln
@@ -930,7 +932,7 @@ def _residual_df(assigned: DataFrame, centroids: np.ndarray) -> DataFrame:
         for pdf in batches:
             if pdf.empty:
                 continue
-            mat = np.array(list(pdf["vec"]), dtype=np.float64)
+            mat = as_matrix(pdf["vec"])
             res = mat - cents[pdf["list_no"].to_numpy()]
             yield pdf.assign(rvec=list(res.astype(np.float32)))
 

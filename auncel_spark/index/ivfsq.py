@@ -15,6 +15,8 @@ import os
 from typing import Iterator
 
 import numpy as np
+
+from auncel_spark.functions.vector import as_matrix
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -131,7 +133,7 @@ class IVFSQIndex(IVFIndex):
         q = queries.select(F.col(qid_col).alias("qid"), F.col(vec_col).alias("vec"))
         qpdf = q.toPandas()
         qids = qpdf["qid"].to_numpy(dtype=np.int64)
-        qmat = np.array(list(qpdf["vec"]), dtype=np.float64)
+        qmat = as_matrix(qpdf["vec"])
         ranked, _ = self.coarse_rank(qids, qmat, nprobe)
         partial = scan_window_coded(
             self.data, qids, qmat, ranked, 0, nprobe, k, self.metric,

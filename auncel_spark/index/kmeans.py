@@ -25,6 +25,8 @@ from __future__ import annotations
 from typing import Iterator
 
 import numpy as np
+
+from auncel_spark.functions.vector import as_matrix
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -69,7 +71,7 @@ def assign_lists(
         for pdf in batches:
             if pdf.empty:
                 continue
-            mat = np.array(list(pdf[vec_col]), dtype=np.float64)
+            mat = as_matrix(pdf[vec_col])
             dots = mat @ cents.T
             if is_l2:
                 dist = (mat * mat).sum(axis=1)[:, None] + c_norms - 2.0 * dots
@@ -104,7 +106,7 @@ def _partial_sums(df: DataFrame, centroids: np.ndarray, metric: Metric, vec_col:
             if pdf.empty:
                 continue
             seen = True
-            mat = np.array(list(pdf[vec_col]), dtype=np.float64)
+            mat = as_matrix(pdf[vec_col])
             dots = mat @ cents.T
             if is_l2:
                 dist = (mat * mat).sum(axis=1)[:, None] + c_norms - 2.0 * dots

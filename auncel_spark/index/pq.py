@@ -24,6 +24,8 @@ from __future__ import annotations
 from typing import Iterator
 
 import numpy as np
+
+from auncel_spark.functions.vector import as_matrix
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -166,7 +168,7 @@ class ProductQuantizer:
             for pdf in batches:
                 if pdf.empty:
                     continue
-                mat = np.array(list(pdf[vec_col]), dtype=np.float64)
+                mat = as_matrix(pdf[vec_col])
                 codes = pq.encode_np(mat, gemm=gemm)
                 yield pdf.assign(**{code_col: [bytes(c) for c in codes]})
 

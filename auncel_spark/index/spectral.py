@@ -18,6 +18,8 @@ from __future__ import annotations
 from typing import Iterator
 
 import numpy as np
+
+from auncel_spark.functions.vector import as_matrix
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -85,7 +87,7 @@ class SpectralHash:
             for pdf in batches:
                 if pdf.empty:
                     continue
-                mat = np.array(list(pdf[vec_col]), dtype=np.float64)
+                mat = as_matrix(pdf[vec_col])
                 codes = sh.encode_np(mat)
                 yield pd.DataFrame(
                     {

@@ -30,6 +30,8 @@ from __future__ import annotations
 from typing import Iterator
 
 import numpy as np
+
+from auncel_spark.functions.vector import as_matrix
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -96,7 +98,7 @@ def split_vectors_knn(
         F.col(qid_col).alias("qid"), F.col(q_vec_col).alias("vec")
     ).toPandas()
     qids = qpdf["qid"].to_numpy(dtype=np.int64)
-    qmat = np.array(list(qpdf["vec"]), dtype=np.float64)
+    qmat = as_matrix(qpdf["vec"])
     bc = spark.sparkContext.broadcast((qids, qmat))
     ns, is_l2 = len(shards), metric == Metric.L2
 
@@ -118,7 +120,7 @@ def split_vectors_knn(
                 state_i = np.full((nq, k), -1, dtype=np.int64)
             ids_b = pdf["id"].to_numpy(dtype=np.int64)
             mats_b = [
-                np.array(list(pdf[f"_v{s}"]), dtype=np.float64) for s in range(ns)
+                as_matrix(pdf[f"_v{s}"]) for s in range(ns)
             ]
             for s0 in range(0, len(ids_b), block):
                 ids = ids_b[s0 : s0 + block]

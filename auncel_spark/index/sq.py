@@ -25,6 +25,8 @@ from __future__ import annotations
 from typing import Iterator
 
 import numpy as np
+
+from auncel_spark.functions.vector import as_matrix
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -136,7 +138,7 @@ class ScalarQuantizer:
             # pattern, SURVEY B10), not 2000 distributed aggs. The
             # sample bound keeps driver memory flat at any corpus size.
             pdf = df.select(vec_col).limit(100_000).toPandas()
-            x = np.array(list(pdf[vec_col]), dtype=np.float64)
+            x = as_matrix(pdf[vec_col])
             lo, diff = _train_optim(x, _LEVELS[qtype] + 1)
             return cls(lo, diff, qtype)
         else:
@@ -222,7 +224,7 @@ class ScalarQuantizer:
             for pdf in batches:
                 if pdf.empty:
                     continue
-                mat = np.array(list(pdf[vec_col]), dtype=np.float64)
+                mat = as_matrix(pdf[vec_col])
                 codes = sq.encode_np(mat)
                 yield pdf.assign(**{code_col: [bytes(c) for c in codes]})
 

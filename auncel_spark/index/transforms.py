@@ -24,6 +24,8 @@ import json
 from typing import Iterator
 
 import numpy as np
+
+from auncel_spark.functions.vector import as_matrix
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -54,7 +56,7 @@ class VectorTransform:
             for pdf in batches:
                 if pdf.empty:
                     continue
-                mat = np.array(list(pdf[vec_col]), dtype=np.float64)
+                mat = as_matrix(pdf[vec_col])
                 out = vt.apply_np(mat).astype(np.float32)
                 cols = {f.name: pdf[f.name] for f in fields}
                 cols[out_col] = list(out)

@@ -31,6 +31,8 @@ import numpy as np
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from auncel_spark.functions.vector import as_matrix
+
 # numeric 60-bit content hash, portable to DuckDB:
 #   CAST(concat('0x', substr(md5(s),1,15)) AS BIGINT)
 def h60(col: Column, salt: str = "") -> Column:
@@ -497,7 +499,7 @@ def embedding_near_dup_brute(
             if pdf.empty:
                 continue
             pids = pdf[id_col].to_numpy(dtype=np.int64)
-            pmat = np.array(list(pdf[vec_col]), dtype=np.float64)
+            pmat = as_matrix(pdf[vec_col])
             pn = np.linalg.norm(pmat, axis=1)
             pn[pn == 0] = 1.0
             cos = (pmat @ gmat.T) / (pn[:, None] * gnorms[None, :])
@@ -540,7 +542,7 @@ def embedding_near_dup_lsh(
         for pdf in batches:
             if pdf.empty:
                 continue
-            mat = np.array(list(pdf[vec_col]), dtype=np.float64)
+            mat = as_matrix(pdf[vec_col])
             signs = (mat @ P.T) >= 0
             bucket = (signs * (1 << np.arange(P.shape[0]))[None, :]).sum(axis=1)
             yield pd.DataFrame({"id": pdf[id_col].to_numpy(), "bucket": bucket.astype(np.int64)})

@@ -17,6 +17,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from auncel_spark.functions.vector import as_matrix
+
 from auncel_spark.operators.topk import topk_per_query
 
 
@@ -56,7 +58,7 @@ def knn_base_shift(
             if pdf.empty:
                 continue
             ids = pdf["id"].to_numpy(dtype=np.int64)
-            mat = np.array(list(pdf["vec"]), dtype=np.float64)
+            mat = as_matrix(pdf["vec"])
             shift = pdf["shift"].to_numpy(dtype=np.float64)
             dist = qn + (mat * mat).sum(axis=1)[None, :] - 2.0 * (gm @ mat.T)
             dist = dist - shift[None, :]

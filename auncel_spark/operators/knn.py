@@ -40,7 +40,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from auncel_spark.config import Metric
-from auncel_spark.functions.vector import dist_expr
+from auncel_spark.functions.vector import as_matrix, dist_expr
 from auncel_spark.operators.topk import topk_per_query
 
 RESULT_SCHEMA = "qid bigint, id bigint, dist double"
@@ -92,7 +92,7 @@ def _gemm_partial_topk(q: DataFrame, b: DataFrame, k: int, metric: Metric) -> Da
     spark = q.sparkSession
     qpdf = q.toPandas()  # queries only — the small side, like the reference's xq
     qids = qpdf["qid"].to_numpy(dtype=np.int64)
-    qmat = np.array(list(qpdf["_qvec"]), dtype=np.float64)
+    qmat = as_matrix(qpdf["_qvec"])
     bc = spark.sparkContext.broadcast((qids, qmat))
 
     def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -111,7 +111,7 @@ def _gemm_partial_topk(q: DataFrame, b: DataFrame, k: int, metric: Metric) -> Da
                 state_d = np.full((nq, k), np.inf)
                 state_i = np.full((nq, k), -1, dtype=np.int64)
             ids_b = pdf["id"].to_numpy(dtype=np.int64)
-            mat_b = np.array(list(pdf["_bvec"]), dtype=np.float64)
+            mat_b = as_matrix(pdf["_bvec"])
             for s0 in range(0, len(ids_b), block):
                 ids = ids_b[s0 : s0 + block]
                 mat = mat_b[s0 : s0 + block]
@@ -172,7 +172,7 @@ def knn_exact_multi(
     spark = q.sparkSession
     qpdf = q.toPandas()
     qids = qpdf["qid"].to_numpy(dtype=np.int64)
-    qmat = np.array(list(qpdf["_qvec"]), dtype=np.float64)
+    qmat = as_matrix(qpdf["_qvec"])
     mvals = [m.value for m in metrics]
     bc = spark.sparkContext.broadcast((qids, qmat, mvals))
 
@@ -198,7 +198,7 @@ def knn_exact_multi(
                     for m in bms
                 }
             ids_b = pdf["id"].to_numpy(dtype=np.int64)
-            mat_b = np.array(list(pdf["_bvec"]), dtype=np.float64)
+            mat_b = as_matrix(pdf["_bvec"])
             for s0 in range(0, len(ids_b), block):
                 ids = ids_b[s0 : s0 + block]
                 mat = mat_b[s0 : s0 + block]
@@ -281,7 +281,7 @@ def knn_exact_shard_partials(
     spark = q.sparkSession
     qpdf = q.toPandas()
     qids = qpdf["qid"].to_numpy(dtype=np.int64)
-    qmat = np.array(list(qpdf["_qvec"]), dtype=np.float64)
+    qmat = as_matrix(qpdf["_qvec"])
     bc = spark.sparkContext.broadcast((qids, qmat, int(n_shards)))
 
     def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -305,7 +305,7 @@ def knn_exact_shard_partials(
                     for _ in range(ns)
                 ]
             ids_b = pdf["id"].to_numpy(dtype=np.int64)
-            mat_b = np.array(list(pdf["_bvec"]), dtype=np.float64)
+            mat_b = as_matrix(pdf["_bvec"])
             shard_b = ids_b % ns
             for s in range(ns):
                 mask = shard_b == s
@@ -381,7 +381,7 @@ def range_search(
         spark = q.sparkSession
         qpdf = q.toPandas()
         qids = qpdf["qid"].to_numpy(dtype=np.int64)
-        qmat = np.array(list(qpdf["_qvec"]), dtype=np.float64)
+        qmat = as_matrix(qpdf["_qvec"])
         bc = spark.sparkContext.broadcast((qids, qmat))
 
         def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -393,7 +393,7 @@ def range_search(
                 if pdf.empty:
                     continue
                 ids_b = pdf["id"].to_numpy(dtype=np.int64)
-                mat_b = np.array(list(pdf["_bvec"]), dtype=np.float64)
+                mat_b = as_matrix(pdf["_bvec"])
                 for s0 in range(0, len(ids_b), block):
                     ids = ids_b[s0 : s0 + block]
                     mat = mat_b[s0 : s0 + block]

@@ -44,6 +44,8 @@ import os
 import time as _time
 
 import numpy as np
+
+from auncel_spark.functions.vector import as_matrix
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -118,7 +120,7 @@ class ErrorProfile:
     def _coarse(self, queries: DataFrame):
         qpdf = queries.select("qid", "vec").toPandas()
         qids = qpdf["qid"].to_numpy(dtype=np.int64)
-        qmat = np.array(list(qpdf["vec"]), dtype=np.float64)
+        qmat = as_matrix(qpdf["vec"])
         ranked, cdist = self.index.coarse_rank(qids, qmat, self.index.nlist)
         dtb = boundary_distances(cdist, ranked, self.index.interdis, self.index.metric)
         return qids, qmat, ranked, cdist, dtb

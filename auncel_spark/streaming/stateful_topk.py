@@ -22,6 +22,8 @@ from __future__ import annotations
 from typing import Any, Iterator, Tuple
 
 import numpy as np
+
+from auncel_spark.functions.vector import as_matrix
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -41,7 +43,7 @@ def _score_batch(stream_df: DataFrame, qids: np.ndarray, qmat: np.ndarray, k: in
             if pdf.empty:
                 continue
             ids = pdf["id"].to_numpy(dtype=np.int64)
-            mat = np.array(list(pdf["vec"]), dtype=np.float64)
+            mat = as_matrix(pdf["vec"])
             dist = qn + (mat * mat).sum(axis=1)[None, :] - 2.0 * (gm @ mat.T)
             kk = min(k, dist.shape[1])
             part = np.lexsort((np.broadcast_to(ids, dist.shape), dist), axis=1)[:, :kk]

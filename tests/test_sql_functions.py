@@ -72,3 +72,24 @@ def test_sql_functions_run_over_tables(spark):
            FROM emb_v e1 JOIN emb_v e2 ON e2.vec_id = 0 AND e1.vec_id < 5"""
     ).collect()
     assert len(s) == 5 and all(-1.0 - 1e-9 <= x["cs"] <= 1.0 + 1e-9 for x in s)
+
+
+def test_as_matrix_matches_legacy_decode():
+    """as_matrix must be value-identical to np.array(list(...), float64)
+    for every cell type the kernels see: float32 ndarrays (Arrow), lists
+    (driver-built frames), and the empty batch."""
+    import numpy as np
+    import pandas as pd
+
+    from auncel_spark.functions.vector import as_matrix
+
+    base = np.arange(60, dtype=np.float32).reshape(12, 5) / 7.0
+    s = pd.Series([base[i] for i in range(12)])
+    assert np.array_equal(as_matrix(s), np.array(list(s), dtype=np.float64))
+    assert as_matrix(s).dtype == np.float64
+
+    lists = pd.Series([[1.25, -2.5], [3.0, 4.125]])
+    assert np.array_equal(as_matrix(lists), np.array(list(lists), dtype=np.float64))
+
+    empty = pd.Series([], dtype=object)
+    assert as_matrix(empty).shape == (0,)
