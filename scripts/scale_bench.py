@@ -501,9 +501,16 @@ MV_SLACK = 2.0  # results of worst-case headroom required on the margin-val draw
 # multiplier step (16) held 1.0000 on all five. Three draws make the
 # validation tail-rate ~(1/5)^3 per config instead of 1/5, at
 # fit/first-load time only (escalations replay from the cache).
-MV_SEEDS = (23, 29, 31)
+# r10 second container: a FRESH 1M calibration drew (mult 8, std 2)
+# for k50_b1, passed all three draws at 1.0000, and the unseen test
+# draw still landed 0.98 on one query — the same config class (k>=50,
+# bound<=1%) that missed in r03, r07 and the first r10 container.
+# Two test-blind tightenings: five draws (next consecutive primes;
+# ~(1/5)^5 validation tail-rate), and a deterministic cap raise for
+# that config class in _apply_margin (see the cap rule there).
+MV_SEEDS = (23, 29, 31, 37, 41)
 # policy stamp: escalations persisted under a different policy recompute once
-MV_POLICY = "zero-fail-b5+slack-clamped+cap8/4x+draws3"
+MV_POLICY = "zero-fail-b5+slack-clamped+cap8/4x+tightb-cap16+draws5"
 _MULT_GRID = (1.0, 2.0, 4.0, 8.0, 16.0, 32.0)
 _STD_GRID = (1.0, 2.0, 4.0)
 # r07: the grid extends past the r04-r06 cap of 8. The 1M rebuild drew
@@ -541,7 +548,17 @@ def _apply_margin(params: dict) -> dict:
         # grid grew (k10_b1's calibrated ~8 lists would become ~34,
         # quadrupling the flagship warm latency for bounds that already
         # hold).
-        cap = p["multipler"] * 4.0 if p["multipler"] >= 8.0 else 8.0
+        # r10 second container: for k>=50 at bound<=1% the miss budget
+        # (bound*k <= 1 result) is consumed by a SINGLE tail query, and
+        # this exact class slipped past margin-val four times across
+        # four containers (r03, r07, r10 x2: validated 1.0 on every
+        # fresh draw, unseen test draw 0.98). Its healthy-fit ceiling
+        # rises one step to 16 — deterministic headroom where the tail
+        # keeps landing. k<=10 keeps the historical cap of 8: k10_b1 IS
+        # the flagship latency config, and its 1/k quantization already
+        # earns it a dedicated margin step above.
+        healthy_cap = 16.0 if (k >= 50 and bound <= 0.01) else 8.0
+        cap = p["multipler"] * 4.0 if p["multipler"] >= 8.0 else healthy_cap
         for _ in range(steps):
             gi = _MULT_GRID.index(p["multipler"])
             if gi + 1 < len(_MULT_GRID) and _MULT_GRID[gi + 1] <= cap:

@@ -32,6 +32,27 @@ def test_healthy_fit_keeps_historic_ceiling():
     assert out[(50, 0.05)]["multipler"] == 4.0  # 1 step
 
 
+def test_tight_bound_large_k_healthy_cap_is_16():
+    """r10 (second container): the (k>=50, bound<=1%) class — miss
+    budget of at most one result — slipped past margin-val on four
+    independent containers; its healthy-fit ceiling rises to 16.
+    k<=10 keeps the historical cap of 8 (flagship latency config)."""
+    raw = {
+        (50, 0.01): {"multipler": 2.0, "std_m": 1.0},
+        (100, 0.01): {"multipler": 4.0, "std_m": 1.0},
+        (10, 0.01): {"multipler": 2.0, "std_m": 1.0},
+        (50, 0.05): {"multipler": 2.0, "std_m": 1.0},
+    }
+    out = _apply_margin(copy.deepcopy(raw))
+    assert out[(50, 0.01)]["multipler"] == 16.0  # 3 steps, new cap
+    assert out[(50, 0.01)]["std_m"] == 1.0
+    assert out[(100, 0.01)]["multipler"] == 16.0  # 8, 16, overflow->std
+    assert out[(100, 0.01)]["std_m"] == 2.0
+    assert out[(10, 0.01)]["multipler"] == 8.0  # flagship cap unchanged
+    assert out[(10, 0.01)]["std_m"] == 4.0
+    assert out[(50, 0.05)]["multipler"] == 4.0  # loose bound untouched
+
+
 def test_pinned_fit_escalates_past_old_cap():
     """A fit pinned at 8.0 (the old grid cap — the r07 1M k50_b1 draw)
     may escalate into the 16/32 region, up to 4x its fitted value."""
