@@ -116,17 +116,28 @@ def main() -> None:
         ):
             """Enter a tier only if the remaining budget covers its
             last recorded duration under the current knob signature
-            (x drift); with no cache the estimate is the BUILD cost —
-            a cold tier build must never start inside a driver bench
-            (r07's 82-minute lesson). ``reserve_s`` withholds budget
-            for work that must still run after this tier (the catalog
-            pass, when the reserved big tier goes first)."""
+            (x drift); with no cache the tier is ALWAYS skipped —
+            a cold tier build must never start inside a bench run,
+            whatever the budget (r07's 82-minute lesson; r10 third
+            container: final_bench.sh's raised budget let --tier all
+            start the ~20000 s, ~130 GB 100M build on a 80 GB-free
+            box). Builds belong to scripts/build_tiers.sh /
+            scale_bench.py standalone; SPARK_GRAFT_ALLOW_TIER_BUILD=1
+            is the explicit opt-in for a bench-driven build.
+            ``reserve_s`` withholds budget for work that must still
+            run after this tier (the catalog pass, when the reserved
+            big tier goes first)."""
             has_cache = (_cache_dir(n) / "params.json").exists()
+            allow_build = (
+                os.environ.get("SPARK_GRAFT_ALLOW_TIER_BUILD", "0") == "1"
+            )
             est = (
                 (last_duration(key) or default_est) if has_cache else build_est
             ) * BUDGET_DRIFT
             left = budget_s - (time.perf_counter() - t_bench0) - reserve_s
-            if left < est and not force:
+            if (not has_cache and not allow_build) or (
+                left < est and not force
+            ):
                 scale_out[key] = {
                     "skipped": "budget"
                     if has_cache
