@@ -417,7 +417,15 @@ def main() -> None:
 def _compact_scale(s: dict) -> dict:
     """One scale section reduced to its headline scalars."""
     if not isinstance(s, dict) or "configs" not in s:
-        return s  # error/skip markers pass through
+        if isinstance(s, dict) and "skipped" in s:
+            # skip markers keep only the decision scalars on stdout —
+            # the 'evidence' pointer lives in the full record
+            return {
+                k: s[k]
+                for k in ("skipped", "remaining_s", "needed_s")
+                if k in s
+            }
+        return s  # error markers pass through
     out = {
         "ms_q_mean": s.get("ms_per_query_mean"),
         "ms_q_worst": s.get("ms_per_query_worst"),
@@ -465,28 +473,28 @@ def _compact_scale(s: dict) -> dict:
     return out
 
 
-def _compact_line(out: dict, budget: int = 1900) -> str:
-    """The stdout line, guaranteed to fit the driver's 2000-char tail:
-    headline scalars + compacted scale sections + as many individual
-    query timings as fit (largest first — the informative ones), with
-    the remainder folded into a single '_rest_sum' entry. The complete
-    per-query record lives in BENCH_LOCAL.json."""
+def _compact_line(out: dict, budget: int = 1950) -> str:
+    """The stdout line, guaranteed to fit the driver's 2000-char tail.
+
+    The per-query timings ARE the driver's round-over-round contract
+    (VERDICT r10 Wrong #1: the calibration block was placed before the
+    queries and pushed the five smallest timings into '_rest_sum',
+    which the PERF tool reported as dropped_from_bench), so ALL query
+    timings are placed FIRST; the optional blocks — derived figures,
+    compacted scale sections, calibration — are then added one at a
+    time, highest adjudication value first, each only if the line
+    still fits. '_rest_sum' survives only as a last-resort guard for a
+    catalog far larger than today's ~50 entries. The complete record
+    lives in BENCH_LOCAL.json."""
     compact = {
         "metric": out["metric"],
         "value": out["value"],
         "unit": out["unit"],
         "sf": out["sf"],
-        "derived": out.get("derived", {}),
-        "calibration": out.get("calibration", {}),
-        "detail": "BENCH_LOCAL.json",
     }
-    for k in ("scale_1m", "scale_10m", "scale_100m"):
-        if k in out:
-            compact[k] = _compact_scale(out[k])
-    base_len = len(json.dumps(compact)) + len('"queries": {}, ')
     items = sorted(out["queries"].items(), key=lambda kv: -kv[1])
     queries: dict[str, float] = {}
-    used = base_len
+    used = len(json.dumps(compact)) + len('"queries": {}, ')
     rest = 0.0
     for name, sec in items:
         entry = len(f'"{name}": {round(sec, 2)}, ')
@@ -498,6 +506,20 @@ def _compact_line(out: dict, budget: int = 1900) -> str:
     if rest:
         queries["_rest_sum"] = round(rest, 2)
     compact["queries"] = queries
+    used = len(json.dumps(compact))  # exact, not the running estimate
+    optional: list[tuple[str, object]] = [("derived", out.get("derived", {}))]
+    # flagship tier first: its presence in the driver record is the
+    # round's scale evidence (VERDICT r10 Next #2)
+    for k in ("scale_100m", "scale_10m", "scale_1m"):
+        if k in out:
+            optional.append((k, _compact_scale(out[k])))
+    optional.append(("calibration", out.get("calibration", {})))
+    optional.append(("detail", "BENCH_LOCAL.json"))
+    for key, val in optional:
+        entry = len(json.dumps({key: val})) + 2
+        if used + entry <= budget:
+            compact[key] = val
+            used += entry
     return json.dumps(compact)
 
 
