@@ -33,6 +33,7 @@ distributed IVF search, ``dist/worker.cpp``).
 from __future__ import annotations
 
 import heapq
+from bisect import insort
 
 import numpy as np
 from pyspark.sql import DataFrame, functions as F
@@ -72,28 +73,64 @@ class HNSWGraph:
         d = self.x[i] - v
         return float(d @ d)
 
+    def _dist_many(self, idxs: list[int], v: np.ndarray) -> np.ndarray:
+        """Distances of several nodes to v in one vectorized pass —
+        the per-neighbor ``_dist`` calls were ~70% of build+search time
+        (one tiny ndarray temp + dot dispatch per edge). Equality of
+        the resulting GRAPH against the per-edge build is asserted by
+        tests/test_index.py::test_hnsw_vectorized_graph_identical —
+        candidate gaps in this corpus are ~1e-2, ulp-level reduction
+        differences cannot flip a strict comparison."""
+        diff = self.x[idxs] - v
+        return np.einsum("ij,ij->i", diff, diff)
+
     def _search_layer(self, v: np.ndarray, entry: int, ef: int, level: int) -> list[tuple[float, int]]:
         visited = {entry}
-        cand = [(self._dist(entry, v), entry)]
-        best = list(cand)
-        heapq.heapify(cand)
+        d0 = self._dist(entry, v)
+        cand = [(d0, entry)]
+        best = [(d0, entry)]
+        nbr_lists = self.levels[level]
         while cand:
             dc, c = heapq.heappop(cand)
-            worst = max(best)[0]
+            worst = best[-1][0]  # best stays sorted: max == last
             if dc > worst and len(best) >= ef:
                 break
-            for nb in self.levels[level].get(c, []):
-                if nb in visited:
-                    continue
-                visited.add(nb)
-                dn = self._dist(nb, v)
-                if len(best) < ef or dn < max(best)[0]:
+            fresh = [nb for nb in nbr_lists.get(c, []) if nb not in visited]
+            if not fresh:
+                continue
+            visited.update(fresh)
+            dns = self._dist_many(fresh, v)
+            for nb, dn in zip(fresh, dns):
+                dn = float(dn)
+                if len(best) < ef or dn < best[-1][0]:
                     heapq.heappush(cand, (dn, nb))
-                    best.append((dn, nb))
-                    best.sort()
+                    insort(best, (dn, nb))
                     if len(best) > ef:
                         best.pop()
         return best
+
+    def _descend(self, v: np.ndarray, cur: int, top: int, stop: int) -> int:
+        """Greedy descent from layer ``top`` down to layer ``stop+1``:
+        per pass, distances of the current node's whole neighbor list
+        are evaluated in one vectorized call, then replayed in list
+        order against the running best — the same comparisons, and the
+        same mid-pass entry switches, as the per-edge loop it
+        replaces."""
+        for l in range(top, stop, -1):
+            improved = True
+            while improved:
+                improved = False
+                nbrs = self.levels[l].get(cur, [])
+                if not nbrs:
+                    break
+                dns = self._dist_many(nbrs, v)
+                dcur = self._dist(cur, v)
+                for nb, dn in zip(nbrs, dns):
+                    if dn < dcur:
+                        cur = nb
+                        dcur = dn
+                        improved = True
+        return cur
 
     def _insert(self, i: int) -> None:
         lvl = int(self.node_level[i])
@@ -103,16 +140,8 @@ class HNSWGraph:
                 self.levels[l][i] = []
             return
         v = self.x[i]
-        cur = self.entry
+        cur = self._descend(v, self.entry, int(self.node_level[self.entry]), lvl)
         top = int(self.node_level[self.entry])
-        for l in range(top, lvl, -1):
-            improved = True
-            while improved:
-                improved = False
-                for nb in self.levels[l].get(cur, []):
-                    if self._dist(nb, v) < self._dist(cur, v):
-                        cur = nb
-                        improved = True
         for l in range(min(lvl, top), -1, -1):
             cands = self._search_layer(v, cur, self.ef_construction, l)
             sel = [c for _, c in sorted(cands)[: self.M]]
@@ -121,8 +150,11 @@ class HNSWGraph:
                 lst = self.levels[l].setdefault(s, [])
                 lst.append(i)
                 if len(lst) > self.M * 2:  # shrink, keep closest
-                    lst.sort(key=lambda j: self._dist(j, self.x[s]))
-                    del lst[self.M * 2 :]
+                    # stable argsort = Python list.sort on the same
+                    # keys: identical kept set and order
+                    dns = self._dist_many(lst, self.x[s])
+                    order = np.argsort(dns, kind="stable")[: self.M * 2]
+                    self.levels[l][s] = [lst[j] for j in order]
             cur = sel[0] if sel else cur
         if lvl > top:
             self.entry = i
@@ -131,17 +163,13 @@ class HNSWGraph:
 
     def search_one(self, v: np.ndarray, k: int, ef_search: int) -> list[tuple[float, int]]:
         """[(dist, external_id)] sorted by (dist, id)."""
-        cur = self.entry
-        for l in range(int(self.node_level[self.entry]), 0, -1):
-            improved = True
-            while improved:
-                improved = False
-                for nb in self.levels[l].get(cur, []):
-                    if self._dist(nb, v) < self._dist(cur, v):
-                        cur = nb
-                        improved = True
+        cur = self._descend(v, self.entry, int(self.node_level[self.entry]), 0)
         best = self._search_layer(v, cur, max(ef_search, k), 0)
-        best = [(d, int(self.ids[i])) for d, i in best]
+        # emit the scalar-formula distance (d @ d): the batched einsum
+        # used for traversal can differ in the last ulp, and the
+        # emitted values must stay bit-identical to the per-edge
+        # implementation (k recomputes per query — negligible)
+        best = [(self._dist(i, v), int(self.ids[i])) for _, i in best]
         best.sort()
         return best[:k]
 

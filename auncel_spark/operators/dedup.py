@@ -200,7 +200,11 @@ def minhash_lsh_pairs(
     exploded = sig.select("id", F.explode(F.array(*band_cols)).alias("bk")).select(
         "id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
     )
-    exploded = exploded.persist()  # both join sides reuse the hashed bands
+    # both join sides reuse the hashed bands; invocation-private
+    # localCheckpoint (not persist: CacheManager plan-matches a persist
+    # across invocations, so warm medians measured cache reads instead
+    # of the band pipeline — VERDICT r10 Next #8)
+    exploded = exploded.localCheckpoint(eager=False)
     a = exploded.alias("a")
     b = exploded.alias("b")
     return (
@@ -255,15 +259,29 @@ def ngram_jaccard(
     # the cached partitioning — r06's plan shuffled the f²-fan-out
     # table on `s` three separate times, the heaviest exchanges of the
     # heaviest headline query.
-    ex = ex.repartition(F.col("s"))
+    # materialize the exploded s-clustered layout ONCE, invocation-
+    # private (localCheckpoint(eager=False), the r10 shared-subtree
+    # pattern — a persist() here is plan-matched by CacheManager
+    # across invocations and flatters warm medians; VERDICT r10 Next
+    # #8). Every consumer — the doc-frequency guard, both self-join
+    # sides, the per-doc sizes — reads these blocks; the r10 shape
+    # re-ran the corpus-scan + shingle + hash pipeline a second time
+    # just to build the guard (its groupBy(s) needed its own Exchange
+    # too; the checkpoint preserves the repartition(s) layout, so the
+    # guard aggregation now runs exchange-free).
+    ex = ex.repartition(F.col("s")).localCheckpoint(eager=False)
     if pairs is None and max_doc_freq is not None:
         # shingles are distinct per doc, so count(*) = document
-        # frequency; the semi-join shuffles on the same key as the
-        # self-join below, so it adds no new exchange pattern
+        # frequency; the semi-join clusters on the same key as the
+        # self-join below, so it adds no new exchange pattern. The
+        # post-guard table is checkpointed too: otherwise the guard
+        # aggregation and the semi probe replay once per consumer
+        # (both self-join sides + sizes — the r10 plan carried the
+        # guard agg twice)
         keep = (
             ex.groupBy("s").count().filter(F.col("count") < max_doc_freq).select("s")
         )
-        ex = ex.join(keep, "s", "left_semi")
+        ex = ex.join(keep, "s", "left_semi").localCheckpoint(eager=False)
     # recompute per-doc set sizes AFTER the frequency guard so the
     # union term matches the capped intersection term. Sizes attach to
     # the AGGREGATED pair table (per-doc, broadcastable), not to the
@@ -271,10 +289,16 @@ def ngram_jaccard(
     # cost an extra full exchange of the exploded table (shuffle by id)
     # and widen every row of the f²-fan-out join — the two heaviest
     # stages of the whole pipeline at scale.
-    # the self-join references ex twice; without persisting, Spark
-    # re-runs the whole shingle pipeline for each side
-    ex = ex.persist()
-    sizes = ex.groupBy("id").agg(F.count("*").alias("n_sh"))
+    # sizes feeds BOTH the id_a and id_b attachment joins: without its
+    # own checkpoint the aggregation over the exploded table runs twice
+    # (the r10 plan carried two identical HashAggregate+Exchange
+    # subtrees); the frame is one short row per document, so the
+    # materialization is negligible next to the agg pass it removes
+    sizes = (
+        ex.groupBy("id")
+        .agg(F.count("*").alias("n_sh"))
+        .localCheckpoint(eager=False)
+    )
     a = ex.alias("a")
     b = ex.alias("b")
     inter = (
@@ -406,7 +430,10 @@ def simhash_near_pairs(
     ex = fp.select("id", "simhash", F.explode(F.array(*segs)).alias("sv")).select(
         "id", "simhash", F.col("sv.seg").alias("seg"), F.col("sv.val").alias("val")
     )
-    ex = ex.persist()  # both join sides reuse the fingerprint segments
+    # both join sides reuse the fingerprint segments; invocation-
+    # private localCheckpoint for the same warm-honesty reason as the
+    # minhash band table above (VERDICT r10 Next #8)
+    ex = ex.localCheckpoint(eager=False)
     a = ex.alias("a")
     b = ex.alias("b")
     cand = (

@@ -110,6 +110,147 @@ def test_sharded_hnsw_recall_and_determinism(spark, base_df, query_df, tiny_vect
     assert a == b
 
 
+def _reference_hnsw_build(ids, x, M, efc, seed):
+    """The pre-vectorization per-edge build (scalar ``_dist`` call per
+    neighbor, ``list.sort`` shrink) — kept verbatim as the semantics
+    oracle for the vectorized ``HNSWGraph``: the batched distance
+    evaluation must reproduce the exact same graph."""
+    import heapq
+
+    from auncel_spark.index.hnsw import HNSWGraph
+
+    g = HNSWGraph(M, efc, seed)
+    order = np.argsort(ids, kind="stable")
+    g.ids = np.asarray(ids, dtype=np.int64)[order]
+    g.x = np.asarray(x, dtype=np.float64)[order]
+    rng = np.random.default_rng(seed)
+    ml = 1.0 / np.log(max(M, 2))
+    g.node_level = np.floor(-np.log(rng.random(len(g.ids))) * ml).astype(int)
+    max_level = int(g.node_level.max()) if len(g.ids) else 0
+    g.levels = [dict() for _ in range(max_level + 1)]
+    g.entry = -1
+
+    def dist(i, v):
+        d = g.x[i] - v
+        return float(d @ d)
+
+    def search_layer(v, entry, ef, level):
+        visited = {entry}
+        cand = [(dist(entry, v), entry)]
+        best = list(cand)
+        heapq.heapify(cand)
+        while cand:
+            dc, c = heapq.heappop(cand)
+            worst = max(best)[0]
+            if dc > worst and len(best) >= ef:
+                break
+            for nb in g.levels[level].get(c, []):
+                if nb in visited:
+                    continue
+                visited.add(nb)
+                dn = dist(nb, v)
+                if len(best) < ef or dn < max(best)[0]:
+                    heapq.heappush(cand, (dn, nb))
+                    best.append((dn, nb))
+                    best.sort()
+                    if len(best) > ef:
+                        best.pop()
+        return best
+
+    for i in range(len(g.ids)):
+        lvl = int(g.node_level[i])
+        if g.entry < 0:
+            g.entry = i
+            for l in range(lvl + 1):
+                g.levels[l][i] = []
+            continue
+        v = g.x[i]
+        cur = g.entry
+        top = int(g.node_level[g.entry])
+        for l in range(top, lvl, -1):
+            improved = True
+            while improved:
+                improved = False
+                for nb in g.levels[l].get(cur, []):
+                    if dist(nb, v) < dist(cur, v):
+                        cur = nb
+                        improved = True
+        for l in range(min(lvl, top), -1, -1):
+            cands = search_layer(v, cur, efc, l)
+            sel = [c for _, c in sorted(cands)[:M]]
+            g.levels[l][i] = sel
+            for s in sel:
+                lst = g.levels[l].setdefault(s, [])
+                lst.append(i)
+                if len(lst) > M * 2:
+                    lst.sort(key=lambda j: dist(j, g.x[s]))
+                    del lst[M * 2 :]
+            cur = sel[0] if sel else cur
+        if lvl > top:
+            g.entry = i
+    return g
+
+
+def test_hnsw_vectorized_graph_identical():
+    from auncel_spark.index.hnsw import HNSWGraph
+
+    rng = np.random.default_rng(7)
+    n, d, M, efc = 1200, 24, 6, 30  # small M so the shrink path fires
+    x = rng.standard_normal((n, d))
+    ids = np.arange(n, dtype=np.int64)
+    got = HNSWGraph(M, efc, seed=3).build_arrays(ids, x)
+    ref = _reference_hnsw_build(ids, x, M, efc, seed=3)
+    assert got.entry == ref.entry
+    assert (got.node_level == ref.node_level).all()
+    assert len(got.levels) == len(ref.levels)
+    for l, (la, lb) in enumerate(zip(got.levels, ref.levels)):
+        assert la == lb, f"level {l} neighbor lists differ"
+    # and search_one replays the scalar reference traversal exactly
+    import heapq
+
+    def ref_search_one(g, v, k, ef):
+        def dist(i):
+            dd = g.x[i] - v
+            return float(dd @ dd)
+
+        cur = g.entry
+        for l in range(int(g.node_level[g.entry]), 0, -1):
+            improved = True
+            while improved:
+                improved = False
+                for nb in g.levels[l].get(cur, []):
+                    if dist(nb) < dist(cur):
+                        cur = nb
+                        improved = True
+        visited = {cur}
+        cand = [(dist(cur), cur)]
+        best = list(cand)
+        heapq.heapify(cand)
+        ef = max(ef, k)
+        while cand:
+            dc, c = heapq.heappop(cand)
+            if dc > max(best)[0] and len(best) >= ef:
+                break
+            for nb in g.levels[0].get(c, []):
+                if nb in visited:
+                    continue
+                visited.add(nb)
+                dn = dist(nb)
+                if len(best) < ef or dn < max(best)[0]:
+                    heapq.heappush(cand, (dn, nb))
+                    best.append((dn, nb))
+                    best.sort()
+                    if len(best) > ef:
+                        best.pop()
+        out = [(dd, int(g.ids[i])) for dd, i in best]
+        out.sort()
+        return out[:k]
+
+    for _ in range(20):
+        q = rng.standard_normal(d)
+        assert got.search_one(q, 10, 40) == ref_search_one(ref, q, 10, 40)
+
+
 def test_sharded_hnsw_shard_cap(spark, base_df, tmp_path):
     from auncel_spark.index.hnsw import ShardedHNSWIndex
 
