@@ -106,6 +106,7 @@ def main() -> None:
             N100,
             _cache_dir,
             last_duration,
+            pending_revalidation_sec,
             record_duration,
             run as scale_run,
         )
@@ -132,16 +133,24 @@ def main() -> None:
                 os.environ.get("SPARK_GRAFT_ALLOW_TIER_BUILD", "0") == "1"
             )
             est = (
-                (last_duration(key) or default_est) if has_cache else build_est
+                ((last_duration(key) or default_est) + pending_revalidation_sec(n))
+                if has_cache
+                else build_est
             ) * BUDGET_DRIFT
             left = budget_s - (time.perf_counter() - t_bench0) - reserve_s
             if (not has_cache and not allow_build) or (
                 left < est and not force
             ):
+                # note: `force` only overrides the BUDGET gate; the
+                # no-cache guard always wins (even --tier 10m/100m) —
+                # a cold tier build must never start inside a bench
+                # run unless SPARK_GRAFT_ALLOW_TIER_BUILD=1 opts in
+                # explicitly (ADVICE r10 #1)
                 scale_out[key] = {
                     "skipped": "budget"
                     if has_cache
-                    else "no build cache (build via scripts/build_tiers.sh)",
+                    else "no build cache (scripts/build_tiers.sh, or"
+                    " SPARK_GRAFT_ALLOW_TIER_BUILD=1 to build in-bench)",
                     "remaining_s": round(left, 1),
                     "needed_s": round(est, 1),
                     "evidence": "committed evidence/ + BENCH_LOCAL.json",
@@ -164,8 +173,25 @@ def main() -> None:
         else:
             big_order = [f"scale_{tier}"] if tier in ("10m", "100m") else []
 
+        # low-core invocation (the driver's catalog-scaling probe): the
+        # big-tier grids are shaped for the standard core count and
+        # would eat the probe's whole budget at 8 cores, while the 1M
+        # grid at BOTH core counts is exactly the non-degenerate
+        # scaling signal the sf0.1 catalog cannot give (every catalog
+        # query there is scheduling-bound, so 8v32 ratios sit at ~1 —
+        # VERDICT r10 Next #7). Explicit --tier requests still win.
+        cpus_now = int(os.environ.get("SPARK_GRAFT_CPUS", "32") or "32")
+        if cpus_now < 16 and tier in ("auto", "rotate", "all"):
+            for key in big_order:
+                scale_out[key] = {
+                    "skipped": f"low-core invocation (cpus={cpus_now}):"
+                    " big tiers run at the standard core count",
+                }
+            big_order = []
+
         reserved_100m_first = (
             tier in ("auto", "rotate")
+            and bool(big_order)
             and big_order[0] == "scale_100m"
             and os.environ.get("SPARK_GRAFT_SCALE_100M", "1") != "0"
             and (_cache_dir(N100) / "params.json").exists()

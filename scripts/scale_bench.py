@@ -148,18 +148,43 @@ def _cache_dir(n: int = N) -> Path:
 
 
 def _bench_knobs() -> str:
-    return "r{}p{}c{}t{}".format(
+    sig = "r{}p{}c{}t{}".format(
         os.environ.get("SPARK_GRAFT_SCALE_REPEATS", "1"),
         os.environ.get("SPARK_GRAFT_PQ_RUNS", "1"),
         os.environ.get("SPARK_GRAFT_SCALE_COLD", "1"),
         os.environ.get("SPARK_GRAFT_TPUT_50K", "0"),
     )
+    # tier wall time scales with the executor core count, so a low-core
+    # invocation (the driver's scaling probe) must not overwrite the
+    # standard-core duration estimates; the standard count keeps the
+    # legacy signature so existing recorded durations stay valid
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32") or "32"
+    return sig if cpus == "32" else f"{sig}x{cpus}"
 
 
 def _durations_path() -> Path:
     p = _cache_dir().parent
     p.mkdir(parents=True, exist_ok=True)
     return p / "tier_durations.json"
+
+
+def pending_revalidation_sec(n: int) -> float:
+    """Extra one-time cost the next profile load of tier ``n`` will pay
+    when the margin-val policy stamp changed since its cache was
+    written: the full multi-draw sweep re-runs once and re-persists
+    (~180-500 s measured at 1M/10M). ``run_tier``'s budget estimate
+    comes from ``last_duration``, which never includes this spike, so
+    the bench folds this into the tier's entry estimate — a tier
+    admitted under a tight window must not overshoot on the first
+    post-policy-change run (ADVICE r10 #2)."""
+    try:
+        with open(_cache_dir(n) / "params.json") as f:
+            raw = json.load(f)
+    except (OSError, ValueError):
+        return 0.0
+    if raw.get("mv_slack") == MV_POLICY:
+        return 0.0
+    return float(raw.get("margin_val_sec") or 400.0)
 
 
 def last_duration(tier: str) -> float | None:
@@ -492,22 +517,23 @@ MARGIN = 1  # grid steps of headroom above the cheapest passing config:
 # queries; one multiplier step up buys the tail at ~2× nprobe cost
 # (still ≪ the distributed baseline's latency)
 MV_SLACK = 2.0  # results of worst-case headroom required on the margin-val draw
-# r10: the tightest bounds validate against MULTIPLE independent fresh
-# draws (consecutive primes from the original seed 23). One draw's
-# zero-fail is itself an extreme-value sample: the r10 fresh 1M build
-# passed seed 23 at 1.0000 with (mult 8, std 4) yet the unseen test
-# draw landed 0.98 on one query — and probing 5 fresh draws at those
-# params showed 1 in 5 (seed 31) reproducing the 0.98 tail, while one
-# multiplier step (16) held 1.0000 on all five. Three draws make the
-# validation tail-rate ~(1/5)^3 per config instead of 1/5, at
-# fit/first-load time only (escalations replay from the cache).
-# r10 second container: a FRESH 1M calibration drew (mult 8, std 2)
-# for k50_b1, passed all three draws at 1.0000, and the unseen test
-# draw still landed 0.98 on one query — the same config class (k>=50,
-# bound<=1%) that missed in r03, r07 and the first r10 container.
-# Two test-blind tightenings: five draws (next consecutive primes;
-# ~(1/5)^5 validation tail-rate), and a deterministic cap raise for
-# that config class in _apply_margin (see the cap rule there).
+# CURRENT POLICY (r10, second container): the tightest bounds validate
+# against FIVE independent fresh draws (consecutive primes from the
+# original seed 23 — MV_SEEDS below; validation tail-rate ~(1/5)^5 per
+# config), paid at fit/first-load time only (escalations replay from
+# the cache), plus a deterministic cap raise for the k>=50, bound<=1%
+# class in _apply_margin (see the cap rule there).
+# History of how it got here: one draw's zero-fail is itself an
+# extreme-value sample — the r10 fresh 1M build passed seed 23 at
+# 1.0000 with (mult 8, std 4) yet the unseen test draw landed 0.98 on
+# one query, and probing 5 fresh draws at those params showed 1 in 5
+# (seed 31) reproducing the 0.98 tail while one multiplier step (16)
+# held 1.0000 on all five; that motivated 3-draw validation first.
+# Then a FRESH 1M calibration drew (mult 8, std 2) for k50_b1, passed
+# all three draws at 1.0000, and the unseen test draw still landed
+# 0.98 on one query — the same config class that missed in r03, r07
+# and the first r10 container — so the draw count went to five and
+# the class got its cap raise. Both tightenings were test-blind.
 MV_SEEDS = (23, 29, 31, 37, 41)
 # policy stamp: escalations persisted under a different policy recompute once
 MV_POLICY = "zero-fail-b5+slack-clamped+cap8/4x+tightb-cap16+draws5"
