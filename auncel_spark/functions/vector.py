@@ -85,6 +85,32 @@ def ip_to_l2sq(ip: Column, norm_a_sq: Column, norm_b_sq: Column) -> Column:
     return norm_a_sq + norm_b_sq - 2.0 * ip
 
 
+def ids_mat_from_arrow(batch, id_idx: int = 0, vec_idx: int = 1, dtype=None):
+    """(int64 ids, float64 (n, d) matrix) from an Arrow record batch of
+    (id bigint, vec array<float>) — the ``mapInArrow`` twin of
+    ``as_matrix``. The list column's flat float32 values buffer is
+    viewed once and widened in one vectorized pass; the mapInPandas
+    route materialized one ndarray object PER ROW during the
+    Arrow→pandas conversion before ``as_matrix`` could even see the
+    cells. Widening float32→float64 is exact, so results are
+    value-identical to the pandas route.
+    """
+    import numpy as np
+
+    ids = (
+        batch.column(id_idx)
+        .to_numpy(zero_copy_only=False)
+        .astype(np.int64, copy=False)
+    )
+    vc = batch.column(vec_idx)
+    n = len(vc)
+    if n == 0:
+        return ids, np.empty((0, 0), dtype=dtype or np.float64)
+    flat = vc.flatten().to_numpy(zero_copy_only=False)
+    mat = np.asarray(flat, dtype=dtype or np.float64).reshape(n, -1)
+    return ids, mat
+
+
 def as_matrix(cells, dtype=None):
     """Decode a pandas Series (or sequence) of equal-length vector cells
     into an ``(n, d)`` float64 ndarray.

@@ -20,7 +20,9 @@ Two physical strategies, mirroring the reference's SIMD-vs-BLAS switch:
 
 ``strategy="gemm"``   broadcast the query *matrix* (numpy) to
     executors; each base partition does one BLAS GEMM + argpartition
-    (Arrow-batched via ``mapInPandas``) and emits only its local top-k
+    (``mapInArrow`` — the list column's flat values buffer decodes to
+    the GEMM matrix in one vectorized pass, no per-row ndarray cells)
+    and emits only its local top-k
     per query — nq·k rows per partition instead of nq·|partition| —
     then a global window merge. This is the 100 TB path: shuffle volume
     is independent of base size.
@@ -32,10 +34,7 @@ vectors to the driver — only the query matrix (≤ a few MB) is broadcast.
 
 from __future__ import annotations
 
-from typing import Iterator
-
 import numpy as np
-import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -95,7 +94,10 @@ def _gemm_partial_topk(q: DataFrame, b: DataFrame, k: int, metric: Metric) -> Da
     qmat = as_matrix(qpdf["_qvec"])
     bc = spark.sparkContext.broadcast((qids, qmat))
 
-    def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def scan(batches):
+        import pyarrow as pa
+
+        from auncel_spark.functions.vector import ids_mat_from_arrow
         from auncel_spark.index.scan import _group_topk, _merge_rows
 
         bqids, bq = bc.value
@@ -104,14 +106,13 @@ def _gemm_partial_topk(q: DataFrame, b: DataFrame, k: int, metric: Metric) -> Da
         block = max(64, 4_000_000 // max(nq, 1))
         state_d = state_i = None
         rows_all = np.arange(nq)
-        for pdf in batches:
-            if pdf.empty:
+        for batch in batches:
+            if batch.num_rows == 0:
                 continue
             if state_d is None:
                 state_d = np.full((nq, k), np.inf)
                 state_i = np.full((nq, k), -1, dtype=np.int64)
-            ids_b = pdf["id"].to_numpy(dtype=np.int64)
-            mat_b = as_matrix(pdf["_bvec"])
+            ids_b, mat_b = ids_mat_from_arrow(batch)
             for s0 in range(0, len(ids_b), block):
                 ids = ids_b[s0 : s0 + block]
                 mat = mat_b[s0 : s0 + block]
@@ -134,7 +135,7 @@ def _gemm_partial_topk(q: DataFrame, b: DataFrame, k: int, metric: Metric) -> Da
         if state_d is None:
             return
         keep = (state_i >= 0).ravel()
-        yield pd.DataFrame(
+        yield pa.RecordBatch.from_pydict(
             {
                 "qid": np.repeat(bqids, k)[keep],
                 "id": state_i.ravel()[keep],
@@ -142,7 +143,7 @@ def _gemm_partial_topk(q: DataFrame, b: DataFrame, k: int, metric: Metric) -> Da
             }
         )
 
-    return b.mapInPandas(scan, schema=RESULT_SCHEMA)
+    return b.mapInArrow(scan, schema=RESULT_SCHEMA)
 
 
 MULTI_SCHEMA = "metric string, qid bigint, id bigint, dist double"
@@ -176,7 +177,10 @@ def knn_exact_multi(
     mvals = [m.value for m in metrics]
     bc = spark.sparkContext.broadcast((qids, qmat, mvals))
 
-    def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def scan(batches):
+        import pyarrow as pa
+
+        from auncel_spark.functions.vector import ids_mat_from_arrow
         from auncel_spark.index.scan import _group_topk, _merge_rows
 
         bqids, bq, bmv = bc.value
@@ -186,8 +190,8 @@ def knn_exact_multi(
         block = max(64, 4_000_000 // max(nq, 1))
         states = None
         rows_all = np.arange(nq)
-        for pdf in batches:
-            if pdf.empty:
+        for batch in batches:
+            if batch.num_rows == 0:
                 continue
             if states is None:
                 states = {
@@ -197,8 +201,7 @@ def knn_exact_multi(
                     )
                     for m in bms
                 }
-            ids_b = pdf["id"].to_numpy(dtype=np.int64)
-            mat_b = as_matrix(pdf["_bvec"])
+            ids_b, mat_b = ids_mat_from_arrow(batch)
             for s0 in range(0, len(ids_b), block):
                 ids = ids_b[s0 : s0 + block]
                 mat = mat_b[s0 : s0 + block]
@@ -224,7 +227,7 @@ def knn_exact_multi(
         for mv in bmv:
             sd, si = states[mv]
             keep = (si >= 0).ravel()
-            yield pd.DataFrame(
+            yield pa.RecordBatch.from_pydict(
                 {
                     "metric": np.repeat(mv, int(keep.sum())),
                     "qid": np.repeat(bqids, k)[keep],
@@ -233,7 +236,7 @@ def knn_exact_multi(
                 }
             )
 
-    partial = b.mapInPandas(scan, schema=MULTI_SCHEMA)
+    partial = b.mapInArrow(scan, schema=MULTI_SCHEMA)
     from pyspark.sql import Window
 
     w = Window.partitionBy("metric", "qid").orderBy(
@@ -284,7 +287,10 @@ def knn_exact_shard_partials(
     qmat = as_matrix(qpdf["_qvec"])
     bc = spark.sparkContext.broadcast((qids, qmat, int(n_shards)))
 
-    def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def scan(batches):
+        import pyarrow as pa
+
+        from auncel_spark.functions.vector import ids_mat_from_arrow
         from auncel_spark.index.scan import _group_topk, _merge_rows
 
         bqids, bq, ns = bc.value
@@ -293,8 +299,8 @@ def knn_exact_shard_partials(
         block = max(64, 4_000_000 // max(nq, 1))
         states = None
         rows_all = np.arange(nq)
-        for pdf in batches:
-            if pdf.empty:
+        for batch in batches:
+            if batch.num_rows == 0:
                 continue
             if states is None:
                 states = [
@@ -304,8 +310,7 @@ def knn_exact_shard_partials(
                     )
                     for _ in range(ns)
                 ]
-            ids_b = pdf["id"].to_numpy(dtype=np.int64)
-            mat_b = as_matrix(pdf["_bvec"])
+            ids_b, mat_b = ids_mat_from_arrow(batch)
             shard_b = ids_b % ns
             for s in range(ns):
                 mask = shard_b == s
@@ -339,7 +344,7 @@ def knn_exact_shard_partials(
             keep = (si >= 0).ravel()
             if not keep.any():
                 continue
-            yield pd.DataFrame(
+            yield pa.RecordBatch.from_pydict(
                 {
                     "shard": np.repeat(np.int32(s), int(keep.sum())),
                     "qid": np.repeat(bqids, k)[keep],
@@ -348,7 +353,7 @@ def knn_exact_shard_partials(
                 }
             )
 
-    return b.mapInPandas(scan, schema=SHARD_SCHEMA)
+    return b.mapInArrow(scan, schema=SHARD_SCHEMA)
 
 
 def range_search(
@@ -384,16 +389,19 @@ def range_search(
         qmat = as_matrix(qpdf["_qvec"])
         bc = spark.sparkContext.broadcast((qids, qmat))
 
-        def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def scan(batches):
+            import pyarrow as pa
+
+            from auncel_spark.functions.vector import ids_mat_from_arrow
+
             bqids, bq = bc.value
             nq = len(bqids)
             q_norms = (bq * bq).sum(axis=1)[:, None]
             block = max(64, 4_000_000 // max(nq, 1))
-            for pdf in batches:
-                if pdf.empty:
+            for batch in batches:
+                if batch.num_rows == 0:
                     continue
-                ids_b = pdf["id"].to_numpy(dtype=np.int64)
-                mat_b = as_matrix(pdf["_bvec"])
+                ids_b, mat_b = ids_mat_from_arrow(batch)
                 for s0 in range(0, len(ids_b), block):
                     ids = ids_b[s0 : s0 + block]
                     mat = mat_b[s0 : s0 + block]
@@ -408,7 +416,7 @@ def range_search(
                         qi, bi = np.where(dist > radius)
                     if len(qi) == 0:
                         continue
-                    yield pd.DataFrame(
+                    yield pa.RecordBatch.from_pydict(
                         {
                             "qid": bqids[qi],
                             "id": ids[bi],
@@ -416,7 +424,7 @@ def range_search(
                         }
                     )
 
-        return b.mapInPandas(scan, schema=RESULT_SCHEMA)
+        return b.mapInArrow(scan, schema=RESULT_SCHEMA)
     pairs = b.join(F.broadcast(q))
     d = dist_expr("_qvec", "_bvec", metric)
     if metric == Metric.L2:

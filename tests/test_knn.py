@@ -125,3 +125,33 @@ def test_recall_and_bound(base_df, query_df, tiny_vectors, spark):
     rows = rec.collect()
     assert all(abs(r["recall"] - 1.0) < 1e-12 for r in rows)
     assert worst_case_bound_holds(rec, bound=0.0)
+
+
+def test_arrow_decode_matches_pandas_decode():
+    """ids_mat_from_arrow (the mapInArrow kernels' decoder) must produce
+    exactly the matrices as_matrix produced from the pandas route —
+    float32→float64 widening is exact under both."""
+    import pyarrow as pa
+
+    from auncel_spark.functions.vector import as_matrix, ids_mat_from_arrow
+
+    rng = np.random.default_rng(5)
+    n, d = 257, 17
+    mat32 = rng.standard_normal((n, d)).astype(np.float32)
+    ids = rng.integers(0, 1 << 40, n)
+    batch = pa.RecordBatch.from_pydict(
+        {
+            "id": pa.array(ids, type=pa.int64()),
+            "_bvec": pa.array(list(mat32), type=pa.list_(pa.float32())),
+        }
+    )
+    got_ids, got = ids_mat_from_arrow(batch)
+    ref = as_matrix(pa.Array.to_pandas(batch.column(1)))
+    assert (got_ids == ids).all()
+    assert got.dtype == np.float64 and got.shape == (n, d)
+    assert (got == ref).all()
+    # sliced batches (offset-bearing list arrays) decode correctly too
+    sl = batch.slice(3, 100)
+    sids, smat = ids_mat_from_arrow(sl)
+    assert (sids == ids[3:103]).all()
+    assert (smat == ref[3:103]).all()
