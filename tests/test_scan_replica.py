@@ -249,3 +249,30 @@ def test_refine_pad_single_source():
     from auncel_spark.profile.error_profile import ErrorProfile
 
     assert ErrorProfile._REFINE_PAD is REFINE_PAD
+
+
+def test_willneed_density_gate(tmp_path, monkeypatch):
+    """Sparse row sets must not let the coalescing bridge read far more
+    bytes than the gather needs (the 10M A/B measured +55% bytes from
+    fixed-gap bridging); dense runs must still collapse into one long
+    sequential range."""
+    import numpy as np
+
+    from auncel_spark.index import refine_blob as rb
+
+    calls = []
+    monkeypatch.setattr(
+        rb.os, "posix_fadvise", lambda fd, off, ln, flag: calls.append((off, ln))
+    )
+    path = tmp_path / "v.f32"
+    path.write_bytes(b"\0" * 4096)
+    # sparse: every 200th row — gap_rows=256 would bridge every hole
+    rows = np.arange(0, 200 * 200, 200, dtype=np.int64)
+    rb._willneed_rows(str(path), rows, d=1, gap_rows=256, itemsize=4)
+    covered_rows = sum(ln for _, ln in calls) / 4
+    assert covered_rows <= 2.0 * len(rows)
+    calls.clear()
+    # dense: consecutive rows keep ONE coalesced range
+    rows = np.arange(0, 5000, dtype=np.int64)
+    rb._willneed_rows(str(path), rows, d=1, gap_rows=256, itemsize=4)
+    assert len(calls) == 1 and calls[0][1] == 5000 * 4
