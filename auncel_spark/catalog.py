@@ -470,13 +470,24 @@ def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     from auncel_spark.operators.dedup import minhash_signatures
 
-    return minhash_signatures(load(spark, sf_dir, "documents"), n_hashes=N_MINHASH)
+    # shared corpus tokenization (_toked_docs): the split/lower/trim
+    # pass is the materialize-once token-table step every text query
+    # reads; tokens() is deterministic, so signatures are unchanged
+    return minhash_signatures(
+        _toked_docs(spark, sf_dir), n_hashes=N_MINHASH, id_col="id", tokens_col="_tok"
+    )
 
 
 def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from auncel_spark.operators.dedup import minhash_lsh_pairs
 
-    return minhash_lsh_pairs(load(spark, sf_dir, "documents"), n_hashes=N_MINHASH, bands=4)
+    return minhash_lsh_pairs(
+        _toked_docs(spark, sf_dir),
+        n_hashes=N_MINHASH,
+        bands=4,
+        id_col="id",
+        tokens_col="_tok",
+    )
 
 
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -497,7 +508,7 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from auncel_spark.operators.dedup import simhash
 
-    return simhash(load(spark, sf_dir, "documents"))
+    return simhash(_toked_docs(spark, sf_dir), id_col="id", tokens_col="_tok")
 
 
 def q_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1932,7 +1943,11 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from auncel_spark.operators.dedup import minhash_lsh_pairs
 
     pairs = minhash_lsh_pairs(
-        load(spark, sf_dir, "documents"), n_hashes=N_MINHASH, bands=4
+        _toked_docs(spark, sf_dir),
+        n_hashes=N_MINHASH,
+        bands=4,
+        id_col="id",
+        tokens_col="_tok",
     )
     return dedup_clusters(pairs)
 
@@ -2180,13 +2195,12 @@ def q_vocab_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     count + global top-N."""
     from pyspark.sql import Window as W
 
-    from auncel_spark.operators.dedup import tokens
 
-    docs = load(spark, sf_dir, "documents")
+    # shared corpus tokenization (_toked_docs): same tokens() output,
+    # one less split/lower/trim scan (doc_id itself is unused below)
     df_counts = (
-        docs.select(
-            "doc_id", F.explode(F.array_distinct(tokens("text"))).alias("w")
-        )
+        _toked_docs(spark, sf_dir)
+        .select(F.explode(F.array_distinct("_tok")).alias("w"))
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("df"))
     )
@@ -2743,10 +2757,11 @@ def q_bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     beyond character frequencies."""
     from pyspark.sql import Window as W
 
-    from auncel_spark.operators.dedup import tokens
 
-    docs = load(spark, sf_dir, "documents")
-    w = docs.select(F.explode(tokens("text")).alias("w")).where(F.length("w") >= 2)
+    # shared corpus tokenization (_toked_docs): same tokens() output
+    w = _toked_docs(spark, sf_dir).select(F.explode("_tok").alias("w")).where(
+        F.length("w") >= 2
+    )
     # substring with a column start position needs the SQL form
     pairs = w.select(
         F.explode(

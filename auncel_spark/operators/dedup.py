@@ -131,15 +131,21 @@ def minhash_signatures(
     shingle_n: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """Per-doc MinHash signature: h_i = min over shingles of
     H(i || shingle), H = md5-based 60-bit hash. Columns (id, mh0..mh{n-1}).
-    Empty shingle sets get -1 (doc shorter than the shingle width)."""
+    Empty shingle sets get -1 (doc shorter than the shingle width).
+
+    ``tokens_col``: the input already carries the token array (the
+    shared corpus tokenization) — skip the split."""
     # materialize tokens then shingles in separate projections (see
     # word_shingles perf note), and reference _sh from every mh column.
     # One md5 yields TWO independent 60-bit hashes (hex chars 1-15 and
     # 16-30), halving digest work: salt j covers mh{2j} and mh{2j+1}.
-    with_sh = with_shingles(df, shingle_n, text_col, id_col, out_col="_sh")
+    with_sh = with_shingles(
+        df, shingle_n, text_col, id_col, out_col="_sh", tokens_col=tokens_col
+    )
     n_salts = (n_hashes + 1) // 2
 
     def _digest_col(salt: str) -> Column:
@@ -176,6 +182,7 @@ def minhash_lsh_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     sig: DataFrame | None = None,
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs via LSH banding: docs agreeing on all
     rows of any band collide. Returns distinct (id_a, id_b), id_a<id_b.
@@ -189,7 +196,9 @@ def minhash_lsh_pairs(
     frame so the corpus-scan + shingle + md5 pipeline runs once, not
     once per consumer."""
     if sig is None:
-        sig = minhash_signatures(df, n_hashes, shingle_n, text_col, id_col)
+        sig = minhash_signatures(
+            df, n_hashes, shingle_n, text_col, id_col, tokens_col=tokens_col
+        )
     rows_per_band = n_hashes // bands
     band_cols = []
     for b in range(bands):
@@ -334,13 +343,18 @@ SIMHASH_BITS = 32  # fits comfortably in portable BIGINT arithmetic
 
 
 def simhash(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = SIMHASH_BITS
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = SIMHASH_BITS,
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """Per-doc SimHash fingerprint: token hashes vote ±1 per bit; the
     sign vector packs into a BIGINT. All arithmetic is integer div/mod
     on 60-bit md5 hashes — bit-for-bit reproducible in ANSI SQL.
-    Returns (id, simhash)."""
-    tok = F.explode(tokens(text_col))
+    Returns (id, simhash). ``tokens_col``: input already tokenized
+    (the shared corpus tokenization) — skip the split."""
+    tok = F.explode(F.col(tokens_col) if tokens_col else tokens(text_col))
     ex = df.select(F.col(id_col).alias("id"), tok.alias("t")).withColumn("h", h60(F.col("t")))
     # shiftright keeps the arithmetic on exact 64-bit integers (a double
     # division would lose low bits of the 60-bit hash)
