@@ -463,7 +463,9 @@ def _compact_scale(s: dict) -> dict:
         "ms_q_mean": s.get("ms_per_query_mean"),
         "ms_q_worst": s.get("ms_per_query_worst"),
         "holds": s.get("all_bounds_hold"),
-        "rows_per_core": s.get("rows_per_core"),
+        # rows_per_core / tput_ms_q are derivable constants (tier size
+        # / cores; 1000·lanes/qps) — BENCH_LOCAL.json keeps them; the
+        # stdout line spends the chars on per-query timings instead
     }
     cold = s.get("cold_page_cache")
     if isinstance(cold, dict) and "ms_per_query_worst" in cold:
@@ -473,7 +475,6 @@ def _compact_scale(s: dict) -> dict:
     tput = s.get("throughput")
     if isinstance(tput, dict) and "qps" in tput:
         out["tput_qps"] = tput.get("qps")
-        out["tput_ms_q"] = tput.get("ms_per_query")
     pqd = s.get("ivfpq_default")
     if isinstance(pqd, dict) and "ms_per_query" in pqd:
         out["ivfpq_ms_q"] = pqd.get("ms_per_query")  # median over n_runs
@@ -506,7 +507,7 @@ def _compact_scale(s: dict) -> dict:
     return out
 
 
-def _compact_line(out: dict, budget: int = 1950) -> str:
+def _compact_line(out: dict, budget: int = 1980) -> str:
     """The stdout line, guaranteed to fit the driver's 2000-char tail.
 
     The per-query timings ARE the driver's round-over-round contract
